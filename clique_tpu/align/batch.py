@@ -1,0 +1,279 @@
+"""Batched 3-plane affine-gap DP on device (jax / XLA).
+
+TPU-first reformulation of the reference engine's per-read DP
+(/root/reference/rust_cmd/src/alignment/alignment_matrix.rs:366-683): instead
+of one f64 matrix per thread, a whole length-bucketed batch of reads is
+aligned at once by sweeping anti-diagonals of the (ref x read) rectangle.
+Each anti-diagonal is a fully data-parallel [B, X] vector op on the VPU; the
+sequential dimension is a single `lax.scan` over diagonals, so XLA compiles
+the entire fill into one fused loop with no host round-trips.
+
+Cell (x, y) on diagonal d = x + y depends only on diagonals d-1 (gap planes)
+and d-2 (match plane), so the scan carries two diagonal slabs per plane.
+Traceback directions are packed 2 bits/plane into one uint8 per cell and
+streamed out diagonal-major; the traceback walk itself also runs on device
+as a vmapped scan (one gather per step), emitting a per-step op code that
+the host expands into aligned strings + CIGAR.
+
+Exactness: float32 is bit-decision-identical to the host f64 golden model
+(align/cpu.py) because all scoring constants are dyadic rationals and every
+intermediate is a sum of < 2^18-magnitude dyadics -- exactly representable
+in f32. Property tests in tests/test_align_batch.py pin this cell-for-cell.
+
+Semantics reproduced exactly (global mode):
+- tie order up(plane1) > left(plane2) > diag(plane0), diag wins ties;
+- terminal-gap multiplier on last row/column (per-element true lengths);
+- banded fill with length-proportional band center; out-of-band cells keep
+  fresh-matrix values (0.0 scores / "up" traceback);
+- traceback from the per-element (len1, len2) corner, starting plane =
+  argmax with later planes winning ties, then trailing D/I runs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clique_tpu.align.scoring import AffineScoring, MAX_NEG_SCORE
+
+# direction codes (== source plane), same as align/cpu.py
+DIAG, UP, LEFT = 0, 1, 2
+# a packed traceback byte with all three planes set to UP (fresh-matrix value)
+_TB_FRESH = UP | (UP << 2) | (UP << 4)
+
+# op codes emitted by the traceback walk
+OP_MATCH, OP_DEL, OP_INS, OP_DONE = 0, 1, 2, 3
+
+
+class BatchAlignment(NamedTuple):
+    """Device-side result of a batched fill + traceback."""
+
+    score: jax.Array      # [B] f32 alignment score
+    start_z: jax.Array    # [B] i32 starting plane (diagnostic)
+    ops: jax.Array        # [B, T] uint8 op codes (OP_* above), OP_DONE-padded
+    n_ops: jax.Array      # [B] i32 number of valid ops
+
+
+def _three_way_max(up, left, diag):
+    """Vectorized three_way_max_and_direction (alignment_matrix.rs:671-683):
+    up on strict >, then left on strict >, else diag (ties -> diag)."""
+    up_wins = (up > left) & (up > diag)
+    left_wins = jnp.logical_not(up > left) & (left > diag)
+    val = jnp.where(up_wins, up, jnp.where(left_wins, left, diag))
+    direction = jnp.where(up_wins, UP, jnp.where(left_wins, LEFT, DIAG)).astype(jnp.uint8)
+    return val, direction
+
+
+def _shift_down(arr):
+    """[B, X] -> value at index x-1 (x axis), zero-filled at x=0."""
+    return jnp.pad(arr[:, :-1], ((0, 0), (1, 0)))
+
+
+@functools.partial(jax.jit, static_argnames=("n1", "n2", "local"))
+def align_batch_device(
+    refs: jax.Array,
+    reads: jax.Array,
+    ref_lens: jax.Array,
+    read_lens: jax.Array,
+    bandwidth: jax.Array,
+    scoring_params: jax.Array,
+    *,
+    n1: int,
+    n2: int,
+    local: bool = False,
+):
+    """Full device alignment: fill + corner extraction + traceback walk.
+
+    Returns BatchAlignment (ops in forward order) and the packed traceback
+    (for debugging/tests).
+    """
+    B = refs.shape[0]
+    D = n1 + n2 - 1
+    f32 = jnp.float32
+
+    m_s, mm_s, sp_s, go, ge, fgm = [scoring_params[i] for i in range(6)]
+
+    xs = jnp.arange(n1, dtype=jnp.int32)
+    l1 = ref_lens[:, None].astype(jnp.int32)
+    l2 = read_lens[:, None].astype(jnp.int32)
+    bw = bandwidth[:, None].astype(jnp.int32)
+    refs_i = refs.astype(jnp.int32)
+    reads_i = reads.astype(jnp.int32)
+    neg = jnp.float32(MAX_NEG_SCORE)
+
+    def step(carry, d):
+        prev, prev2, corner = carry
+        pm, pp1, pp2 = prev
+        p2m, p2p1, p2p2 = prev2
+
+        y = jnp.broadcast_to(d - xs[None, :], (B, n1))
+        x = jnp.broadcast_to(xs[None, :], (B, n1))
+
+        rx = jnp.take_along_axis(refs_i, jnp.clip(x - 1, 0, n1 - 2), axis=1)
+        ry = jnp.take_along_axis(reads_i, jnp.clip(y - 1, 0, n2 - 2), axis=1)
+        special = (rx == 78) | (ry == 78) | (rx < 58) | (ry < 58)
+        ms = jnp.where(special, sp_s, jnp.where(rx == ry, m_s, mm_s))
+
+        gm = jnp.where((x == l1) | (y == l2), fgm, f32(1.0))
+        x1 = go + ge * gm
+        lge = ge * gm
+
+        p2m_s = _shift_down(p2m)
+        p2p1_s = _shift_down(p2p1)
+        p2p2_s = _shift_down(p2p2)
+        pm_s = _shift_down(pm)
+        pp1_s = _shift_down(pp1)
+        pp2_s = _shift_down(pp2)
+
+        if local:
+            mm_val = jnp.maximum(jnp.maximum(f32(0.0), p2m_s + ms), ms)
+        else:
+            mm_val = p2m_s + ms
+        m_val, m_dir = _three_way_max(p2p1_s + ms, p2p2_s + ms, mm_val)
+        if local:
+            d_val, d_dir = _three_way_max(pp1_s + ge, pp2_s + x1, pm_s + x1)
+            i_val, i_dir = _three_way_max(pp1 + x1, pp2 + ge, pm + x1)
+        else:
+            d_val, d_dir = _three_way_max(pp1_s + lge, pp2_s + x1, pm_s + x1)
+            i_val, i_dir = _three_way_max(pp1 + x1, pp2 + lge, pm + x1)
+
+        c = (x * (l2 + 1)) // jnp.maximum(l1 + 1, 1)
+        lo = jnp.maximum(1, c - bw)
+        hi = jnp.minimum(l2 + 1, c + bw)
+        interior = (x >= 1) & (x <= l1) & (y >= lo) & (y < hi)
+        is_x_border = (x == 0) & (y >= 1) & (y <= l2)
+        is_y_border = (y == 0) & (x >= 1) & (x <= l1)
+        is_origin = (x == 0) & (y == 0)
+
+        xb = (go + y.astype(f32) * ge) * fgm
+        yb = (go + x.astype(f32) * ge) * fgm
+
+        m_out = jnp.where(
+            interior, m_val,
+            jnp.where(is_origin, f32(0.0),
+                      jnp.where(is_x_border | is_y_border, neg, f32(0.0))))
+        p1_out = jnp.where(
+            interior, d_val,
+            jnp.where(is_x_border, xb,
+                      jnp.where(is_y_border, yb,
+                                jnp.where(is_origin, neg, f32(0.0)))))
+        p2_out = jnp.where(
+            interior, i_val,
+            jnp.where(is_x_border, xb,
+                      jnp.where(is_y_border, yb,
+                                jnp.where(is_origin, neg, f32(0.0)))))
+
+        tb_byte = jnp.where(
+            interior,
+            m_dir.astype(jnp.uint8)
+            | (d_dir.astype(jnp.uint8) << 2)
+            | (i_dir.astype(jnp.uint8) << 4),
+            jnp.uint8(_TB_FRESH))
+
+        # capture the (l1, l2) corner when its diagonal comes by
+        on_corner_diag = (l1[:, 0] + l2[:, 0]) == d                 # [B]
+        corner_col = jnp.take_along_axis(
+            jnp.stack([m_out, p1_out, p2_out], axis=-1),            # [B,n1,3]
+            jnp.clip(l1, 0, n1 - 1)[..., None], axis=1)[:, 0, :]    # [B,3]
+        corner = jnp.where(on_corner_diag[:, None], corner_col, corner)
+
+        return ((m_out, p1_out, p2_out), prev, corner), tb_byte
+
+    zeros = jnp.zeros((B, n1), dtype=f32)
+    init = ((zeros, zeros, zeros), (zeros, zeros, zeros),
+            jnp.zeros((B, 3), dtype=f32))
+    (_, _, corner), tb = jax.lax.scan(
+        step, init, jnp.arange(D, dtype=jnp.int32))
+    # tb: [D, B, n1] -> [B, D, n1] for per-element gathers
+    tb_b = jnp.transpose(tb, (1, 0, 2))
+
+    # starting plane: argmax, later plane wins ties (Rust max_by keeps last)
+    z0 = jnp.where(
+        corner[:, 2] >= jnp.maximum(corner[:, 0], corner[:, 1]), 2,
+        jnp.where(corner[:, 1] >= corner[:, 0], 1, 0)).astype(jnp.int32)
+    score = jnp.take_along_axis(corner, z0[:, None], axis=1)[:, 0]
+
+    # --- traceback walk (perform_3d_global_traceback, :941-1086) ----------
+    T = n1 + n2  # upper bound on number of ops
+
+    def walk_step(state, _):
+        x, y, z = state
+        in_core = (x > 0) & (y > 0)
+        op = jnp.where(
+            in_core, z.astype(jnp.uint8),
+            jnp.where(x > 0, jnp.uint8(OP_DEL),
+                      jnp.where(y > 0, jnp.uint8(OP_INS), jnp.uint8(OP_DONE))))
+
+        d = x + y
+        byte = tb_b[jnp.arange(B), jnp.clip(d, 0, D - 1), jnp.clip(x, 0, n1 - 1)]
+        direction = (byte >> (2 * z.astype(jnp.uint8))).astype(jnp.int32) & 3
+
+        dx = jnp.where(in_core,
+                       jnp.where(z == 2, 0, 1),
+                       jnp.where(x > 0, 1, 0))
+        dy = jnp.where(in_core,
+                       jnp.where(z == 1, 0, 1),
+                       jnp.where((x <= 0) & (y > 0), 1, 0))
+        new_z = jnp.where(in_core, direction, z)
+        return (x - dx, y - dy, new_z), op
+
+    init_walk = (ref_lens.astype(jnp.int32), read_lens.astype(jnp.int32), z0)
+    _, ops_rev = jax.lax.scan(walk_step, init_walk, None, length=T)
+    ops_rev = jnp.transpose(ops_rev, (1, 0))          # [B, T], reverse order
+    n_ops = jnp.sum(ops_rev != OP_DONE, axis=1).astype(jnp.int32)
+
+    # reverse the valid prefix per element: ops are emitted end-to-start
+    idx = n_ops[:, None] - 1 - jnp.arange(T, dtype=jnp.int32)[None, :]
+    ops_fwd = jnp.where(
+        idx >= 0,
+        jnp.take_along_axis(ops_rev, jnp.clip(idx, 0, T - 1), axis=1),
+        jnp.uint8(OP_DONE))
+
+    return BatchAlignment(score=score, start_z=z0, ops=ops_fwd, n_ops=n_ops), tb_b
+
+
+def scoring_to_params(scoring: AffineScoring) -> jnp.ndarray:
+    scoring.assert_dyadic()
+    return jnp.array(
+        [scoring.match_score, scoring.mismatch_score,
+         scoring.special_character_score, scoring.gap_open,
+         scoring.gap_extend, scoring.final_gap_multiplier],
+        dtype=jnp.float32)
+
+
+# --- host-side helpers -------------------------------------------------------
+
+def pad_batch(seqs, pad_to: Optional[int] = None):
+    """list[bytes] -> (uint8 array [B, L], int32 lens [B])."""
+    lens = np.array([len(s) for s in seqs], dtype=np.int32)
+    L = int(pad_to if pad_to is not None else (max(lens) if len(lens) else 0))
+    out = np.zeros((len(seqs), max(L, 1)), dtype=np.uint8)
+    for i, s in enumerate(seqs):
+        out[i, : len(s)] = np.frombuffer(
+            s if isinstance(s, bytes) else bytes(s), dtype=np.uint8)
+    return out, lens
+
+
+def ops_to_alignment(ops: np.ndarray, n_ops: int, ref: bytes, read: bytes):
+    """Expand a forward op sequence into (ref_aligned, read_aligned, cigar).
+
+    Mirrors the string/CIGAR construction of perform_3d_global_traceback.
+    """
+    from clique_tpu.align.cpu import simplify_cigar
+    from clique_tpu.utils.seq import GAP
+
+    ops = ops[:n_ops]
+    r_idx = np.cumsum(ops != OP_INS)      # consumed ref bases after each op
+    d_idx = np.cumsum(ops != OP_DEL)      # consumed read bases
+    ref_a = np.frombuffer(ref, dtype=np.uint8)
+    read_a = np.frombuffer(read, dtype=np.uint8)
+
+    aln1 = np.where(ops != OP_INS, ref_a[np.clip(r_idx - 1, 0, None)], GAP).astype(np.uint8)
+    aln2 = np.where(ops != OP_DEL, read_a[np.clip(d_idx - 1, 0, None)], GAP).astype(np.uint8)
+
+    cigar = simplify_cigar([(1, "MDI"[o]) for o in ops])
+    return aln1.tobytes(), aln2.tobytes(), cigar
