@@ -73,7 +73,7 @@ def _shift_down(arr):
     return jnp.pad(arr[:, :-1], ((0, 0), (1, 0)))
 
 
-@functools.partial(jax.jit, static_argnames=("n1", "n2", "local"))
+@functools.partial(jax.jit, static_argnames=("n1", "n2", "local", "special_mode"))
 def align_batch_device(
     refs: jax.Array,
     reads: jax.Array,
@@ -85,6 +85,7 @@ def align_batch_device(
     n1: int,
     n2: int,
     local: bool = False,
+    special_mode: str = "both",
 ):
     """Full device alignment: fill + corner extraction + traceback walk.
 
@@ -115,7 +116,12 @@ def align_batch_device(
 
         rx = jnp.take_along_axis(refs_i, jnp.clip(x - 1, 0, n1 - 2), axis=1)
         ry = jnp.take_along_axis(reads_i, jnp.clip(y - 1, 0, n2 - 2), axis=1)
-        special = (rx == 78) | (ry == 78) | (rx < 58) | (ry < 58)
+        if special_mode == "ref_n_only":
+            # rust-bio-compat rule (alignment_functions.rs:55): only a
+            # reference-side N scores as a guaranteed match
+            special = rx == 78
+        else:
+            special = (rx == 78) | (ry == 78) | (rx < 58) | (ry < 58)
         ms = jnp.where(special, sp_s, jnp.where(rx == ry, m_s, mm_s))
 
         gm = jnp.where((x == l1) | (y == l2), fgm, f32(1.0))

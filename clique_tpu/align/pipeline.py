@@ -1,0 +1,359 @@
+"""End-to-end `align` pipeline: FASTQ -> merge -> batched device DP ->
+tag extraction -> tagged SAM/BAM.
+
+TPU-first re-design of the reference align driver
+(/root/reference/rust_cmd/src/alignment_functions.rs:63-257). Where the
+reference runs one rayon thread per read with a thread-local DP matrix, we
+stream reads into length buckets and run whole buckets through the batched
+anti-diagonal kernel (align/batch.py) in one device dispatch; host work is
+only FASTQ decoding, orientation votes, tag extraction, and SAM encoding.
+
+Reference-selection semantics (align_to_reference_choices, :520-631):
+- single reference: orient by longest shared segment when !known_strand,
+  then global affine alignment. (The reference engine calls out to
+  rust-bio with hardcoded 1/-1/-5/-1 scoring here and reports score 0.0;
+  we run the same-scoring DP on device via the `ref_n_only` special rule.
+  Set single_ref_native=True for the engine's own affine scoring instead.)
+- multiple references: unique-kmer vote; if the top reference holds > 0.90
+  of votes align to it, else exhaustively align against every candidate and
+  keep the best score (quick/exhaustive_alignment_search, :693-827).
+
+SAM tags written per read (:193-226 and alignment_matrix.rs:741-771):
+e<sym> = extracted tag per UMI symbol, rc = 1, ar = read name,
+rm = reference alignment rate, as/rs = alignment score.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from clique_tpu.align import batch as dbatch
+from clique_tpu.align.merge import MERGE_SCORING, alignment_rate_and_consensus, unify_read
+from clique_tpu.align.scoring import AffineScoring
+from clique_tpu.config.layout import MergeStrategy, SequenceLayout
+from clique_tpu.extract.extractor import extract_tagged_sequences
+from clique_tpu.io.fastq import ReadIterator
+from clique_tpu.io.sam import SamRecord, open_alignment_writer
+from clique_tpu.reference.manager import ReferenceManager, orient_by_longest_segment
+from clique_tpu.utils.seq import FASTA_N, GAP, reverse_complement
+
+log = logging.getLogger(__name__)
+
+# rust-bio-compatible scoring used by the reference's single-reference path
+# (alignment_functions.rs:48-61): match/ref-N = 1, mismatch = -1, gap -5/-1.
+RUST_BIO_COMPAT = AffineScoring(1.0, -1.0, 1.0, -5.0, -1.0, 1.0)
+
+
+def get_reference_alignment_rate(reference: bytes, read: bytes) -> float:
+    """Identity over columns where both bytes are letters and the reference
+    isn't N (consensus_builders.rs:288-307)."""
+    matches = mismatches = 0
+    for r, d in zip(reference, read):
+        if r > 64 and r != FASTA_N and d > 64:
+            if r == d:
+                matches += 1
+            else:
+                mismatches += 1
+    total = matches + mismatches
+    return matches / total if total else float("nan")
+
+
+@dataclass
+class AlignedRead:
+    """One aligned read ready for tag extraction / writing."""
+
+    read_name: str
+    reference_name: str
+    reference_aligned: bytes
+    read_aligned: bytes
+    quals: Optional[bytes]
+    cigar: List[Tuple[int, str]]
+    score: float
+    reference_start: int = 0
+
+    def to_sam_record(self, extra_tags: Dict[str, str]) -> SamRecord:
+        """AlignmentResult::to_sam_record (alignment_matrix.rs:741-771):
+        gap-stripped sequence, qual hardcoded 'H', pos = start+1, tags
+        rm/rs/ar/as + extras."""
+        seq = bytes(b for b in self.read_aligned if b != GAP)
+        tags = dict(extra_tags)
+        tags["rm"] = _fmt(get_reference_alignment_rate(
+            self.reference_aligned, self.read_aligned))
+        tags["rs"] = _fmt(self.score)
+        tags["as"] = _fmt(self.score)
+        return SamRecord(
+            name=self.read_name,
+            flag=0,
+            reference_name=self.reference_name,
+            pos=self.reference_start + 1,
+            mapq=255,
+            cigar=list(self.cigar),
+            seq=seq,
+            qual=b"H" * len(seq),
+            tags=tags,
+        )
+
+
+def _fmt(x: float) -> str:
+    """Rust f64 Display-compatible formatting ("1" for 1.0? no: Rust prints
+    1 as "1"; to_string() of 290.0 is "290"). Match that."""
+    if x != x:  # NaN
+        return "NaN"
+    if x == int(x) and abs(x) < 1e15:
+        return str(int(x))
+    return repr(x)
+
+
+@dataclass
+class _Pending:
+    name: str
+    seq: bytes
+    quals: bytes
+    ref_id: int
+
+
+class BatchAligner:
+    """Length-bucketed batcher around align_batch_device."""
+
+    def __init__(self, scoring: AffineScoring, batch_size: int = 128,
+                 length_quantum: int = 128, special_mode: str = "both"):
+        self.params = dbatch.scoring_to_params(scoring)
+        self.batch_size = batch_size
+        self.quantum = length_quantum
+        self.special_mode = special_mode
+
+    def _bucket_len(self, n: int) -> int:
+        q = self.quantum
+        return max(q, -(-n // q) * q)
+
+    def align_pairs(self, refs: List[bytes], reads: List[bytes]
+                    ) -> List[Tuple[bytes, bytes, List[Tuple[int, str]], float]]:
+        """Align ref[i] x read[i] pairwise; returns per-pair
+        (ref_aligned, read_aligned, cigar, score). Batches by padded shape."""
+        results: List = [None] * len(refs)
+        i = 0
+        idxs = sorted(range(len(refs)),
+                      key=lambda k: (self._bucket_len(len(refs[k]) + 1),
+                                     self._bucket_len(len(reads[k]) + 1)))
+        while i < len(idxs):
+            n1 = self._bucket_len(len(refs[idxs[i]]) + 1)
+            n2 = self._bucket_len(len(reads[idxs[i]]) + 1)
+            group = []
+            while i < len(idxs) and len(group) < self.batch_size and \
+                    self._bucket_len(len(refs[idxs[i]]) + 1) == n1 and \
+                    self._bucket_len(len(reads[idxs[i]]) + 1) == n2:
+                group.append(idxs[i])
+                i += 1
+            self._run_group(group, refs, reads, n1, n2, results)
+        return results
+
+    def _run_group(self, group, refs, reads, n1, n2, results):
+        B = len(group)
+        refs_arr = np.zeros((B, n1 - 1), dtype=np.uint8)
+        reads_arr = np.zeros((B, n2 - 1), dtype=np.uint8)
+        ref_lens = np.zeros(B, dtype=np.int32)
+        read_lens = np.zeros(B, dtype=np.int32)
+        for j, k in enumerate(group):
+            r, d = refs[k], reads[k]
+            refs_arr[j, :len(r)] = np.frombuffer(r, dtype=np.uint8)
+            reads_arr[j, :len(d)] = np.frombuffer(d, dtype=np.uint8)
+            ref_lens[j] = len(r)
+            read_lens[j] = len(d)
+        bw = np.maximum(ref_lens, np.maximum(read_lens, 1))
+        res, _tb = dbatch.align_batch_device(
+            refs_arr, reads_arr, ref_lens, read_lens, bw, self.params,
+            n1=n1, n2=n2, special_mode=self.special_mode)
+        ops = np.asarray(res.ops)
+        n_ops = np.asarray(res.n_ops)
+        scores = np.asarray(res.score)
+        for j, k in enumerate(group):
+            a1, a2, cigar = dbatch.ops_to_alignment(
+                ops[j], int(n_ops[j]), refs[k], reads[k])
+            results[k] = (a1, a2, cigar, float(scores[j]))
+
+
+@dataclass
+class AlignStats:
+    total: int = 0
+    aligned: int = 0
+    dropped_length: int = 0
+    failed: int = 0
+
+
+def align_reads(
+    layout: SequenceLayout,
+    rm: ReferenceManager,
+    output_path: str,
+    read1: str,
+    read2: Optional[str] = None,
+    index1: Optional[str] = None,
+    index2: Optional[str] = None,
+    max_reference_multiplier: int = 2,
+    min_read_length: int = 50,
+    batch_size: int = 256,
+    scoring: Optional[AffineScoring] = None,
+    single_ref_native: bool = False,
+    quick_match_threshold: float = 0.90,
+) -> AlignStats:
+    """The `clique align` equivalent (alignment_functions.rs:63-257)."""
+    scoring = scoring or AffineScoring.aligner_default()
+    stats = AlignStats()
+    max_read_size = (rm.longest_ref + 1) * max_reference_multiplier
+    single_ref = len(rm.references) == 1
+
+    if single_ref and not single_ref_native:
+        aligner = BatchAligner(RUST_BIO_COMPAT, batch_size,
+                               special_mode="ref_n_only")
+        report_zero_score = True   # the reference reports 0.0 here (:579)
+    else:
+        aligner = BatchAligner(scoring, batch_size)
+        report_zero_score = False
+    merge_aligner = BatchAligner(MERGE_SCORING, batch_size)
+
+    references = [(r.name, len(r.sequence)) for r in rm.references.values()]
+    writer = open_alignment_writer(output_path, references)
+    start = time.time()
+
+    reader = ReadIterator(read1, read2, index1, index2)
+    needs_align_merge = layout.merge == MergeStrategy.ALIGN
+
+    def flush(pending: List[_Pending]):
+        if not pending:
+            return
+        refs = [rm.references[p.ref_id].sequence for p in pending]
+        reads = [p.seq for p in pending]
+        out = aligner.align_pairs(refs, reads)
+        for p, (a1, a2, cigar, score) in zip(pending, out):
+            aligned = AlignedRead(
+                read_name=p.name,
+                reference_name=rm.references[p.ref_id].name,
+                reference_aligned=a1,
+                read_aligned=a2,
+                quals=p.quals,
+                cigar=cigar,
+                score=0.0 if report_zero_score else score,
+            )
+            _write_aligned(writer, aligned, layout, stats)
+        stats.aligned += len(pending)
+        if stats.aligned % 1_000_000 < len(pending):
+            log.info("Time elapsed in aligning reads (%d) is: %.1fs",
+                     stats.aligned, time.time() - start)
+
+    pending: List[_Pending] = []
+    merge_pending: List[Tuple[str, bytes, bytes, bytes, bytes]] = []
+
+    def process_merged(name: str, seq: bytes, quals: bytes):
+        if len(seq) >= max_read_size:
+            log.warning(
+                "Dropped read %s as its length %d exceeds %dx the reference "
+                "length %d", name, len(seq), max_reference_multiplier,
+                rm.longest_ref)
+            stats.dropped_length += 1
+            return
+        ref_id = _choose_reference(rm, layout, seq, quick_match_threshold)
+        if ref_id is None:
+            stats.failed += 1
+            return
+        if isinstance(ref_id, list):
+            # exhaustive search: align against each candidate, best score wins
+            refs = [rm.references[i].sequence for i in ref_id]
+            outs = aligner.align_pairs(refs, [seq] * len(refs))
+            # Rust max_by keeps the LAST maximum on ties
+            best = 0
+            for i in range(len(outs)):
+                if outs[i][3] >= outs[best][3]:
+                    best = i
+            a1, a2, cigar, score = outs[best]
+            aligned = AlignedRead(
+                read_name=name,
+                reference_name=rm.references[ref_id[best]].name,
+                reference_aligned=a1, read_aligned=a2,
+                quals=quals, cigar=cigar,
+                score=score)
+            _write_aligned(writer, aligned, layout, stats)
+            stats.aligned += 1
+            return
+        # orientation for single reference without known strand
+        if single_ref and not layout.known_strand:
+            ref = rm.references[ref_id]
+            fwd, _f, _r = orient_by_longest_segment(
+                seq, ref.sequence, ref.index)
+            if not fwd:
+                seq = reverse_complement(seq)
+                quals = quals[::-1]
+        pending.append(_Pending(name, seq, quals, ref_id))
+        if len(pending) >= batch_size:
+            flush(pending)
+            pending.clear()
+
+    def flush_merges():
+        if not merge_pending:
+            return
+        r1s = [m[1] for m in merge_pending]
+        r2s = [m[3] for m in merge_pending]
+        out = merge_aligner.align_pairs(r1s, r2s)
+        for (name, _r1, q1, _r2, q2), (a1, a2, _cigar, _score) in zip(
+                merge_pending, out):
+            seq, quals = alignment_rate_and_consensus(a1, q1, a2, q2)
+            process_merged(name, seq, quals)
+        merge_pending.clear()
+
+    for rsc in reader:
+        stats.total += 1
+        merged = unify_read(rsc, layout, defer_align_merge=needs_align_merge)
+        if merged.pending_pair is not None:
+            r1, q1, r2, q2 = merged.pending_pair
+            merge_pending.append((merged.name, r1, q1, r2, q2))
+            if len(merge_pending) >= batch_size:
+                flush_merges()
+        else:
+            process_merged(merged.name, merged.seq, merged.quals)
+
+    flush_merges()
+    flush(pending)
+    writer.close()
+    log.info("Aligned %d/%d reads in %.1fs", stats.aligned, stats.total,
+             time.time() - start)
+    return stats
+
+
+def _choose_reference(rm: ReferenceManager, layout: SequenceLayout,
+                      seq: bytes, threshold: float):
+    """Reference routing (align_to_reference_choices / quick_alignment_search).
+
+    Returns an int ref id, a list of candidate ids (exhaustive search), or
+    None when no reference exists."""
+    n = len(rm.references)
+    if n == 0:
+        return None
+    if n == 1:
+        return next(iter(rm.references))
+    votes = rm.vote_references(seq)
+    total = sum(votes.values())
+    if total == 0:
+        return list(rm.references.keys())
+    ref, count = votes.most_common(1)[0]
+    if count / total > threshold:
+        return ref
+    return list(votes.keys())
+
+
+def _write_aligned(writer, aligned: AlignedRead, layout: SequenceLayout,
+                   stats: AlignStats) -> None:
+    extracted = extract_tagged_sequences(
+        aligned.read_aligned, aligned.reference_aligned)
+    ref_cfg = layout.references.get(aligned.reference_name)
+    tags: Dict[str, str] = {}
+    if ref_cfg is not None:
+        for umi in ref_cfg.umi_configurations.values():
+            hit = extracted.get(ord(umi.symbol))
+            if hit is not None:
+                tags[f"e{umi.symbol}"] = hit
+    tags["rc"] = "1"
+    tags["ar"] = aligned.read_name
+    writer.write(aligned.to_sam_record(tags))

@@ -1,0 +1,118 @@
+"""Command-line interface.
+
+Mirrors the reference CLI surface (/root/reference/rust_cmd/src/main.rs:
+135-287): `clique-tpu align ...` and `clique-tpu collapse ...` with the same
+flags and defaults, plus `clique-tpu call ...` (the event caller the
+reference's Python package only sketches).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+    parser = argparse.ArgumentParser(
+        prog="clique-tpu",
+        description="TPU-native amplicon / lineage-barcode analysis engine")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_align = sub.add_parser("align", help="align reads to amplicon references")
+    p_align.add_argument("--read-structure", required=True,
+                         help="sequence layout YAML")
+    p_align.add_argument("--output-bam-file", required=True)
+    p_align.add_argument("--max-reference-multiplier", type=int, default=2)
+    p_align.add_argument("--min-read-length", type=int, default=50)
+    p_align.add_argument("--read1", required=True)
+    p_align.add_argument("--read2", default="NONE")
+    p_align.add_argument("--index1", default="NONE")
+    p_align.add_argument("--index2", default="NONE")
+    p_align.add_argument("--threads", type=int, default=1,
+                         help="accepted for CLI compatibility; device batching"
+                              " replaces host threading")
+    p_align.add_argument("--aligner", default="wfa",
+                         choices=["wfa", "degenerate", "inversion"],
+                         help="accepted for CLI compatibility (the reference "
+                              "engine ignores it too)")
+    p_align.add_argument("--batch-size", type=int, default=256)
+    p_align.add_argument("--single-ref-native", action="store_true",
+                         help="use native affine scoring on single-reference "
+                              "panels instead of the rust-bio-compat scoring")
+
+    p_collapse = sub.add_parser(
+        "collapse", help="hierarchically sort, correct and collapse tags")
+    p_collapse.add_argument("--output-bam-file", required=True)
+    p_collapse.add_argument("--read-structure", required=True)
+    p_collapse.add_argument("--threads", type=int, default=1)
+    p_collapse.add_argument("--temp-dir", default="NONE")
+    p_collapse.add_argument("--input-bam-file", required=True)
+    p_collapse.add_argument("--find-inversions", action="store_true")
+    p_collapse.add_argument("--fast-reference-lookup", action="store_true")
+    p_collapse.add_argument("--max-deletion", type=int, default=0)
+    p_collapse.add_argument("--correct-only", action="store_true")
+
+    p_call = sub.add_parser(
+        "call", help="call editing events / lineage alleles from a tagged BAM")
+    p_call.add_argument("--read-structure", required=True)
+    p_call.add_argument("--input-bam-file", required=True)
+    p_call.add_argument("--output", required=True,
+                        help="output allele table (.tsv) or VCF (.vcf)")
+    p_call.add_argument("--min-alignment-rate", type=float, default=0.9)
+    p_call.add_argument("--min-read-count", type=int, default=1)
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "align":
+        from clique_tpu.align.pipeline import align_reads
+        from clique_tpu.config.layout import SequenceLayout
+        from clique_tpu.reference.manager import ReferenceManager
+
+        layout = SequenceLayout.from_yaml(args.read_structure)
+        rm = ReferenceManager.from_layout(layout, 8, 4)
+        stats = align_reads(
+            layout, rm, args.output_bam_file,
+            read1=args.read1, read2=args.read2,
+            index1=args.index1, index2=args.index2,
+            max_reference_multiplier=args.max_reference_multiplier,
+            min_read_length=args.min_read_length,
+            batch_size=args.batch_size,
+            single_ref_native=args.single_ref_native,
+        )
+        logging.info("align done: %s", stats)
+        return 0
+
+    if args.cmd == "collapse":
+        from clique_tpu.collapse.pipeline import collapse
+        from clique_tpu.config.layout import SequenceLayout
+
+        layout = SequenceLayout.from_yaml(args.read_structure)
+        collapse(
+            output_path=args.output_bam_file,
+            layout=layout,
+            input_bam=args.input_bam_file,
+            temp_dir=None if args.temp_dir == "NONE" else args.temp_dir,
+            correct_only=args.correct_only,
+        )
+        return 0
+
+    if args.cmd == "call":
+        from clique_tpu.caller.events import call_events_from_bam
+        from clique_tpu.config.layout import SequenceLayout
+
+        layout = SequenceLayout.from_yaml(args.read_structure)
+        call_events_from_bam(
+            layout, args.input_bam_file, args.output,
+            min_alignment_rate=args.min_alignment_rate,
+            min_read_count=args.min_read_count)
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

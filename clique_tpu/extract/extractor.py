@@ -1,0 +1,207 @@
+"""Tag extraction from gapped alignments.
+
+Host/vectorizable equivalent of /root/reference/rust_cmd/src/extractor.rs:
+walk the aligned (reference, read) pair; digit wildcards '0'-'9' in the
+reference capture the matching read bases keyed by the digit
+(extract_tagged_sequences :271-332); uppercase reference stretches amid
+lowercase context open paired "extractor" zones keyed 'A','B',... (reference
+side) / 'a','b',... (read side). Also: CIGAR-based alignment reconstruction
+with soft-clip realignment (recover_soft_clipped_align_sequences :56-190)
+and reference re-stretching (stretch_sequence_to_alignment :228-251).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Dict, List, Optional, Tuple
+
+from clique_tpu.align.cpu import affine_align
+from clique_tpu.align.scoring import AffineScoring
+from clique_tpu.config.layout import ReferenceRecord
+from clique_tpu.utils.seq import GAP, is_valid_fasta_base
+
+REFERENCE_CHAR = ord("R")
+READ_CHAR = ord("E")
+
+SPECIAL_CHARACTERS = frozenset(b"0123456789")
+
+
+def extract_tagged_sequences(aligned_read: bytes,
+                             aligned_ref: bytes) -> Dict[int, str]:
+    """extractor.rs:271-332. Returns {key byte -> captured string} where keys
+    are digit bytes for wildcard captures and 'A'/'a'.. pairs for uppercase
+    extractor zones."""
+    special: Dict[int, bytearray] = {}
+    in_extractor = False
+    next_read_key = ord("a")
+    next_ref_key = ord("A")
+
+    for ref_b, read_b in zip(aligned_ref, aligned_read):
+        is_upper_zone = (chr(ref_b).isascii() and chr(ref_b).isupper()) or \
+            (ref_b == GAP and in_extractor)
+        if is_upper_zone:
+            in_extractor = True
+            special.setdefault(next_ref_key, bytearray()).append(ref_b)
+            special.setdefault(next_read_key, bytearray()).append(read_b)
+        elif not is_valid_fasta_base(ref_b) and ref_b in SPECIAL_CHARACTERS:
+            if in_extractor:
+                special.setdefault(next_ref_key, bytearray()).append(ref_b)
+                special.setdefault(next_read_key, bytearray()).append(read_b)
+            special.setdefault(ref_b, bytearray()).append(read_b)
+        else:
+            if in_extractor:
+                next_read_key += 1
+                next_ref_key += 1
+            in_extractor = False
+
+    return {k: bytes(v).decode() for k, v in sorted(special.items())}
+
+
+def stretch_sequence_to_alignment(aligned_version: bytes,
+                                  native_version: bytes) -> bytes:
+    """Re-inflate the native (wildcard-bearing) sequence to match a gapped
+    alignment (extractor.rs:228-251), reproducing its loop bounds exactly
+    (trailing gaps after the native bases are consumed are dropped)."""
+    assert len(aligned_version) >= len(native_version), (
+        "The aligned version is shorter than the native (unaligned) version")
+    out = bytearray()
+    ni = ai = 0
+    while ai < len(aligned_version) and ni < len(native_version):
+        if aligned_version[ai] == GAP:
+            ai += 1
+            out.append(GAP)
+        else:
+            out.append(native_version[ni])
+            ai += 1
+            ni += 1
+    return bytes(out)
+
+
+def gap_proportion_per_tag(tags: Dict[int, str]) -> List[float]:
+    """extractor.rs:253-269: per digit-keyed tag, fraction of gap chars."""
+    out = []
+    for key, value in sorted(tags.items()):
+        if key not in (REFERENCE_CHAR, READ_CHAR) and ord("0") <= key <= ord("9"):
+            gaps = value.count("-")
+            out.append(gaps / len(value) if value else 0.0)
+    return out
+
+
+def extract_tag_sequences(reference_record: ReferenceRecord,
+                          tags: Dict[int, str]
+                          ) -> Tuple[bool, List[Tuple[str, bytes]]]:
+    """extractor.rs:355-410: order the extracted tags by UMI configuration,
+    flagging the read invalid on length mismatch, missing capture, or too
+    many gaps."""
+    invalid = False
+    collected: List[Tuple[int, Tuple[str, bytes]]] = []
+    for _name, umi in reference_record.umi_configurations.items():
+        hit = tags.get(ord(umi.symbol))
+        if hit is None:
+            invalid = True
+            continue
+        if len(hit) != umi.length:
+            invalid = True
+        data = hit.encode()
+        gaps = data.count(GAP)
+        if umi.max_gaps is not None and gaps > umi.max_gaps:
+            invalid = True
+        collected.append((umi.order, (umi.symbol, data)))
+    collected.sort(key=lambda t: t[0])
+    return invalid, [kv for _o, kv in collected]
+
+
+# --- CIGAR-based alignment reconstruction (extractor.rs:56-190) -------------
+
+def recover_aligned_sequences(
+        unaligned_read: bytes,
+        one_based_start: int,
+        cigar: List[Tuple[int, str]],
+        reference: bytes,
+        soft_clip: str = "Realign",
+        realign_scoring: Optional[AffineScoring] = None,
+) -> Tuple[bytes, bytes]:
+    """Rebuild the full-length (aligned_read, aligned_ref) pair from a BAM
+    record's CIGAR. soft_clip in {"Clip", "MatchMismatch", "Realign"};
+    Realign re-runs the affine DP on clipped ends with default_dna scoring
+    (the collapse path's setting, collapse.rs:615)."""
+    scoring = realign_scoring or AffineScoring.default_dna()
+    aligned_read = bytearray()
+    aligned_ref = bytearray()
+    read_pos = 0
+    ref_pos = one_based_start - 1
+
+    if ref_pos > 0 and cigar and cigar[0][1] != "S":
+        aligned_read += b"-" * ref_pos
+        aligned_ref += reference[:ref_pos]
+
+    for idx, (length, op) in enumerate(cigar):
+        if op in ("M", "=", "X"):
+            aligned_read += unaligned_read[read_pos:read_pos + length]
+            aligned_ref += reference[ref_pos:ref_pos + length]
+            read_pos += length
+            ref_pos += length
+        elif op == "I":
+            aligned_read += unaligned_read[read_pos:read_pos + length]
+            aligned_ref += b"-" * length
+            read_pos += length
+        elif op in ("D", "N"):
+            aligned_read += b"-" * length
+            aligned_ref += reference[ref_pos:ref_pos + length]
+            ref_pos += length
+        elif op == "S":
+            if soft_clip == "Clip":
+                aligned_ref += b"-" * length
+                aligned_read += unaligned_read[read_pos:read_pos + length]
+                read_pos += length
+            elif soft_clip == "MatchMismatch":
+                if idx == 0:
+                    if ref_pos >= length:
+                        aligned_ref += reference[:ref_pos]
+                        aligned_read += b"-" * (ref_pos - length)
+                        aligned_read += unaligned_read[:length]
+                    else:
+                        aligned_ref += b"-" * (length - ref_pos)
+                        aligned_ref += reference[:ref_pos]
+                        aligned_read += unaligned_read[:length]
+                    read_pos += length
+                elif ref_pos + length >= len(reference):
+                    dashes = ref_pos + length - len(reference)
+                    aligned_ref += reference[ref_pos:]
+                    aligned_ref += b"-" * dashes
+                    aligned_read += unaligned_read[read_pos:read_pos + length]
+                    read_pos += length
+                    ref_pos = len(reference)
+                else:
+                    aligned_read += unaligned_read[read_pos:read_pos + length]
+                    aligned_ref += reference[ref_pos:ref_pos + length]
+                    read_pos += length
+                    ref_pos += length
+            else:  # Realign (extractor.rs:143-171)
+                if idx == 0:
+                    clipped_read = unaligned_read[:length]
+                    clipped_ref = reference[:ref_pos]
+                    res = affine_align(clipped_ref, clipped_read, scoring)
+                    aligned_ref += res.reference_aligned
+                    aligned_read += res.read_aligned
+                    read_pos += length
+                elif idx == len(cigar) - 1:
+                    right = min(read_pos + length, len(unaligned_read))
+                    clipped_read = unaligned_read[read_pos:right]
+                    clipped_ref = reference[ref_pos:]
+                    res = affine_align(clipped_ref, clipped_read, scoring)
+                    aligned_ref += res.reference_aligned
+                    aligned_read += res.read_aligned
+                    read_pos += length
+                    ref_pos = len(reference)
+                # interior soft clips: reference ignores them entirely
+        elif op in ("H", "P"):
+            pass
+        else:
+            raise ValueError(f"unsupported CIGAR op {op}")
+
+    if ref_pos < len(reference):
+        aligned_ref += reference[ref_pos:]
+        aligned_read += b"-" * (len(reference) - ref_pos)
+
+    return bytes(aligned_read), bytes(aligned_ref)

@@ -1,0 +1,116 @@
+"""FASTQ / FASTA host IO.
+
+Replaces the reference's rust-htslib/bio read iteration
+(/root/reference/rust_cmd/src/read_strategies/read_set.rs): lock-step
+iteration over up to four gzipped/bgzf FASTQ streams (read1, read2, index1,
+index2). Python's gzip handles BGZF transparently (BGZF is valid multi-member
+gzip).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class FastqRecord:
+    name: str
+    seq: bytes
+    qual: bytes
+
+    def __len__(self) -> int:
+        return len(self.seq)
+
+
+@dataclass(frozen=True)
+class ReadSetContainer:
+    """One position across the parallel FASTQ files (read_set.rs:10-15)."""
+
+    read_one: FastqRecord
+    read_two: Optional[FastqRecord] = None
+    index_one: Optional[FastqRecord] = None
+    index_two: Optional[FastqRecord] = None
+
+
+def _open_maybe_gz(path: str):
+    if str(path).endswith(".gz"):
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
+def fastq_records(path: str) -> Iterator[FastqRecord]:
+    with _open_maybe_gz(path) as fh:
+        buffered = io.BufferedReader(fh) if not isinstance(fh, io.BufferedReader) else fh
+        while True:
+            header = buffered.readline()
+            if not header:
+                return
+            seq = buffered.readline().rstrip(b"\n")
+            plus = buffered.readline()
+            qual = buffered.readline().rstrip(b"\n")
+            if not qual and not seq:
+                return
+            name = header[1:].rstrip(b"\n").split(b" ", 1)[0].decode()
+            yield FastqRecord(name=name, seq=seq, qual=qual)
+
+
+class ReadIterator:
+    """Lock-step iterator over 1-4 FASTQ files (read_set.rs:60-132)."""
+
+    def __init__(self, read1: str, read2: Optional[str] = None,
+                 index1: Optional[str] = None, index2: Optional[str] = None):
+        def maybe(p):
+            if p is not None and p != "NONE" and os.path.exists(str(p)):
+                return fastq_records(str(p))
+            return None
+
+        self._streams = {
+            "read_one": fastq_records(str(read1)),
+            "read_two": maybe(read2),
+            "index_one": maybe(index1),
+            "index_two": maybe(index2),
+        }
+
+    def __iter__(self) -> Iterator[ReadSetContainer]:
+        while True:
+            recs = {}
+            for slot, stream in self._streams.items():
+                if stream is None:
+                    recs[slot] = None
+                    continue
+                try:
+                    recs[slot] = next(stream)
+                except StopIteration:
+                    return
+            yield ReadSetContainer(**recs)
+
+
+def read_fasta(path: str) -> List[Tuple[str, bytes]]:
+    """[(name, sequence)] from a (optionally gzipped) FASTA file."""
+    out: List[Tuple[str, bytes]] = []
+    name = None
+    chunks: List[bytes] = []
+    with _open_maybe_gz(path) as fh:
+        for line in fh:
+            line = line.rstrip(b"\n\r")
+            if line.startswith(b">"):
+                if name is not None:
+                    out.append((name, b"".join(chunks)))
+                name = line[1:].split(b" ", 1)[0].decode()
+                chunks = []
+            elif line:
+                chunks.append(line)
+    if name is not None:
+        out.append((name, b"".join(chunks)))
+    return out
+
+
+def write_fastq(path: str, records: List[FastqRecord]) -> None:
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "wb") as fh:
+        for r in records:
+            fh.write(b"@" + r.name.encode() + b"\n" + r.seq + b"\n+\n" + r.qual + b"\n")

@@ -1,0 +1,334 @@
+"""SAM / BAM / BGZF host IO - no htslib dependency.
+
+Replaces the reference engine's noodles-bam/rust-htslib output layer
+(/root/reference/rust_cmd/src/alignment_manager.rs:55-200). The BAM writer
+produces spec-conformant BGZF blocks + BAM records; the reader streams
+records back (used by the collapse stage). Tag conventions follow the
+reference: per-read extracted UMIs as e<sym>/o<sym>, rm (alignment rate),
+as/rs (score), rc (read count), dc (downsampled count), ar (read names).
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional, Tuple
+
+# --- SAM record model --------------------------------------------------------
+
+CIGAR_OPS = "MIDNSHP=X"
+_CIGAR_CODE = {op: i for i, op in enumerate(CIGAR_OPS)}
+_SEQ_NIBBLE = "=ACMGRSVTWYHKDBN"
+_NIBBLE_CODE = {b: i for i, b in enumerate(_SEQ_NIBBLE.encode())}
+
+
+@dataclass
+class SamRecord:
+    name: str
+    flag: int
+    reference_name: Optional[str]      # None = unmapped (*)
+    pos: int                           # 1-based; 0 = unmapped
+    mapq: int
+    cigar: List[Tuple[int, str]]       # [(count, op)]
+    seq: bytes
+    qual: bytes                        # ASCII phred+33, b"*" if absent
+    tags: Dict[str, str] = field(default_factory=dict)  # tag -> string value
+    # non-string tags may be added as (type_char, value) entries
+    typed_tags: Dict[str, Tuple[str, object]] = field(default_factory=dict)
+
+    @property
+    def cigar_string(self) -> str:
+        if not self.cigar:
+            return "*"
+        return "".join(f"{c}{op}" for c, op in self.cigar)
+
+    def to_sam_line(self, _header=None) -> str:
+        tags = []
+        for k, v in self.tags.items():
+            tags.append(f"{k}:Z:{v}")
+        for k, (t, v) in self.typed_tags.items():
+            tags.append(f"{k}:{t}:{v}")
+        return "\t".join([
+            self.name,
+            str(self.flag),
+            self.reference_name or "*",
+            str(self.pos),
+            str(self.mapq),
+            self.cigar_string,
+            "*", "0", "0",
+            self.seq.decode() if self.seq else "*",
+            self.qual.decode() if self.qual else "*",
+        ] + tags)
+
+
+def build_header(references: List[Tuple[str, int]],
+                 comment: str = "Clique processed") -> str:
+    """SAM header text mirroring BamFileAlignmentWriter::new
+    (alignment_manager.rs:88-99): HD, one SQ per reference (in id order),
+    and a CO comment line."""
+    lines = ["@HD\tVN:1.6"]
+    for name, length in references:
+        lines.append(f"@SQ\tSN:{name}\tLN:{length}")
+    lines.append(f"@CO\t{comment}")
+    return "\n".join(lines) + "\n"
+
+
+# --- SAM text writer ---------------------------------------------------------
+
+class SamWriter:
+    def __init__(self, path: str, references: List[Tuple[str, int]]):
+        self._fh = open(path, "w")
+        self.references = references
+        self._fh.write(build_header(references))
+
+    def write(self, rec: SamRecord) -> None:
+        self._fh.write(rec.to_sam_line() + "\n")
+
+    def close(self) -> None:
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+# --- BGZF --------------------------------------------------------------------
+
+_BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+
+class BgzfWriter:
+    """Blocked gzip writer (SAM spec section 4.1)."""
+
+    MAX_BLOCK = 0xFF00
+
+    def __init__(self, fh):
+        self._fh = fh
+        self._buf = bytearray()
+
+    def write(self, data: bytes) -> None:
+        self._buf += data
+        while len(self._buf) >= self.MAX_BLOCK:
+            self._flush_block(self._buf[: self.MAX_BLOCK])
+            del self._buf[: self.MAX_BLOCK]
+
+    def _flush_block(self, data: bytes) -> None:
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        cdata = co.compress(bytes(data)) + co.flush()
+        bsize = len(cdata) + 25 + 1  # header(18) + cdata + crc(4) + isize(4) - 1
+        header = struct.pack(
+            "<4BI2BH2B2H", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF, 6,
+            ord("B"), ord("C"), 2, bsize)
+        self._fh.write(header)
+        self._fh.write(cdata)
+        self._fh.write(struct.pack("<II", zlib.crc32(bytes(data)) & 0xFFFFFFFF,
+                                   len(data)))
+
+    def close(self) -> None:
+        if self._buf:
+            self._flush_block(bytes(self._buf))
+            self._buf.clear()
+        self._fh.write(_BGZF_EOF)
+        self._fh.flush()
+
+
+def _reg2bin(beg: int, end: int) -> int:
+    """SAM spec reg2bin."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+# --- BAM writer --------------------------------------------------------------
+
+class BamWriter:
+    def __init__(self, path: str, references: List[Tuple[str, int]],
+                 header_text: Optional[str] = None):
+        self._raw = open(path, "wb")
+        self._bgzf = BgzfWriter(self._raw)
+        self.references = references
+        self._ref_ids = {name: i for i, (name, _l) in enumerate(references)}
+        text = (header_text or build_header(references)).encode()
+        payload = b"BAM\x01" + struct.pack("<i", len(text)) + text
+        payload += struct.pack("<i", len(references))
+        for name, length in references:
+            nb = name.encode() + b"\x00"
+            payload += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
+        self._bgzf.write(payload)
+
+    def write(self, rec: SamRecord) -> None:
+        ref_id = self._ref_ids.get(rec.reference_name, -1) \
+            if rec.reference_name else -1
+        pos0 = rec.pos - 1 if rec.pos > 0 else -1
+        name_b = rec.name.encode() + b"\x00"
+        cigar_b = b"".join(
+            struct.pack("<I", (c << 4) | _CIGAR_CODE[op])
+            for c, op in rec.cigar if op in _CIGAR_CODE)
+        n_cigar = len(cigar_b) // 4
+
+        seq = rec.seq
+        l_seq = len(seq)
+        seq_b = bytearray((l_seq + 1) // 2)
+        for i, b in enumerate(seq):
+            code = _NIBBLE_CODE.get(b, 15)
+            if i % 2 == 0:
+                seq_b[i // 2] = code << 4
+            else:
+                seq_b[i // 2] |= code
+        if rec.qual and rec.qual != b"*" and len(rec.qual) == l_seq:
+            qual_b = bytes(q - 33 for q in rec.qual)
+        else:
+            qual_b = b"\xff" * l_seq
+
+        ref_span = sum(c for c, op in rec.cigar if op in "MDN=X") or 1
+        bin_ = _reg2bin(max(pos0, 0), max(pos0, 0) + ref_span)
+
+        tags_b = bytearray()
+        for k, v in rec.tags.items():
+            tags_b += k.encode() + b"Z" + v.encode() + b"\x00"
+        for k, (t, v) in rec.typed_tags.items():
+            if t == "i":
+                tags_b += k.encode() + b"i" + struct.pack("<i", int(v))
+            elif t == "f":
+                tags_b += k.encode() + b"f" + struct.pack("<f", float(v))
+            elif t == "A":
+                tags_b += k.encode() + b"A" + str(v).encode()[:1]
+            else:
+                tags_b += k.encode() + b"Z" + str(v).encode() + b"\x00"
+
+        body = struct.pack(
+            "<iiBBHHHiiii",
+            ref_id, pos0,
+            len(name_b), rec.mapq, bin_,
+            n_cigar, rec.flag, l_seq,
+            -1, -1, 0,
+        ) + name_b + cigar_b + bytes(seq_b) + qual_b + bytes(tags_b)
+        self._bgzf.write(struct.pack("<i", len(body)) + body)
+
+    def close(self) -> None:
+        self._bgzf.close()
+        self._raw.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+# --- BAM reader --------------------------------------------------------------
+
+class BamReader:
+    """Streaming BAM reader (gzip handles BGZF as multi-member gzip)."""
+
+    def __init__(self, path: str):
+        self._fh = gzip.open(path, "rb")
+        magic = self._fh.read(4)
+        assert magic == b"BAM\x01", f"not a BAM file: {path}"
+        (l_text,) = struct.unpack("<i", self._fh.read(4))
+        self.header_text = self._fh.read(l_text).decode(errors="replace")
+        (n_ref,) = struct.unpack("<i", self._fh.read(4))
+        self.references: List[Tuple[str, int]] = []
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", self._fh.read(4))
+            name = self._fh.read(l_name)[:-1].decode()
+            (l_ref,) = struct.unpack("<i", self._fh.read(4))
+            self.references.append((name, l_ref))
+
+    def __iter__(self) -> Iterator[SamRecord]:
+        while True:
+            size_b = self._fh.read(4)
+            if len(size_b) < 4:
+                return
+            (block_size,) = struct.unpack("<i", size_b)
+            body = self._fh.read(block_size)
+            yield self._parse(body)
+
+    def _parse(self, body: bytes) -> SamRecord:
+        (ref_id, pos0, l_name, mapq, _bin, n_cigar, flag, l_seq,
+         _next_ref, _next_pos, _tlen) = struct.unpack("<iiBBHHHiiii", body[:32])
+        off = 32
+        name = body[off:off + l_name - 1].decode()
+        off += l_name
+        cigar = []
+        for _ in range(n_cigar):
+            (v,) = struct.unpack("<I", body[off:off + 4])
+            cigar.append((v >> 4, CIGAR_OPS[v & 0xF]))
+            off += 4
+        seq = bytearray()
+        for i in range(l_seq):
+            byte = body[off + i // 2]
+            nib = (byte >> 4) if i % 2 == 0 else (byte & 0xF)
+            seq.append(ord(_SEQ_NIBBLE[nib]))
+        off += (l_seq + 1) // 2
+        qual_raw = body[off:off + l_seq]
+        off += l_seq
+        qual = b"*" if (l_seq == 0 or qual_raw[:1] == b"\xff") else bytes(
+            q + 33 for q in qual_raw)
+
+        tags: Dict[str, str] = {}
+        typed: Dict[str, Tuple[str, object]] = {}
+        while off < len(body):
+            tag = body[off:off + 2].decode()
+            typ = chr(body[off + 2])
+            off += 3
+            if typ == "Z" or typ == "H":
+                end = body.index(b"\x00", off)
+                tags[tag] = body[off:end].decode()
+                off = end + 1
+            elif typ == "A":
+                typed[tag] = ("A", chr(body[off])); off += 1
+            elif typ in "cC":
+                typed[tag] = ("i", body[off] if typ == "C" else
+                              struct.unpack("<b", body[off:off+1])[0]); off += 1
+            elif typ in "sS":
+                fmt = "<h" if typ == "s" else "<H"
+                typed[tag] = ("i", struct.unpack(fmt, body[off:off+2])[0]); off += 2
+            elif typ in "iI":
+                fmt = "<i" if typ == "i" else "<I"
+                typed[tag] = ("i", struct.unpack(fmt, body[off:off+4])[0]); off += 4
+            elif typ == "f":
+                typed[tag] = ("f", struct.unpack("<f", body[off:off+4])[0]); off += 4
+            elif typ == "B":
+                sub = chr(body[off]); (n,) = struct.unpack("<i", body[off+1:off+5])
+                width = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}[sub]
+                off += 5 + n * width
+                typed[tag] = ("B", None)
+            else:
+                raise ValueError(f"unknown BAM tag type {typ}")
+
+        ref_name = self.references[ref_id][0] if 0 <= ref_id < len(self.references) else None
+        return SamRecord(
+            name=name, flag=flag, reference_name=ref_name,
+            pos=pos0 + 1 if pos0 >= 0 else 0, mapq=mapq, cigar=cigar,
+            seq=bytes(seq), qual=qual, tags=tags, typed_tags=typed)
+
+    def close(self):
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+def open_alignment_writer(path: str, references: List[Tuple[str, int]]):
+    """BAM if path ends .bam, else SAM text."""
+    if str(path).endswith(".bam"):
+        return BamWriter(path, references)
+    return SamWriter(path, references)

@@ -1,0 +1,147 @@
+"""End-to-end `align` pipeline test: synthetic FASTQ -> tagged SAM/BAM with
+extracted UMI tags, mirroring BASELINE config 1 (single-amplicon run)."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from clique_tpu.align.pipeline import align_reads
+from clique_tpu.config.layout import SequenceLayout
+from clique_tpu.io.sam import BamReader
+from clique_tpu.reference.manager import ReferenceManager
+from clique_tpu.utils.seq import reverse_complement
+
+RNG = np.random.default_rng(123)
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+ANCHOR5 = "TTCAGACGTGTGCTCTTCCGATCT"
+ANCHOR3 = "AGATCGGAAGAGCACACGTCTGAA"
+TARGET = "GGCACTGCGGCTGGAGGTGG"
+
+LAYOUT_YAML = f"""
+known_strand: true
+reads:
+  - !Read1
+    orientation: Forward
+references:
+  amplicon1:
+    sequence: "{ANCHOR5}{'0' * 16}{'1' * 12}{TARGET}{ANCHOR3}"
+    targets: ["{TARGET}"]
+    target_types: ["Cas9WT"]
+    umi_configurations:
+      cell_id:
+        symbol: '0'
+        sort_type: "KnownTag"
+        length: 16
+        order: 0
+        max_distance: 2
+      cell_umi:
+        symbol: '1'
+        sort_type: "DegenerateTag"
+        length: 12
+        order: 1
+        max_distance: 2
+"""
+
+
+def rand_seq(n):
+    return RNG.choice(BASES, size=n).tobytes().decode()
+
+
+def make_dataset(tmp_path, n_reads=40, revcomp_half=False):
+    layout_path = tmp_path / "layout.yaml"
+    layout_path.write_text(LAYOUT_YAML)
+    fastq_path = tmp_path / "reads.fastq.gz"
+    truth = {}
+    with gzip.open(fastq_path, "wt") as fh:
+        for i in range(n_reads):
+            cell = rand_seq(16)
+            umi = rand_seq(12)
+            read = f"{ANCHOR5}{cell}{umi}{TARGET}{ANCHOR3}"
+            name = f"read{i}"
+            truth[name] = (cell, umi)
+            if revcomp_half and i % 2 == 1:
+                read = reverse_complement(read)
+            fh.write(f"@{name}\n{read}\n+\n{'I' * len(read)}\n")
+    return str(layout_path), str(fastq_path), truth
+
+
+def test_align_end_to_end_sam(tmp_path):
+    layout_path, fastq_path, truth = make_dataset(tmp_path)
+    layout = SequenceLayout.from_yaml(layout_path)
+    rm = ReferenceManager.from_layout(layout)
+    out = tmp_path / "out.sam"
+    stats = align_reads(layout, rm, str(out), read1=fastq_path, batch_size=16)
+    assert stats.aligned == len(truth)
+
+    lines = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+    assert len(lines) == len(truth)
+    for line in lines:
+        fields = line.split("\t")
+        name = fields[0]
+        tags = dict(f.split(":", 2)[::2] for f in fields[11:])
+        cell, umi = truth[name]
+        assert tags["e0"] == cell, f"{name}: {tags['e0']} != {cell}"
+        assert tags["e1"] == umi
+        assert tags["rc"] == "1"
+        assert tags["ar"] == name
+        # perfect reads over the wildcard reference: rate 1 on real columns
+        assert float(tags["rm"]) == 1.0
+        assert fields[2] == "amplicon1"
+        assert fields[3] == "1"
+
+
+def test_align_end_to_end_bam_roundtrip(tmp_path):
+    layout_path, fastq_path, truth = make_dataset(tmp_path, n_reads=10)
+    layout = SequenceLayout.from_yaml(layout_path)
+    rm = ReferenceManager.from_layout(layout)
+    out = tmp_path / "out.bam"
+    align_reads(layout, rm, str(out), read1=fastq_path, batch_size=4)
+
+    with BamReader(str(out)) as reader:
+        assert reader.references[0][0] == "amplicon1"
+        records = list(reader)
+    assert len(records) == len(truth)
+    for rec in records:
+        cell, umi = truth[rec.name]
+        assert rec.tags["e0"] == cell
+        assert rec.tags["e1"] == umi
+        assert rec.reference_name == "amplicon1"
+        assert rec.pos == 1
+        # sequence survives the 4-bit BAM encode/decode
+        assert len(rec.seq) > 0
+        assert rec.cigar_string.endswith("M") or "M" in rec.cigar_string
+
+
+def test_align_orients_reverse_reads(tmp_path):
+    yaml_unknown = LAYOUT_YAML.replace("known_strand: true",
+                                       "known_strand: false")
+    layout_path = tmp_path / "layout.yaml"
+    layout_path.write_text(yaml_unknown)
+    fastq_path = tmp_path / "reads.fastq.gz"
+    truth = {}
+    import gzip as _gz
+    with _gz.open(fastq_path, "wt") as fh:
+        for i in range(8):
+            cell = rand_seq(16)
+            umi = rand_seq(12)
+            read = f"{ANCHOR5}{cell}{umi}{TARGET}{ANCHOR3}"
+            if i % 2 == 1:
+                read = reverse_complement(read)
+            truth[f"r{i}"] = (cell, umi)
+            fh.write(f"@r{i}\n{read}\n+\n{'I' * len(read)}\n")
+
+    layout = SequenceLayout.from_yaml(str(layout_path))
+    rm = ReferenceManager.from_layout(layout)
+    out = tmp_path / "out.sam"
+    align_reads(layout, rm, str(out), read1=str(fastq_path), batch_size=4)
+    lines = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+    assert len(lines) == 8
+    for line in lines:
+        fields = line.split("\t")
+        tags = dict(f.split(":", 2)[::2] for f in fields[11:])
+        cell, umi = truth[fields[0]]
+        assert tags["e0"] == cell
+        assert tags["e1"] == umi
