@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end `align` throughput on one chip.
+
+Runs the full align pipeline (FASTQ decode -> merge -> batched device DP ->
+traceback -> tag extraction -> BAM encode) on a synthetic single-amplicon
+ONT-like dataset (BASELINE config 1 shape: ~100bp amplicon with 16bp cell
+barcode + 12bp UMI capture groups, reads ~1x reference) and prints ONE JSON
+line with reads/s/chip.
+
+vs_baseline is measured against an ESTIMATE of the single-node Rust
+reference: the reference publishes no numbers (BASELINE.md), so we use its
+DP cost model - a 3-plane f64 cell update at ~100 Mcells/s/core x 8 cores,
+i.e. cells_per_read / 8e8 seconds per read on the same workload. This
+estimate is generous to the reference (its rust-bio single-ref path is
+full-matrix O(nm) with allocation per read).
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    import numpy as np
+
+    from clique_tpu.utils.jaxcfg import enable_persistent_cache
+    enable_persistent_cache()
+
+    from clique_tpu.align.pipeline import align_reads
+    from clique_tpu.config.layout import SequenceLayout
+    from clique_tpu.reference.manager import ReferenceManager
+
+    rng = np.random.default_rng(2026)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    a5 = "TTCAGACGTGTGCTCTTCCGATCT"
+    a3 = "AGATCGGAAGAGCACACGTCTGAA"
+    target = "GGCACTGCGGCTGGAGGTGGTGAGCAAGGGCGAGGA"
+    ref_seq = f"{a5}{'0' * 16}{'1' * 12}{target}{a3}"
+
+    n_reads = 20000
+    with tempfile.TemporaryDirectory() as tmp:
+        layout_path = os.path.join(tmp, "layout.yaml")
+        with open(layout_path, "w") as fh:
+            fh.write(f"""
+known_strand: true
+reads:
+  - !Read1
+    orientation: Forward
+references:
+  amplicon1:
+    sequence: "{ref_seq}"
+    targets: ["{target}"]
+    target_types: ["Cas9WT"]
+    umi_configurations:
+      cell_id: {{symbol: '0', sort_type: "KnownTag", length: 16, order: 0, max_distance: 2}}
+      cell_umi: {{symbol: '1', sort_type: "DegenerateTag", length: 12, order: 1, max_distance: 2}}
+""")
+        fq = os.path.join(tmp, "reads.fastq")
+        sub_p = 0.05
+        with open(fq, "w") as fh:
+            for i in range(n_reads):
+                cell = rng.choice(bases, 16).tobytes().decode()
+                umi = rng.choice(bases, 12).tobytes().decode()
+                read = list(a5 + cell + umi + target + a3)
+                # ONT-like substitutions
+                for j in range(len(read)):
+                    if rng.random() < sub_p:
+                        read[j] = chr(rng.choice(bases))
+                read = "".join(read)
+                fh.write(f"@r{i}\n{read}\n+\n{'I' * len(read)}\n")
+
+        layout = SequenceLayout.from_yaml(layout_path)
+        rm = ReferenceManager.from_layout(layout)
+
+        # warm-up: compile the device kernels on a small prefix
+        warm = os.path.join(tmp, "warm.fastq")
+        with open(fq) as src, open(warm, "w") as dst:
+            for _ in range(4 * 512):
+                line = src.readline()
+                if not line:
+                    break
+                dst.write(line)
+        align_reads(layout, rm, os.path.join(tmp, "warm.bam"), read1=warm,
+                    batch_size=512)
+
+        t0 = time.time()
+        stats = align_reads(layout, rm, os.path.join(tmp, "out.bam"),
+                            read1=fq, batch_size=512)
+        dt = time.time() - t0
+
+    reads_per_s = stats.aligned / dt
+    ref_len = len(ref_seq)
+    read_len = ref_len  # same-shape synthetic reads
+    cells_per_read = 3 * ref_len * read_len
+    rust_estimate = 8e8 / cells_per_read  # reads/s, single node (see header)
+    print(json.dumps({
+        "metric": "align_reads_per_s_per_chip",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s/chip",
+        "vs_baseline": round(reads_per_s / rust_estimate, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,7 +36,11 @@ from clique_tpu.align import batch as dbatch
 from clique_tpu.align.merge import MERGE_SCORING, alignment_rate_and_consensus, unify_read
 from clique_tpu.align.scoring import AffineScoring
 from clique_tpu.config.layout import MergeStrategy, SequenceLayout
-from clique_tpu.extract.extractor import extract_tagged_sequences
+from clique_tpu.extract.extractor import (
+    alignment_rate_fast,
+    extract_digit_tags_fast,
+    extract_tagged_sequences,
+)
 from clique_tpu.io.fastq import ReadIterator
 from clique_tpu.io.sam import SamRecord, open_alignment_writer
 from clique_tpu.reference.manager import ReferenceManager, orient_by_longest_segment
@@ -80,9 +84,10 @@ class AlignedRead:
         """AlignmentResult::to_sam_record (alignment_matrix.rs:741-771):
         gap-stripped sequence, qual hardcoded 'H', pos = start+1, tags
         rm/rs/ar/as + extras."""
-        seq = bytes(b for b in self.read_aligned if b != GAP)
+        arr = np.frombuffer(self.read_aligned, dtype=np.uint8)
+        seq = arr[arr != GAP].tobytes()
         tags = dict(extra_tags)
-        tags["rm"] = _fmt(get_reference_alignment_rate(
+        tags["rm"] = _fmt(alignment_rate_fast(
             self.reference_aligned, self.read_aligned))
         tags["rs"] = _fmt(self.score)
         tags["as"] = _fmt(self.score)
@@ -153,7 +158,11 @@ class BatchAligner:
         return results
 
     def _run_group(self, group, refs, reads, n1, n2, results):
-        B = len(group)
+        # pad the batch dimension to a power of two (min 32) so each (B, n1,
+        # n2) kernel shape is compiled once and reused
+        B = 32
+        while B < len(group):
+            B *= 2
         refs_arr = np.zeros((B, n1 - 1), dtype=np.uint8)
         reads_arr = np.zeros((B, n2 - 1), dtype=np.uint8)
         ref_lens = np.zeros(B, dtype=np.int32)
@@ -345,15 +354,28 @@ def _choose_reference(rm: ReferenceManager, layout: SequenceLayout,
 
 def _write_aligned(writer, aligned: AlignedRead, layout: SequenceLayout,
                    stats: AlignStats) -> None:
-    extracted = extract_tagged_sequences(
-        aligned.read_aligned, aligned.reference_aligned)
     ref_cfg = layout.references.get(aligned.reference_name)
     tags: Dict[str, str] = {}
     if ref_cfg is not None:
-        for umi in ref_cfg.umi_configurations.values():
-            hit = extracted.get(ord(umi.symbol))
+        symbols = [u.symbol for u in ref_cfg.umi_configurations.values()]
+        digit_syms = [s for s in symbols if s.isdigit()]
+        extracted_fast = extract_digit_tags_fast(
+            aligned.read_aligned, aligned.reference_aligned, digit_syms)
+        for sym in digit_syms:
+            hit = extracted_fast.get(sym)
             if hit is not None:
-                tags[f"e{umi.symbol}"] = hit
+                tags[f"e{sym}"] = hit
+        non_digit = [s for s in symbols if not s.isdigit()]
+        if non_digit:
+            # symbols outside '0'-'9' are not captured by the extractor walk
+            # (SPECIAL_CHARACTERS covers digits only, extractor.rs:20-35);
+            # run the exact walk so zone captures can match if configured
+            extracted = extract_tagged_sequences(
+                aligned.read_aligned, aligned.reference_aligned)
+            for sym in non_digit:
+                hit = extracted.get(ord(sym))
+                if hit is not None:
+                    tags[f"e{sym}"] = hit
     tags["rc"] = "1"
     tags["ar"] = aligned.read_name
     writer.write(aligned.to_sam_record(tags))

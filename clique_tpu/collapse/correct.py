@@ -1,0 +1,180 @@
+"""Tag correction: known-list matching and de-novo (starcode-style)
+clustering.
+
+Re-derivation of the reference's SequenceCorrector closers
+(/root/reference/rust_cmd/src/umis/correct_tags.rs:122-332) with the search
+structures replaced by device distance kernels (collapse/distance.py):
+
+- correct_known_hamming: VP-tree radius search -> MXU one-hot matmul;
+  accept iff exactly one allowlist entry within Hamming max_distance
+  (known_list.rs:123-167).
+- correct_known_levenshtein: rust_star trie chained search -> pigeonhole
+  candidates + batched device Levenshtein; unique hit accepted, multi-hit
+  accepted iff a unique minimum distance (correct_tags.rs:182-239).
+- correct_degenerate: rust_star LinkedDistances starcode clustering ->
+  candidate pairs + device Levenshtein + greedy count-ratio absorption
+  (bigger cluster absorbs smaller when count_big/count_small >=
+  minimum_collapsing_difference, default 5.0) with swallowed-link
+  transitivity (correct_tags.rs:256-332).
+
+All corrections key on the gap-stripped tag padded with '-' to the
+configured length (correct_tags.rs:162-169, 341-348).
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from clique_tpu.collapse.distance import (
+    candidate_pairs,
+    candidates_to_allowlist,
+    edit_distance_pairs,
+    hamming_hits,
+)
+
+GAP = ord("-")
+
+
+def normalize_tag(tag: bytes, length: int) -> bytes:
+    """Gap-strip then right-pad with '-' to `length` (longer tags keep their
+    length), as correct_tags.rs:162-169."""
+    stripped = bytes(b for b in tag if b != GAP)
+    if len(stripped) < length:
+        return stripped + b"-" * (length - len(stripped))
+    return stripped
+
+
+def correct_known_hamming(counts: Dict[bytes, int], allowlist: List[bytes],
+                          max_distance: int, length: int) -> Dict[bytes, bytes]:
+    """KnownList::correct_all semantics: pad tags to `length`, radius search,
+    accept unique hits only. Keys of the result are the RAW observed tags
+    (known_list.rs:128-141 keys corrections by the unpadded barcode)."""
+    if not counts or not allowlist:
+        return {}
+    tags = list(counts.keys())
+    padded = [t + b"-" * (length - len(t)) if len(t) < length else t
+              for t in tags]
+    # allowlist entries are used as-is (reference asserts equal length)
+    usable = [(i, t) for i, t in enumerate(padded)
+              if len(t) == len(allowlist[0])]
+    hits = hamming_hits([t for _i, t in usable], allowlist, max_distance)
+    out: Dict[bytes, bytes] = {}
+    for (i, _t), hit in zip(usable, hits):
+        if len(hit) == 1:
+            out[tags[i]] = allowlist[hit[0]]
+    return out
+
+
+def correct_known_levenshtein(counts: Dict[bytes, int], allowlist: List[bytes],
+                              max_distance: int, length: int
+                              ) -> Dict[bytes, bytes]:
+    """Trie chained-search semantics: tags matched against the allowlist by
+    Levenshtein distance <= max_distance; unique hit accepted; multiple hits
+    accepted iff one has the strictly minimal distance. Result keys are the
+    normalized (gap-stripped, padded) tags (correct_tags.rs:162-186)."""
+    if not counts or not allowlist:
+        return {}
+    tags = sorted(counts.keys())
+    norm = [normalize_tag(t, length) for t in tags]
+    cands = candidates_to_allowlist(norm, allowlist, max_distance)
+
+    pair_a: List[bytes] = []
+    pair_b: List[bytes] = []
+    owners: List[Tuple[int, int]] = []
+    for i, cand in enumerate(cands):
+        for k in cand:
+            pair_a.append(norm[i])
+            pair_b.append(allowlist[k])
+            owners.append((i, k))
+    dists = edit_distance_pairs(pair_a, pair_b)
+
+    per_tag: Dict[int, List[Tuple[int, int]]] = defaultdict(list)
+    for (i, k), d in zip(owners, dists):
+        if d <= max_distance:
+            per_tag[i].append((int(d), k))
+
+    out: Dict[bytes, bytes] = {}
+    for i, hits in per_tag.items():
+        if len(hits) == 1:
+            out[norm[i]] = allowlist[hits[0][1]]
+        else:
+            dmin = min(d for d, _k in hits)
+            minimal = [k for d, k in hits if d == dmin]
+            if len(minimal) == 1:
+                out[norm[i]] = allowlist[minimal[0]]
+    return out
+
+
+def correct_degenerate(counts: Dict[bytes, int], max_distance: int,
+                       length: int, collapse_ratio: float = 5.0
+                       ) -> Dict[bytes, bytes]:
+    """Starcode-style ratio clustering (correct_tags.rs:256-332):
+
+    - 0 tags -> {}; 1 tag -> maps (padded) to itself;
+    - else: pad tags, find pairs within Levenshtein max_distance, absorb the
+      lower-count tag into the higher-count one when the count ratio >=
+      collapse_ratio, resolve absorption chains transitively to the root.
+
+    Result keys are the normalized tags; every observed tag maps somewhere
+    (unabsorbed tags map to themselves)."""
+    if not counts:
+        return {}
+    norm_counts: Counter = Counter()
+    for tag, c in counts.items():
+        norm_counts[normalize_tag(tag, length)] += c
+    tags = list(norm_counts.keys())
+    if len(tags) == 1:
+        return {tags[0]: tags[0]}
+
+    max_len = max(len(t) for t in tags)
+    padded = [t + b"-" * (max_len - len(t)) for t in tags]
+
+    if len(tags) <= 4096:
+        pairs = [(i, j) for i in range(len(tags)) for j in range(i + 1, len(tags))]
+    else:
+        pairs = candidate_pairs(padded, max_distance)
+    if pairs:
+        d = edit_distance_pairs([padded[i] for i, _j in pairs],
+                                [padded[j] for _i, j in pairs])
+        close_pairs = [(i, j) for (i, j), dd in zip(pairs, d) if dd <= max_distance]
+    else:
+        close_pairs = []
+
+    neighbors: Dict[int, List[int]] = defaultdict(list)
+    for i, j in close_pairs:
+        neighbors[i].append(j)
+        neighbors[j].append(i)
+
+    # pairwise absorption decisions are independent of whether the absorber
+    # is itself absorbed (rust_star builds the full link graph first); a
+    # swallowed node takes its highest-count absorber (ties: lexicographic).
+    # Chains then resolve transitively to the unabsorbed root
+    # (correct_tags.rs:308-328 barcodes_to_resolve walk).
+    parent = list(range(len(tags)))
+
+    def better_absorber(a: int, cur: int) -> bool:
+        # higher count wins; ties break to the lexicographically smaller tag
+        ca, cc = norm_counts[tags[a]], norm_counts[tags[cur]]
+        return ca > cc or (ca == cc and tags[a] < tags[cur])
+
+    for i, j in close_pairs:
+        ci, cj = norm_counts[tags[i]], norm_counts[tags[j]]
+        if ci == cj:
+            continue  # equal counts never absorb (bigger swallows smaller)
+        a, b = (i, j) if ci > cj else (j, i)
+        ca, cb = max(ci, cj), min(ci, cj)
+        if ca / cb >= collapse_ratio:
+            if parent[b] == b or better_absorber(a, parent[b]):
+                parent[b] = a
+
+    def root(i: int) -> int:
+        seen = set()
+        while parent[i] != i and i not in seen:
+            seen.add(i)
+            i = parent[i]
+        return i
+
+    return {tags[i]: tags[root(i)] for i in range(len(tags))}

@@ -1,0 +1,248 @@
+"""Batched tag-distance kernels (device) + candidate generation (host).
+
+TPU-first replacement for the reference's trie / VP-tree searches
+(/root/reference/rust_cmd/src/umis/known_list.rs, rust_star's Trie and
+LinkedDistances): tags are 8-16bp, so instead of pointer-chasing data
+structures we brute-force distances on the chip:
+
+- Hamming vs an allowlist: one-hot encode both sides and contract on the
+  MXU (tags [U, L*A] x allowlist [K, L*A]^T as int8->int32 matmuls);
+  exact byte-class equality, so '-' == '-' and 'N' == 'N' count as matches
+  exactly like FastaString::hamming_distance (known_list.rs:51-60).
+- Levenshtein between candidate pairs: a score-only anti-diagonal DP over
+  int16 lanes, thousands of pairs per dispatch.
+
+For large multisets, pigeonhole piece-hashing bounds the candidate set the
+same way the reference's trie pruning does: any two strings within edit
+distance d share at least one of d+1 contiguous pieces (at a shift <= d for
+indels), so a hash join on (piece index, shifted content) yields a candidate
+superset that the exact device kernel then filters.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import defaultdict
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --- Levenshtein (score-only banded DP) -------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("L1", "L2"))
+def _edit_distance_kernel(a, b, la, lb, *, L1: int, L2: int):
+    """Pairwise edit distance: a [P, L1], b [P, L2] uint8; returns [P] i32."""
+    P = a.shape[0]
+    n1, n2 = L1 + 1, L2 + 1
+    D = n1 + n2 - 1
+    BIG = jnp.int32(1 << 20)
+
+    xs = jnp.arange(n1, dtype=jnp.int32)
+    a_i = a.astype(jnp.int32)
+    b_i = b.astype(jnp.int32)
+    la_c = la[:, None].astype(jnp.int32)
+    lb_c = lb[:, None].astype(jnp.int32)
+
+    def shift(v):
+        return jnp.pad(v[:, :-1], ((0, 0), (1, 0)), constant_values=BIG)
+
+    def step(carry, d):
+        prev, prev2, final = carry
+        x = jnp.broadcast_to(xs[None, :], (P, n1))
+        y = jnp.broadcast_to(d - xs[None, :], (P, n1))
+
+        ax = jnp.take_along_axis(a_i, jnp.clip(x - 1, 0, L1 - 1), axis=1)
+        by = jnp.take_along_axis(b_i, jnp.clip(y - 1, 0, L2 - 1), axis=1)
+        sub = jnp.where(ax == by, 0, 1)
+
+        diag = shift(prev2) + sub
+        up = shift(prev) + 1      # from (x-1, y)
+        left = prev + 1           # from (x, y-1)
+        val = jnp.minimum(diag, jnp.minimum(up, left))
+
+        # borders
+        val = jnp.where(y == 0, x, jnp.where(x == 0, y, val))
+        # out-of-rectangle lanes poisoned
+        val = jnp.where((y < 0) | (y >= n2), BIG, val).astype(jnp.int32)
+
+        hit = (x == la_c) & (y == lb_c)
+        final = jnp.where(jnp.any(hit, axis=1),
+                          jnp.max(jnp.where(hit, val, 0), axis=1), final)
+        return (val, prev, final), None
+
+    init = (jnp.full((P, n1), BIG, jnp.int32),
+            jnp.full((P, n1), BIG, jnp.int32),
+            jnp.zeros((P,), jnp.int32))
+    (prev, _, final), _ = jax.lax.scan(step, init, jnp.arange(D, dtype=jnp.int32))
+    return final
+
+
+def edit_distance_pairs(seqs_a: Sequence[bytes], seqs_b: Sequence[bytes],
+                        pad_to: int = 32) -> np.ndarray:
+    """Exact Levenshtein distance for each (seqs_a[i], seqs_b[i]) pair.
+
+    The pair count is padded to the next power of two (min 256) so repeated
+    calls reuse a handful of compiled kernel shapes."""
+    assert len(seqs_a) == len(seqs_b)
+    if not seqs_a:
+        return np.zeros(0, dtype=np.int32)
+    L = max(pad_to, max(max(len(s) for s in seqs_a),
+                        max(len(s) for s in seqs_b)))
+    P = len(seqs_a)
+    Ppad = 256
+    while Ppad < P:
+        Ppad *= 2
+    a = np.zeros((Ppad, L), dtype=np.uint8)
+    b = np.zeros((Ppad, L), dtype=np.uint8)
+    la = np.zeros(Ppad, dtype=np.int32)
+    lb = np.zeros(Ppad, dtype=np.int32)
+    for i, (s, t) in enumerate(zip(seqs_a, seqs_b)):
+        a[i, :len(s)] = np.frombuffer(s, dtype=np.uint8)
+        b[i, :len(t)] = np.frombuffer(t, dtype=np.uint8)
+        la[i], lb[i] = len(s), len(t)
+    return np.asarray(_edit_distance_kernel(a, b, la, lb, L1=L, L2=L))[:P]
+
+
+# --- Hamming vs allowlist on the MXU ----------------------------------------
+
+def _byte_classes(arrays: List[np.ndarray]) -> Tuple[np.ndarray, int]:
+    """Map the distinct byte values present to small class ids."""
+    values = np.unique(np.concatenate([a.ravel() for a in arrays]))
+    lut = np.zeros(256, dtype=np.int32)
+    for i, v in enumerate(values):
+        lut[v] = i
+    return lut, len(values)
+
+
+@functools.partial(jax.jit, static_argnames=("n_classes",))
+def _match_count_kernel(tags_cls, allow_cls, *, n_classes: int):
+    """tags_cls [U, L] i32, allow_cls [K, L] i32 -> matches [U, K] i32."""
+    t_oh = jax.nn.one_hot(tags_cls, n_classes, dtype=jnp.int8)   # [U, L, A]
+    a_oh = jax.nn.one_hot(allow_cls, n_classes, dtype=jnp.int8)  # [K, L, A]
+    U, L, A = t_oh.shape
+    K = a_oh.shape[0]
+    return jax.lax.dot_general(
+        t_oh.reshape(U, L * A), a_oh.reshape(K, L * A),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+
+def hamming_hits(tags: List[bytes], allowlist: List[bytes], max_distance: int,
+                 chunk_u: int = 2048, chunk_k: int = 16384
+                 ) -> List[List[int]]:
+    """For each equal-length tag, indices of allowlist entries within Hamming
+    radius max_distance (exact byte equality per column, as
+    FastaString::hamming_distance)."""
+    if not tags or not allowlist:
+        return [[] for _ in tags]
+    L = len(allowlist[0])
+    assert all(len(t) == L for t in tags), "hamming requires equal lengths"
+    assert all(len(a) == L for a in allowlist)
+
+    tags_a = np.frombuffer(b"".join(tags), dtype=np.uint8).reshape(-1, L)
+    allow_a = np.frombuffer(b"".join(allowlist), dtype=np.uint8).reshape(-1, L)
+    lut, n_classes = _byte_classes([tags_a, allow_a])
+    tags_c = lut[tags_a]
+    allow_c = lut[allow_a]
+
+    def pad_rows(arr, to):
+        if arr.shape[0] == to:
+            return arr
+        return np.pad(arr, ((0, to - arr.shape[0]), (0, 0)))
+
+    out: List[List[int]] = []
+    for u0 in range(0, len(tags), chunk_u):
+        t_chunk = tags_c[u0:u0 + chunk_u]
+        n_u = len(t_chunk)
+        u_pad = 256
+        while u_pad < n_u:
+            u_pad *= 2
+        hits_chunk: List[List[int]] = [[] for _ in range(n_u)]
+        for k0 in range(0, len(allowlist), chunk_k):
+            a_chunk = allow_c[k0:k0 + chunk_k]
+            n_k = len(a_chunk)
+            k_pad = 256
+            while k_pad < n_k:
+                k_pad *= 2
+            matches = np.asarray(_match_count_kernel(
+                pad_rows(t_chunk, u_pad), pad_rows(a_chunk, k_pad),
+                n_classes=n_classes))[:n_u, :n_k]
+            dist = L - matches
+            uu, kk = np.nonzero(dist <= max_distance)
+            for u, k in zip(uu, kk):
+                hits_chunk[u].append(k0 + int(k))
+        out.extend(hits_chunk)
+    return out
+
+
+# --- pigeonhole candidate generation ----------------------------------------
+
+def _pieces(seq: bytes, n_pieces: int) -> List[Tuple[int, bytes]]:
+    L = len(seq)
+    bounds = [round(i * L / n_pieces) for i in range(n_pieces + 1)]
+    return [(i, seq[bounds[i]:bounds[i + 1]]) for i in range(n_pieces)]
+
+
+def candidate_pairs(tags: List[bytes], max_distance: int) -> List[Tuple[int, int]]:
+    """Superset of all pairs within edit distance max_distance, via the
+    d+1-piece pigeonhole with +-d shifts (indel tolerance)."""
+    n_pieces = max_distance + 1
+    buckets: Dict[Tuple[int, int, bytes], List[int]] = defaultdict(list)
+    for idx, t in enumerate(tags):
+        L = len(t)
+        bounds = [round(i * L / n_pieces) for i in range(n_pieces + 1)]
+        for p in range(n_pieces):
+            lo, hi = bounds[p], bounds[p + 1]
+            for shift in range(-max_distance, max_distance + 1):
+                s, e = lo + shift, hi + shift
+                if s < 0 or e > L:
+                    continue
+                buckets[(p, shift, t[s:e])].append(idx)
+    pairs = set()
+    for (p, shift, _piece), members in buckets.items():
+        if shift != 0:
+            continue
+        for i in members:
+            pairs.update((min(i, j), max(i, j)) for j in members if j != i)
+    # shifted pieces join against unshifted ones
+    unshifted: Dict[Tuple[int, bytes], List[int]] = defaultdict(list)
+    for (p, shift, piece), members in buckets.items():
+        if shift == 0:
+            unshifted[(p, piece)].extend(members)
+    for (p, shift, piece), members in buckets.items():
+        if shift == 0:
+            continue
+        base = unshifted.get((p, piece))
+        if not base:
+            continue
+        for i in members:
+            pairs.update((min(i, j), max(i, j)) for j in base if j != i)
+    return sorted(pairs)
+
+
+def candidates_to_allowlist(tags: List[bytes], allowlist: List[bytes],
+                            max_distance: int) -> List[List[int]]:
+    """For each tag, allowlist indices sharing a pigeonhole piece (candidate
+    superset for Levenshtein <= max_distance matching)."""
+    n_pieces = max_distance + 1
+    index: Dict[Tuple[int, bytes], List[int]] = defaultdict(list)
+    for k, a in enumerate(allowlist):
+        for p, piece in _pieces(a, n_pieces):
+            index[(p, piece)].append(k)
+    out: List[List[int]] = []
+    for t in tags:
+        L = len(t)
+        bounds = [round(i * L / n_pieces) for i in range(n_pieces + 1)]
+        cands = set()
+        for p in range(n_pieces):
+            lo, hi = bounds[p], bounds[p + 1]
+            for shift in range(-max_distance, max_distance + 1):
+                s, e = lo + shift, hi + shift
+                if s < 0 or e > L:
+                    continue
+                cands.update(index.get((p, t[s:e]), ()))
+        out.append(sorted(cands))
+    return out

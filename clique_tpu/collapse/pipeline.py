@@ -1,0 +1,396 @@
+"""The `collapse` pipeline: tagged BAM -> hierarchically corrected /
+collapsed consensus BAM.
+
+Re-design of /root/reference/rust_cmd/src/collapse.rs (collapse :70-141,
+sort_reads_from_bam_file :427-579, sort_level :859-992) and
+consensus_builders.rs (write_consensus_reads :74-165, write_corrected_reads
+:34-71). Where the reference streams through shardio external-memory sorts,
+we hold the per-reference read set in memory (amplicon runs fit; a spill
+path can shard by tag hash later - the same hash partitioning that becomes
+the cross-host all-to-all in the distributed setting) and run the tag
+corrections as batched device kernels over whole levels at once.
+
+Per level (= one UMIConfiguration, in `order`):
+- group reads by the already-corrected key tuple;
+- within each group, count the next tag (gap-stripped, length-gated to
+  length +- max_distance at push time, correct_tags.rs:79-107);
+- build the correction map by sort_type (KnownTag trie/Hamming,
+  DegenerateTag starcode clustering - collapse/correct.py);
+- apply: corrected reads advance with (symbol, original, corrected) pushed
+  onto their sorting keys; KnownTag misses are dropped
+  (correct_tags.rs:334-375).
+
+Finally each equal-key group is collapsed through the stretcher column
+consensus (consensus/stretcher.py) or passed through with --correct-only.
+"""
+
+from __future__ import annotations
+
+import logging
+from collections import Counter, deque
+from dataclasses import dataclass, field
+from typing import Deque, Dict, List, Optional, Tuple
+
+from clique_tpu.collapse.correct import (
+    correct_degenerate,
+    correct_known_hamming,
+    correct_known_levenshtein,
+    normalize_tag,
+)
+from clique_tpu.config.layout import (
+    SequenceLayout,
+    UMIConfiguration,
+    UMISortType,
+)
+from clique_tpu.consensus.stretcher import AlignmentCandidate
+from clique_tpu.extract.extractor import (
+    alignment_rate_fast,
+    extract_tag_sequences,
+    extract_tagged_sequences,
+    recover_aligned_sequences,
+    stretch_sequence_to_alignment,
+)
+from clique_tpu.io.sam import BamReader, SamRecord, open_alignment_writer
+from clique_tpu.reference.manager import ReferenceManager
+from clique_tpu.utils.seq import FASTA_N, GAP
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class SortingRead:
+    """SortingReadSetContainer (read_disk_sorter.rs:41-105)."""
+
+    read_name: str
+    reference_name: str
+    reference_aligned: bytes
+    read_aligned: bytes
+    read_quals: Optional[bytes]
+    cigar: List[Tuple[int, str]]
+    reference_start: int
+    score: float
+    # [(symbol, original, corrected)] in correction order
+    sorting_keys: List[Tuple[str, bytes, bytes]] = field(default_factory=list)
+    # [(symbol, raw bytes)] not yet corrected
+    unsorted_keys: Deque[Tuple[str, bytes]] = field(default_factory=deque)
+
+    def key_tuple(self) -> Tuple[bytes, ...]:
+        return tuple(corrected for _s, _o, corrected in self.sorting_keys)
+
+
+def alignment_check(read: SortingRead, min_aligned_bases: int = 45,
+                    min_identical: float = 0.8) -> bool:
+    """AlignmentCheck filter (collapse.rs:251-279): over columns where both
+    bytes are > 59 and the reference isn't N, require >= min_aligned_bases
+    alignable columns at >= min_identical identity."""
+    matches = alignable = 0
+    for x, y in zip(read.read_aligned, read.reference_aligned):
+        if y > 59 and x > 59 and y != FASTA_N:
+            alignable += 1
+            if x == y:
+                matches += 1
+    if alignable == 0:
+        return False
+    return (matches / alignable >= min_identical) and \
+        (alignable >= min_aligned_bases)
+
+
+@dataclass
+class CollapseStats:
+    total_reads: int = 0
+    unmapped: int = 0
+    secondary: int = 0
+    failed_filters: int = 0
+    invalid_tags: int = 0
+    passing: int = 0
+
+
+def read_sorting_reads_from_bam(input_bam: str, reference_name: str,
+                                rm: ReferenceManager, layout: SequenceLayout,
+                                stats: CollapseStats) -> List[SortingRead]:
+    """sort_reads_from_bam_file (collapse.rs:427-579): stream records for one
+    reference, rebuild the gapped alignment (soft clips realigned), stretch
+    the wildcard-bearing reference back in, extract + validate tags, filter."""
+    ref_id = rm.name_to_id[reference_name]
+    reference_sequence = rm.references[ref_id].sequence
+    ref_cfg = layout.references[reference_name]
+    out: List[SortingRead] = []
+
+    with BamReader(input_bam) as reader:
+        for rec in reader:
+            if rec.reference_name != reference_name:
+                continue
+            stats.total_reads += 1
+            if rec.flag & 0x100:
+                stats.secondary += 1
+                continue
+            if rec.flag & 0x4 or rec.reference_name is None:
+                stats.unmapped += 1
+                continue
+
+            aligned_read, aligned_ref = recover_aligned_sequences(
+                rec.seq, rec.pos, rec.cigar, reference_sequence,
+                soft_clip="Realign")
+            stretched = stretch_sequence_to_alignment(
+                aligned_ref, reference_sequence)
+            tags = extract_tagged_sequences(aligned_read, stretched)
+            invalid, ordered = extract_tag_sequences(ref_cfg, tags)
+            if invalid:
+                stats.invalid_tags += 1
+                continue
+
+            read = SortingRead(
+                read_name=rec.name,
+                reference_name=reference_name,
+                reference_aligned=aligned_ref,
+                read_aligned=aligned_read,
+                read_quals=rec.qual if rec.qual != b"*" else None,
+                cigar=list(rec.cigar),
+                reference_start=rec.pos,
+                score=0.0,
+                unsorted_keys=deque(ordered),
+            )
+            if alignment_check(read):
+                out.append(read)
+                stats.passing += 1
+            else:
+                stats.failed_filters += 1
+    return out
+
+
+def load_known_lists(layout: SequenceLayout) -> Dict[str, List[bytes]]:
+    """get_known_level_lookups (collapse.rs:779-818): load each allowlist
+    file once, reverse-complementing when configured."""
+    from clique_tpu.utils.seq import reverse_complement
+
+    lists: Dict[str, List[bytes]] = {}
+    for ref in layout.references.values():
+        for cfg in ref.umi_configurations.values():
+            if cfg.file and cfg.file not in lists:
+                with open(cfg.file, "rb") as fh:
+                    seqs = [line.strip() for line in fh if line.strip()]
+                if cfg.reverse_complement_sequences:
+                    seqs = [reverse_complement(s) for s in seqs]
+                lists[cfg.file] = seqs
+    return lists
+
+
+def sort_level(reads: List[SortingRead], tag: UMIConfiguration,
+               known_lists: Dict[str, List[bytes]]) -> List[SortingRead]:
+    """One correction level (collapse.rs:859-992 + correct_tags.rs): group by
+    prior keys, correct the next tag within each group, re-emit."""
+    # group by the already-corrected key tuple (shardio sort equivalent)
+    reads_sorted = sorted(reads, key=lambda r: (r.reference_name,
+                                                r.key_tuple()))
+    out: List[SortingRead] = []
+    i = 0
+    n_groups = 0
+    while i < len(reads_sorted):
+        j = i
+        key = (reads_sorted[i].reference_name, reads_sorted[i].key_tuple())
+        while j < len(reads_sorted) and \
+                (reads_sorted[j].reference_name,
+                 reads_sorted[j].key_tuple()) == key:
+            j += 1
+        group = reads_sorted[i:j]
+        n_groups += 1
+        out.extend(_correct_group(group, tag, known_lists))
+        i = j
+    log.info("level %s (%s): %d groups, %d reads in, %d passed",
+             tag.symbol, tag.sort_type.value, n_groups, len(reads), len(out))
+    return out
+
+
+def _correct_group(group: List[SortingRead], tag: UMIConfiguration,
+                   known_lists: Dict[str, List[bytes]]) -> List[SortingRead]:
+    # push(): count gap-stripped tags, length-gated (correct_tags.rs:79-107)
+    counts: Counter = Counter()
+    kept: List[SortingRead] = []
+    for read in group:
+        sym, raw = read.unsorted_keys[0]
+        assert sym == tag.symbol, f"tag order mismatch: {sym} vs {tag.symbol}"
+        gapless = bytes(b for b in raw if b != GAP)
+        if tag.length - tag.max_distance <= len(gapless) <= \
+                tag.length + tag.max_distance:
+            counts[gapless] += 1
+            kept.append(read)
+
+    if tag.sort_type == UMISortType.KNOWN_TAG:
+        allow = known_lists.get(tag.file or "", [])
+        if not allow:
+            # KnownTag without an allowlist file: the reference engine
+            # panics here (correct_tags.rs:394-399 unwraps a missing trie);
+            # we pass tags through uncorrected instead
+            log.warning(
+                "KnownTag level %s has no allowlist file; passing tags "
+                "through uncorrected", tag.symbol)
+            correction = {normalize_tag(t, tag.length): normalize_tag(
+                t, tag.length) for t in counts}
+        elif tag.levenshtein_distance is None or tag.levenshtein_distance:
+            correction = correct_known_levenshtein(
+                counts, allow, tag.max_distance, tag.length)
+        else:
+            correction = correct_known_hamming(
+                counts, allow, tag.max_distance, tag.length)
+    else:
+        correction = correct_degenerate(
+            counts, tag.max_distance, tag.length,
+            tag.minimum_collapsing_difference or 5.0)
+
+    out: List[SortingRead] = []
+    for read in kept:
+        sym, raw = read.unsorted_keys.popleft()
+        key_norm = normalize_tag(raw, tag.length)
+        corrected = correction.get(key_norm)
+        if corrected is None and tag.sort_type == UMISortType.KNOWN_TAG and \
+                not (tag.levenshtein_distance is None or
+                     tag.levenshtein_distance):
+            # hamming path keys its map on the raw gapless tag
+            gapless = bytes(b for b in raw if b != GAP)
+            corrected = correction.get(gapless)
+        if corrected is None:
+            if tag.sort_type == UMISortType.DEGENERATE_TAG:
+                raise RuntimeError(
+                    f"Unable to find match for key {key_norm!r} in corrected "
+                    f"values")
+            continue  # KnownTag miss: dropped (correct_tags.rs:360)
+        read.sorting_keys.append((tag.symbol, key_norm, corrected))
+        out.append(read)
+    return out
+
+
+def write_outputs(reads: List[SortingRead], writer, rm: ReferenceManager,
+                  correct_only: bool, downsample_cap: int = 40,
+                  gap_call_threshold: float = 0.75) -> int:
+    """write_consensus_reads / write_corrected_reads
+    (consensus_builders.rs:34-165)."""
+    reads_sorted = sorted(reads, key=lambda r: (r.reference_name,
+                                                r.key_tuple()))
+    written = 0
+    i = 0
+    while i < len(reads_sorted):
+        if correct_only:
+            group = [reads_sorted[i]]
+            j = i + 1
+        else:
+            j = i
+            key = (reads_sorted[i].reference_name,
+                   reads_sorted[i].key_tuple())
+            while j < len(reads_sorted) and \
+                    (reads_sorted[j].reference_name,
+                     reads_sorted[j].key_tuple()) == key:
+                j += 1
+            group = reads_sorted[i:j]
+        rec = _consensus_record(group, rm, downsample_cap if not correct_only
+                                else 0, gap_call_threshold)
+        if rec is not None:
+            writer.write(rec)
+            written += 1
+        i = j
+    return written
+
+
+def _consensus_record(group: List[SortingRead], rm: ReferenceManager,
+                      downsample_cap: int, gap_call_threshold: float
+                      ) -> Optional[SamRecord]:
+    """create_consensus_sam_read (consensus_builders.rs:174-286) +
+    to_sam_record tag conventions."""
+    tags: Dict[str, str] = {}
+    tags["rc"] = str(len(group))
+    tags["dc"] = str(min(downsample_cap, len(group)))
+
+    if len(group) > 1:
+        ref_name = Counter(
+            r.reference_name for r in group).most_common(1)[0][0]
+        ref_seq = rm.references[rm.name_to_id[ref_name]].sequence
+        candidate = AlignmentCandidate(ref_seq, ref_name)
+        failures = 0
+        for r in group:
+            try:
+                candidate.add_alignment(r.reference_aligned, r.read_aligned,
+                                        r.read_name, r.read_quals)
+            except ValueError:
+                failures += 1
+        if failures > 1:
+            raise RuntimeError(
+                f"Unable to create consensus for {len(group)} reads")
+        con = candidate.to_consensus(gap_call_threshold)
+        tags["ar"] = ",".join(r.read_name for r in group)
+        tags["rm"] = _fmt_rate(alignment_rate_fast(
+            con.reference_aligned, con.read_aligned))
+        tags["as"] = _fmt_rate(con.score)
+        base = group[0]
+        out_ref_aligned = con.reference_aligned
+        out_read_aligned = con.read_aligned
+        out_cigar = con.cigar
+        read_name = base.read_name
+        reference_start = 0
+        sorting_keys = base.sorting_keys
+    else:
+        single = group[0]
+        tags["ar"] = single.read_name
+        tags["rm"] = _fmt_rate(alignment_rate_fast(
+            single.reference_aligned, single.read_aligned))
+        tags["as"] = _fmt_rate(single.score)
+        out_ref_aligned = single.reference_aligned
+        out_read_aligned = single.read_aligned
+        out_cigar = single.cigar
+        read_name = single.read_name
+        reference_start = single.reference_start - 1 \
+            if single.reference_start > 0 else 0
+        sorting_keys = single.sorting_keys
+        ref_name = single.reference_name
+
+    for sym, original, corrected in sorting_keys:
+        tags[f"e{sym}"] = corrected.decode()
+        tags[f"o{sym}"] = original.decode()
+
+    tags["rs"] = tags["as"]
+    seq = bytes(b for b in out_read_aligned if b != GAP)
+    return SamRecord(
+        name=read_name,
+        flag=0,
+        reference_name=ref_name,
+        pos=reference_start + 1,
+        mapq=255,
+        cigar=out_cigar,
+        seq=seq,
+        qual=b"H" * len(seq),
+        tags=tags,
+    )
+
+
+def _fmt_rate(x: float) -> str:
+    if x != x:
+        return "NaN"
+    if x == int(x) and abs(x) < 1e15:
+        return str(int(x))
+    return repr(x)
+
+
+def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
+             temp_dir: Optional[str] = None, correct_only: bool = False,
+             downsample_cap: int = 40) -> CollapseStats:
+    """The `clique collapse` equivalent (collapse.rs:70-141)."""
+    rm = ReferenceManager.from_layout(layout)
+    known_lists = load_known_lists(layout)
+    references = [(r.name, len(r.sequence)) for r in rm.references.values()]
+    writer = open_alignment_writer(output_path, references)
+    stats = CollapseStats()
+
+    for ref in rm.references.values():
+        log.info("processing reads from input BAM file: %s (reference %s)",
+                 input_bam, ref.name)
+        reads = read_sorting_reads_from_bam(
+            input_bam, ref.name, rm, layout, stats)
+        if not reads:
+            log.warning("No valid reads found for reference %s", ref.name)
+            continue
+        for tag in layout.get_sorted_umi_configurations(ref.name):
+            reads = sort_level(reads, tag, known_lists)
+        written = write_outputs(reads, writer, rm, correct_only,
+                                downsample_cap)
+        log.info("reference %s: wrote %d records", ref.name, written)
+
+    writer.close()
+    return stats

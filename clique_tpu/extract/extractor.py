@@ -111,6 +111,41 @@ def extract_tag_sequences(reference_record: ReferenceRecord,
     return invalid, [kv for _o, kv in collected]
 
 
+def extract_digit_tags_fast(aligned_read: bytes, aligned_ref: bytes,
+                            symbols: List[str]) -> Dict[str, str]:
+    """Vectorized digit-wildcard capture for the pipeline hot path.
+
+    Produces exactly the digit-keyed subset of extract_tagged_sequences:
+    the reference walk pushes read bases for a digit reference byte in both
+    its in-zone and out-of-zone arms (extractor.rs:294-313), so for digit
+    keys a plain positional mask is equivalent.
+    """
+    import numpy as np
+
+    ref_a = np.frombuffer(aligned_ref, dtype=np.uint8)
+    read_a = np.frombuffer(aligned_read, dtype=np.uint8)
+    out = {}
+    for sym in symbols:
+        mask = ref_a == ord(sym)
+        if mask.any():
+            out[sym] = read_a[mask].tobytes().decode()
+    return out
+
+
+def alignment_rate_fast(aligned_ref: bytes, aligned_read: bytes) -> float:
+    """Vectorized get_reference_alignment_rate
+    (consensus_builders.rs:288-307)."""
+    import numpy as np
+
+    r = np.frombuffer(aligned_ref, dtype=np.uint8)
+    d = np.frombuffer(aligned_read, dtype=np.uint8)
+    counted = (r > 64) & (r != 78) & (d > 64)
+    total = int(counted.sum())
+    if total == 0:
+        return float("nan")
+    return float(int(((r == d) & counted).sum()) / total)
+
+
 # --- CIGAR-based alignment reconstruction (extractor.rs:56-190) -------------
 
 def recover_aligned_sequences(

@@ -16,12 +16,18 @@ import zlib
 from dataclasses import dataclass, field
 from typing import Dict, Iterator, List, Optional, Tuple
 
+import numpy as np
+
 # --- SAM record model --------------------------------------------------------
 
 CIGAR_OPS = "MIDNSHP=X"
 _CIGAR_CODE = {op: i for i, op in enumerate(CIGAR_OPS)}
 _SEQ_NIBBLE = "=ACMGRSVTWYHKDBN"
 _NIBBLE_CODE = {b: i for i, b in enumerate(_SEQ_NIBBLE.encode())}
+_NIBBLE_LUT = np.full(256, 15, dtype=np.uint8)
+for _b, _i in _NIBBLE_CODE.items():
+    _NIBBLE_LUT[_b] = _i
+    _NIBBLE_LUT[ord(chr(_b).lower())] = _i
 
 
 @dataclass
@@ -182,15 +188,12 @@ class BamWriter:
 
         seq = rec.seq
         l_seq = len(seq)
-        seq_b = bytearray((l_seq + 1) // 2)
-        for i, b in enumerate(seq):
-            code = _NIBBLE_CODE.get(b, 15)
-            if i % 2 == 0:
-                seq_b[i // 2] = code << 4
-            else:
-                seq_b[i // 2] |= code
+        codes = _NIBBLE_LUT[np.frombuffer(seq, dtype=np.uint8)]
+        if l_seq % 2:
+            codes = np.append(codes, 0)
+        seq_b = ((codes[0::2] << 4) | codes[1::2]).astype(np.uint8)
         if rec.qual and rec.qual != b"*" and len(rec.qual) == l_seq:
-            qual_b = bytes(q - 33 for q in rec.qual)
+            qual_b = (np.frombuffer(rec.qual, dtype=np.uint8) - 33).tobytes()
         else:
             qual_b = b"\xff" * l_seq
 

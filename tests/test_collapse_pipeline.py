@@ -1,0 +1,166 @@
+"""End-to-end collapse test: align a synthetic UMI dataset, collapse it, and
+check group counts, corrected tags, and consensus sequences (BASELINE
+config 3 shape: hierarchical cell_id / umi correction + consensus)."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from clique_tpu.align.pipeline import align_reads
+from clique_tpu.collapse.pipeline import collapse
+from clique_tpu.config.layout import SequenceLayout
+from clique_tpu.io.sam import BamReader
+from clique_tpu.reference.manager import ReferenceManager
+
+RNG = np.random.default_rng(77)
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+A5 = "TTCAGACGTGTGCTCTTCCGATCT"
+A3 = "AGATCGGAAGAGCACACGTCTGAA"
+TARGET = "GGCACTGCGGCTGGAGGTGG"
+
+
+def rand_seq(n):
+    return RNG.choice(BASES, size=n).tobytes().decode()
+
+
+def build_layout(tmp_path, known_file=None):
+    known_part = f'file: "{known_file}"\n        ' if known_file else ""
+    text = f"""
+known_strand: true
+reads:
+  - !Read1
+    orientation: Forward
+references:
+  amp1:
+    sequence: "{A5}{'0' * 16}{'1' * 12}{TARGET}{A3}"
+    targets: ["{TARGET}"]
+    target_types: ["Cas9WT"]
+    umi_configurations:
+      cell_id:
+        symbol: '0'
+        {known_part}sort_type: "{'KnownTag' if known_file else 'DegenerateTag'}"
+        length: 16
+        order: 0
+        max_distance: 2
+      cell_umi:
+        symbol: '1'
+        sort_type: "DegenerateTag"
+        length: 12
+        order: 1
+        max_distance: 2
+"""
+    p = tmp_path / "layout.yaml"
+    p.write_text(text)
+    return str(p)
+
+
+def test_collapse_end_to_end(tmp_path):
+    # two cells x two UMIs each; each (cell, umi) group has several reads,
+    # one of which carries a UMI error that should be corrected in
+    cells = [rand_seq(16), rand_seq(16)]
+    umis = [rand_seq(12), rand_seq(12)]
+    layout_path = build_layout(tmp_path)
+    fq = tmp_path / "reads.fastq.gz"
+    idx = 0
+    with gzip.open(fq, "wt") as fh:
+        for cell in cells:
+            for umi in umis:
+                for k in range(6):
+                    u = umi
+                    if k == 5:  # one erroneous copy of the umi
+                        u = ("A" if umi[0] != "A" else "C") + umi[1:]
+                    read = A5 + cell + u + TARGET + A3
+                    fh.write(f"@r{idx}\n{read}\n+\n{'I' * len(read)}\n")
+                    idx += 1
+
+    layout = SequenceLayout.from_yaml(layout_path)
+    rm = ReferenceManager.from_layout(layout)
+    aligned_bam = tmp_path / "aligned.bam"
+    align_reads(layout, rm, str(aligned_bam), read1=str(fq), batch_size=8)
+
+    out_bam = tmp_path / "collapsed.bam"
+    stats = collapse(str(out_bam), layout, str(aligned_bam))
+    assert stats.passing == 24
+
+    with BamReader(str(out_bam)) as reader:
+        records = list(reader)
+
+    # 2 cells x 2 umis -> 4 collapsed consensus reads
+    assert len(records) == 4
+    seen = set()
+    for rec in records:
+        assert rec.tags["rc"] == "6"          # all 6 copies grouped
+        assert rec.tags["dc"] == "6"
+        assert rec.tags["e0"] in [c.encode().decode() for c in cells]
+        assert rec.tags["e1"] in [u.encode().decode() for u in umis]
+        seen.add((rec.tags["e0"], rec.tags["e1"]))
+        # consensus sequence must contain the anchors and target
+        assert TARGET.encode() in rec.seq
+        assert rec.name.startswith("r")
+        assert len(rec.tags["ar"].split(",")) == 6
+    assert len(seen) == 4
+
+
+def test_collapse_correct_only(tmp_path):
+    layout_path = build_layout(tmp_path)
+    fq = tmp_path / "reads.fastq.gz"
+    cell, umi = rand_seq(16), rand_seq(12)
+    with gzip.open(fq, "wt") as fh:
+        for k in range(3):
+            read = A5 + cell + umi + TARGET + A3
+            fh.write(f"@q{k}\n{read}\n+\n{'I' * len(read)}\n")
+
+    layout = SequenceLayout.from_yaml(layout_path)
+    rm = ReferenceManager.from_layout(layout)
+    aligned_bam = tmp_path / "aligned.bam"
+    align_reads(layout, rm, str(aligned_bam), read1=str(fq), batch_size=8)
+
+    out_bam = tmp_path / "corrected.bam"
+    collapse(str(out_bam), layout, str(aligned_bam), correct_only=True)
+    with BamReader(str(out_bam)) as reader:
+        records = list(reader)
+    # correct-only: one output per input read, tags corrected but no merge
+    assert len(records) == 3
+    for rec in records:
+        assert rec.tags["rc"] == "1"
+        assert rec.tags["e0"] == cell
+        assert rec.tags["o1"] == umi
+
+
+def test_collapse_known_list(tmp_path):
+    # cell barcodes corrected against an allowlist; off-list cells dropped
+    allow = [rand_seq(16) for _ in range(4)]
+    known_file = tmp_path / "allow.txt"
+    known_file.write_text("\n".join(allow) + "\n")
+    layout_path = build_layout(tmp_path, known_file=str(known_file))
+
+    fq = tmp_path / "reads.fastq.gz"
+    umi = rand_seq(12)
+    with gzip.open(fq, "wt") as fh:
+        # 3 reads with allow[0] (one with a 1-bp error), 2 with a random cell
+        for k in range(3):
+            cell = allow[0]
+            if k == 2:
+                cell = ("A" if cell[0] != "A" else "C") + cell[1:]
+            read = A5 + cell + umi + TARGET + A3
+            fh.write(f"@k{k}\n{read}\n+\n{'I' * len(read)}\n")
+        bogus = "ACGT" * 4
+        read = A5 + bogus + umi + TARGET + A3
+        fh.write(f"@bogus\n{read}\n+\n{'I' * len(read)}\n")
+
+    layout = SequenceLayout.from_yaml(layout_path)
+    rm = ReferenceManager.from_layout(layout)
+    aligned_bam = tmp_path / "aligned.bam"
+    align_reads(layout, rm, str(aligned_bam), read1=str(fq), batch_size=8)
+
+    out_bam = tmp_path / "collapsed.bam"
+    collapse(str(out_bam), layout, str(aligned_bam))
+    with BamReader(str(out_bam)) as reader:
+        records = list(reader)
+    # the 3 allow[0] reads collapse to one record; the bogus cell is dropped
+    # (assuming it's > max_distance from every allowlist entry)
+    assert len(records) == 1
+    assert records[0].tags["e0"] == allow[0]
+    assert records[0].tags["rc"] == "3"
