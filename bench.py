@@ -24,11 +24,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def main() -> None:
     import numpy as np
 
     from clique_tpu.utils.jaxcfg import enable_persistent_cache
     enable_persistent_cache()
+    log("jax configured")
 
     from clique_tpu.align.pipeline import align_reads
     from clique_tpu.config.layout import SequenceLayout
@@ -62,20 +67,20 @@ references:
 """)
         fq = os.path.join(tmp, "reads.fastq")
         sub_p = 0.05
+        L = len(ref_seq)
+        base_read = np.frombuffer(
+            (a5 + "N" * 28 + target + a3).encode(), dtype=np.uint8)
         with open(fq, "w") as fh:
             for i in range(n_reads):
-                cell = rng.choice(bases, 16).tobytes().decode()
-                umi = rng.choice(bases, 12).tobytes().decode()
-                read = list(a5 + cell + umi + target + a3)
-                # ONT-like substitutions
-                for j in range(len(read)):
-                    if rng.random() < sub_p:
-                        read[j] = chr(rng.choice(bases))
-                read = "".join(read)
-                fh.write(f"@r{i}\n{read}\n+\n{'I' * len(read)}\n")
+                read = base_read.copy()
+                read[24:52] = rng.choice(bases, 28)   # cell + umi
+                subs = rng.random(L) < sub_p          # ONT-like substitutions
+                read[subs] = rng.choice(bases, int(subs.sum()))
+                fh.write(f"@r{i}\n{read.tobytes().decode()}\n+\n{'I' * L}\n")
 
         layout = SequenceLayout.from_yaml(layout_path)
         rm = ReferenceManager.from_layout(layout)
+        log("dataset written; warming up (compiles device kernels)")
 
         # warm-up: compile the device kernels on a small prefix
         warm = os.path.join(tmp, "warm.fastq")
@@ -87,11 +92,13 @@ references:
                 dst.write(line)
         align_reads(layout, rm, os.path.join(tmp, "warm.bam"), read1=warm,
                     batch_size=512)
+        log("warmup done; timing main run")
 
         t0 = time.time()
         stats = align_reads(layout, rm, os.path.join(tmp, "out.bam"),
                             read1=fq, batch_size=512)
         dt = time.time() - t0
+        log(f"main run done in {dt:.1f}s")
 
     reads_per_s = stats.aligned / dt
     ref_len = len(ref_seq)

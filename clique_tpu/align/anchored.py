@@ -1,0 +1,172 @@
+"""Anchored (seed-and-extend) alignment.
+
+Host implementation of /root/reference/rust_cmd/src/linked_alignment.rs
+(align_string_with_anchors :147-266, validate_cigar_string :269-304,
+calculate_score_from_strings :313-331): exact shared segments found by the
+seed index become M runs; the gaps between anchors are aligned with the
+affine DP (optionally inversion-aware); tiny equal-length gaps (<5bp)
+become direct match segments. This shrinks giant DP problems exactly as the
+reference does - the TPU analogue batches the small inter-anchor DPs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from clique_tpu.align.cpu import (
+    AlignmentResult,
+    affine_align,
+    simplify_cigar,
+)
+from clique_tpu.align.inversion import inversion_alignment
+from clique_tpu.align.scoring import AffineScoring, InversionScoring
+from clique_tpu.reference.manager import SharedSegments
+from clique_tpu.utils.seq import GAP
+
+
+def _match_segment_result(ref_slice: bytes, read_slice: bytes,
+                          ref_name: str, read_name: str, start_x: int,
+                          start_y: int,
+                          scoring: AffineScoring) -> AlignmentResult:
+    """AlignmentResult::from_match_segment (alignment_matrix.rs:710-734)."""
+    score = sum(scoring.match_mismatch(a, b)
+                for a, b in zip(ref_slice, read_slice))
+    return AlignmentResult(
+        reference_name=ref_name, read_name=read_name,
+        reference_aligned=ref_slice, read_aligned=read_slice,
+        read_quals=None,
+        cigar=[(len(ref_slice), "M")] if ref_slice else [],
+        path=[(start_x + i, start_y + i) for i in range(len(ref_slice))],
+        score=score, reference_start=start_x, read_start=start_y)
+
+
+def calculate_score_from_strings(reference: bytes, read: bytes,
+                                 scoring: AffineScoring) -> float:
+    """linked_alignment.rs:313-331, reproduced with its exact arm order
+    (the first arm catches ref-base/read-gap columns as match_mismatch)."""
+    assert len(reference) == len(read)
+    in_indel = False
+    total = 0.0
+    for a, b in zip(reference, read):
+        if a != GAP and b == GAP:
+            in_indel = False
+            total += scoring.match_mismatch(a, b)
+        elif in_indel:
+            total += scoring.gap_extend
+        else:
+            in_indel = True
+            total += scoring.gap_open
+    return total
+
+
+def validate_cigar_string(reference: bytes, read: bytes,
+                          cigar: List[Tuple[int, str]]) -> None:
+    """linked_alignment.rs:269-304."""
+    assert len(reference) == len(read)
+    pos = 0
+    for length, op in cigar:
+        if op == "M":
+            assert GAP not in reference[pos:pos + length]
+            assert GAP not in read[pos:pos + length]
+            pos += length
+        elif op == "D":
+            assert GAP not in reference[pos:pos + length]
+            assert read[pos:pos + length].count(GAP) == length
+            pos += length
+        elif op == "I":
+            assert reference[pos:pos + length].count(GAP) == length
+            assert GAP not in read[pos:pos + length]
+            pos += length
+        elif op == "S":
+            pos += length
+        # inversion markers and hard clips consume nothing
+    assert pos == len(reference)
+
+
+def align_string_with_anchors(
+        read_name: str, ref_name: str, search_string: bytes,
+        reference: bytes, overlaps: SharedSegments,
+        inv_scoring: Optional[InversionScoring],
+        aff_scoring: AffineScoring) -> AlignmentResult:
+    """linked_alignment.rs:147-266.
+
+    NOTE on argument roles (matching the reference call sites): the
+    SharedSegments were found by searching `search_string` against
+    `reference`'s seed index; segments' search_start indexes search_string
+    and ref_start indexes reference. The reference engine treats
+    search_string slices as the 'reference side' of each sub-DP, as its
+    align_two_strings caller does (alignment_functions.rs:283-298)."""
+    aln_ref = bytearray()
+    aln_read = bytearray()
+    cigar: List[Tuple[int, str]] = []
+    read_last = 0
+    ref_last = 0
+
+    def sub_align(ref_slice: bytes, read_slice: bytes) -> AlignmentResult:
+        if inv_scoring is not None:
+            return inversion_alignment(ref_slice, read_slice, ref_name,
+                                       read_name, inv_scoring, aff_scoring,
+                                       False)
+        return affine_align(ref_slice, read_slice, aff_scoring,
+                            seq1_name=ref_name, seq2_name=read_name)
+
+    for seg in overlaps.alignment_segments:
+        assert read_last <= seg.search_start, "READ START FAILURE"
+        assert ref_last <= seg.ref_start, "REF START FAILURE"
+        read_slice = search_string[read_last:seg.search_start]
+        ref_slice = reference[ref_last:seg.ref_start]
+
+        if inv_scoring is None and len(read_slice) < 5 and \
+                len(ref_slice) < 5 and len(read_slice) == len(ref_slice):
+            sub = _match_segment_result(ref_slice, read_slice, ref_name,
+                                        read_name, ref_last, read_last,
+                                        aff_scoring)
+        else:
+            sub = sub_align(ref_slice, read_slice)
+        read_last += len(read_slice)
+        ref_last += len(ref_slice)
+        aln_ref.extend(sub.reference_aligned)
+        aln_read.extend(sub.read_aligned)
+        # NOTE: the reference pushes sub-alignment cigars REVERSED
+        # (linked_alignment.rs:188) which breaks its own validate call for
+        # non-palindromic sub-cigars (its end-to-end test is disabled);
+        # we keep forward order so validation holds.
+        cigar.extend(sub.cigar)
+
+        aln_ref.extend(reference[seg.ref_start:seg.ref_start + seg.length])
+        aln_read.extend(
+            search_string[seg.search_start:seg.search_start + seg.length])
+        read_last += seg.length
+        ref_last += seg.length
+        cigar.append((seg.length, "M"))
+
+    if overlaps.alignment_segments:
+        last = overlaps.alignment_segments[-1]
+        read_stop = last.search_start + last.length
+        if read_stop < len(search_string):
+            read_slice = search_string[read_last:]
+            ref_slice = reference[ref_last:]
+            sub = sub_align(ref_slice, read_slice)
+            aln_ref.extend(sub.reference_aligned)
+            aln_read.extend(sub.read_aligned)
+            cigar.extend(sub.cigar)
+        elif ref_last < len(reference):
+            gap_len = len(reference) - ref_last
+            aln_ref.extend(reference[ref_last:])
+            aln_read.extend(bytes([GAP]) * gap_len)
+            cigar.append((gap_len, "D"))
+    else:
+        sub = sub_align(reference, search_string)
+        aln_ref.extend(sub.reference_aligned)
+        aln_read.extend(sub.read_aligned)
+        cigar.extend(sub.cigar)
+
+    score = calculate_score_from_strings(bytes(aln_ref), bytes(aln_read),
+                                         aff_scoring)
+    validate_cigar_string(bytes(aln_ref), bytes(aln_read), cigar)
+
+    return AlignmentResult(
+        reference_name=ref_name, read_name=read_name,
+        reference_aligned=bytes(aln_ref), read_aligned=bytes(aln_read),
+        read_quals=None, cigar=simplify_cigar(cigar), path=[],
+        score=score, reference_start=0, read_start=0)

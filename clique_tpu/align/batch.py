@@ -264,6 +264,47 @@ def pad_batch(seqs, pad_to: Optional[int] = None):
     return out, lens
 
 
+def ops_to_alignments_batch(ops: np.ndarray, n_ops: np.ndarray,
+                            refs_arr: np.ndarray, reads_arr: np.ndarray):
+    """Vectorized expansion of a whole batch of op sequences.
+
+    ops [B, T] uint8 (OP_DONE-padded), n_ops [B], refs_arr [B, Lr],
+    reads_arr [B, Ld] -> (aligned_ref [B, T] uint8, aligned_read [B, T]
+    uint8, valid [B, T] bool). Rows are GAP/0-padded past n_ops; callers
+    slice row[:n_ops[b]].
+    """
+    from clique_tpu.utils.seq import GAP
+
+    B, T = ops.shape
+    valid = ops != OP_DONE
+    r_step = valid & (ops != OP_INS)
+    d_step = valid & (ops != OP_DEL)
+    r_idx = np.cumsum(r_step, axis=1)
+    d_idx = np.cumsum(d_step, axis=1)
+    ref_g = np.take_along_axis(
+        refs_arr, np.clip(r_idx - 1, 0, refs_arr.shape[1] - 1), axis=1)
+    read_g = np.take_along_axis(
+        reads_arr, np.clip(d_idx - 1, 0, reads_arr.shape[1] - 1), axis=1)
+    aligned_ref = np.where(r_step, ref_g, GAP).astype(np.uint8)
+    aligned_read = np.where(d_step, read_g, GAP).astype(np.uint8)
+    aligned_ref[~valid] = 0
+    aligned_read[~valid] = 0
+    return aligned_ref, aligned_read, valid
+
+
+def cigar_from_ops_row(ops_row: np.ndarray, n: int):
+    """Run-length encode one op row into [(count, op)] (M/D/I)."""
+    from clique_tpu.align.cpu import simplify_cigar
+
+    ops_row = ops_row[:n]
+    if n == 0:
+        return []
+    change = np.nonzero(np.diff(ops_row))[0]
+    starts = np.concatenate(([0], change + 1))
+    ends = np.concatenate((change + 1, [n]))
+    return [(int(e - s), "MDI"[ops_row[s]]) for s, e in zip(starts, ends)]
+
+
 def ops_to_alignment(ops: np.ndarray, n_ops: int, ref: bytes, read: bytes):
     """Expand a forward op sequence into (ref_aligned, read_aligned, cigar).
 

@@ -139,12 +139,20 @@ class BatchAligner:
     def align_pairs(self, refs: List[bytes], reads: List[bytes]
                     ) -> List[Tuple[bytes, bytes, List[Tuple[int, str]], float]]:
         """Align ref[i] x read[i] pairwise; returns per-pair
-        (ref_aligned, read_aligned, cigar, score). Batches by padded shape."""
+        (ref_aligned, read_aligned, cigar, score). Batches by padded shape.
+
+        All device dispatches go out before any result is pulled back
+        (JAX dispatch is async), so transfers overlap compute - important on
+        tunneled devices where each device->host sync is a network round
+        trip."""
+        import jax
+
         results: List = [None] * len(refs)
         i = 0
         idxs = sorted(range(len(refs)),
                       key=lambda k: (self._bucket_len(len(refs[k]) + 1),
                                      self._bucket_len(len(reads[k]) + 1)))
+        inflight = []
         while i < len(idxs):
             n1 = self._bucket_len(len(refs[idxs[i]]) + 1)
             n2 = self._bucket_len(len(reads[idxs[i]]) + 1)
@@ -154,10 +162,22 @@ class BatchAligner:
                     self._bucket_len(len(reads[idxs[i]]) + 1) == n2:
                 group.append(idxs[i])
                 i += 1
-            self._run_group(group, refs, reads, n1, n2, results)
+            inflight.append(self._dispatch_group(group, refs, reads, n1, n2))
+
+        for group, refs_arr, reads_arr, res in inflight:
+            ops, n_ops, scores = jax.device_get(
+                (res.ops, res.n_ops, res.score))
+            a_ref, a_read, _valid = dbatch.ops_to_alignments_batch(
+                ops, n_ops, refs_arr, reads_arr)
+            for j, k in enumerate(group):
+                n = int(n_ops[j])
+                results[k] = (a_ref[j, :n].tobytes(),
+                              a_read[j, :n].tobytes(),
+                              dbatch.cigar_from_ops_row(ops[j], n),
+                              float(scores[j]))
         return results
 
-    def _run_group(self, group, refs, reads, n1, n2, results):
+    def _dispatch_group(self, group, refs, reads, n1, n2):
         # pad the batch dimension to a power of two (min 32) so each (B, n1,
         # n2) kernel shape is compiled once and reused
         B = 32
@@ -177,13 +197,7 @@ class BatchAligner:
         res, _tb = dbatch.align_batch_device(
             refs_arr, reads_arr, ref_lens, read_lens, bw, self.params,
             n1=n1, n2=n2, special_mode=self.special_mode)
-        ops = np.asarray(res.ops)
-        n_ops = np.asarray(res.n_ops)
-        scores = np.asarray(res.score)
-        for j, k in enumerate(group):
-            a1, a2, cigar = dbatch.ops_to_alignment(
-                ops[j], int(n_ops[j]), refs[k], reads[k])
-            results[k] = (a1, a2, cigar, float(scores[j]))
+        return group, refs_arr, reads_arr, res
 
 
 @dataclass
@@ -208,9 +222,23 @@ def align_reads(
     scoring: Optional[AffineScoring] = None,
     single_ref_native: bool = False,
     quick_match_threshold: float = 0.90,
+    mode: str = "ont",
+    router: str = "kmer",
 ) -> AlignStats:
-    """The `clique align` equivalent (alignment_functions.rs:63-257)."""
-    scoring = scoring or AffineScoring.aligner_default()
+    """The `clique align` equivalent (alignment_functions.rs:63-257).
+
+    mode: "ont" (reference-compatible scoring) or "hifi" (PacBio low-error
+    preset, BASELINE config 2). router: "kmer" (unique-kmer vote, the
+    reference's quick_alignment_search) or "hmm" (pair-HMM forward routing,
+    the north-star multi-amplicon router)."""
+    if scoring is None:
+        scoring = AffineScoring.hifi_default() if mode == "hifi" \
+            else AffineScoring.aligner_default()
+    hmm_router = None
+    if router == "hmm" and len(rm.references) > 1:
+        from clique_tpu.align.hmm import HmmRouter
+
+        hmm_router = HmmRouter([r.sequence for r in rm.references.values()])
     stats = AlignStats()
     max_read_size = (rm.longest_ref + 1) * max_reference_multiplier
     single_ref = len(rm.references) == 1
@@ -256,6 +284,22 @@ def align_reads(
     pending: List[_Pending] = []
     merge_pending: List[Tuple[str, bytes, bytes, bytes, bytes]] = []
 
+    route_pending: List[Tuple[str, bytes, bytes]] = []
+
+    def flush_routes():
+        if not route_pending:
+            return
+        routed = hmm_router.route([seq for _n, seq, _q in route_pending])
+        for (name, seq, quals), (ref_id, _ll) in zip(route_pending, routed):
+            if ref_id < 0:
+                stats.failed += 1
+                continue
+            pending.append(_Pending(name, seq, quals, ref_id))
+        route_pending.clear()
+        if len(pending) >= batch_size * 8:
+            flush(pending)
+            pending.clear()
+
     def process_merged(name: str, seq: bytes, quals: bytes):
         if len(seq) >= max_read_size:
             log.warning(
@@ -263,6 +307,11 @@ def align_reads(
                 "length %d", name, len(seq), max_reference_multiplier,
                 rm.longest_ref)
             stats.dropped_length += 1
+            return
+        if hmm_router is not None:
+            route_pending.append((name, seq, quals))
+            if len(route_pending) >= batch_size * 4:
+                flush_routes()
             return
         ref_id = _choose_reference(rm, layout, seq, quick_match_threshold)
         if ref_id is None:
@@ -296,7 +345,9 @@ def align_reads(
                 seq = reverse_complement(seq)
                 quals = quals[::-1]
         pending.append(_Pending(name, seq, quals, ref_id))
-        if len(pending) >= batch_size:
+        # accumulate several device batches so align_pairs can keep multiple
+        # dispatches in flight (overlapping transfer with compute)
+        if len(pending) >= batch_size * 8:
             flush(pending)
             pending.clear()
 
@@ -318,12 +369,14 @@ def align_reads(
         if merged.pending_pair is not None:
             r1, q1, r2, q2 = merged.pending_pair
             merge_pending.append((merged.name, r1, q1, r2, q2))
-            if len(merge_pending) >= batch_size:
+            if len(merge_pending) >= batch_size * 8:
                 flush_merges()
         else:
             process_merged(merged.name, merged.seq, merged.quals)
 
     flush_merges()
+    if hmm_router is not None:
+        flush_routes()
     flush(pending)
     writer.close()
     log.info("Aligned %d/%d reads in %.1fs", stats.aligned, stats.total,

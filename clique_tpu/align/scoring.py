@@ -59,6 +59,13 @@ class AffineScoring:
         # paired-end merge scoring (merger.rs:130-139)
         return AffineScoring(10.0, -5.0, 8.0, -15.0, -1.0, 0.25)
 
+    @staticmethod
+    def hifi_default() -> "AffineScoring":
+        # PacBio-HiFi low-error mode (BASELINE config 2): errors are rare,
+        # so mismatches and gap opens cost more relative to matches,
+        # sharpening allele boundaries on clean reads
+        return AffineScoring(5.0, -16.0, 4.0, -32.0, -4.0, 1.0)
+
     def match_mismatch(self, a: int, b: int) -> float:
         if a == FASTA_N or b == FASTA_N or a < 58 or b < 58:
             return self.special_character_score

@@ -43,6 +43,12 @@ def main(argv=None) -> int:
     p_align.add_argument("--single-ref-native", action="store_true",
                          help="use native affine scoring on single-reference "
                               "panels instead of the rust-bio-compat scoring")
+    p_align.add_argument("--mode", default="ont", choices=["ont", "hifi"],
+                         help="scoring preset: ont (reference-compatible) or "
+                              "hifi (PacBio low-error)")
+    p_align.add_argument("--router", default="kmer", choices=["kmer", "hmm"],
+                         help="multi-reference routing: unique-kmer vote or "
+                              "pair-HMM forward likelihood")
 
     p_collapse = sub.add_parser(
         "collapse", help="hierarchically sort, correct and collapse tags")
@@ -82,6 +88,8 @@ def main(argv=None) -> int:
             min_read_length=args.min_read_length,
             batch_size=args.batch_size,
             single_ref_native=args.single_ref_native,
+            mode=args.mode,
+            router=args.router,
         )
         logging.info("align done: %s", stats)
         return 0

@@ -7,15 +7,8 @@ import os
 
 def enable_persistent_cache() -> None:
     """Enable XLA persistent compilation cache so repeated pipeline runs skip
-    the (20-150s) first-compile cost.
-
-    Skipped on the axon TPU tunnel: its remote-compile path
-    (PALLAS_AXON_REMOTE_COMPILE) deadlocks with the persistent cache."""
+    the (20-150s) first-compile cost."""
     import jax
-
-    if os.environ.get("JAX_PLATFORMS", "") == "axon" or \
-            os.environ.get("PALLAS_AXON_REMOTE_COMPILE"):
-        return
     cache_dir = os.environ.get(
         "CLIQUE_TPU_XLA_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "clique_tpu_xla"))
