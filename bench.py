@@ -113,5 +113,36 @@ references:
     }))
 
 
+def _supervised() -> None:
+    """Run the benchmark in a child process with a timeout + retries: the
+    TPU tunnel's device claim can wedge permanently if a prior holder was
+    killed; a fresh process after a cool-down recovers."""
+    import subprocess
+
+    for attempt in range(3):
+        env = dict(os.environ, BENCH_CHILD="1")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=480, capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            print(f"[bench] attempt {attempt + 1} timed out; cooling down",
+                  file=sys.stderr, flush=True)
+            time.sleep(120)
+            continue
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        sys.stderr.write(proc.stderr[-2000:])
+        if lines:
+            print(lines[-1])
+            return
+        print(f"[bench] attempt {attempt + 1} produced no result "
+              f"(rc={proc.returncode}); retrying", file=sys.stderr, flush=True)
+        time.sleep(120)
+    raise SystemExit("bench failed after 3 attempts")
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD"):
+        main()
+    else:
+        _supervised()

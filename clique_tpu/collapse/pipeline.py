@@ -370,27 +370,54 @@ def _fmt_rate(x: float) -> str:
 
 def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
              temp_dir: Optional[str] = None, correct_only: bool = False,
-             downsample_cap: int = 40) -> CollapseStats:
-    """The `clique collapse` equivalent (collapse.rs:70-141)."""
+             downsample_cap: int = 40,
+             metrics_path: Optional[str] = None) -> CollapseStats:
+    """The `clique collapse` equivalent (collapse.rs:70-141).
+
+    Also emits collapse_metrics.json (the reference README promises this,
+    README.md:66-69, but never writes it): per-reference read accounting,
+    per-level pass counts, and output record counts."""
+    import json
+    import time
+
     rm = ReferenceManager.from_layout(layout)
     known_lists = load_known_lists(layout)
     references = [(r.name, len(r.sequence)) for r in rm.references.values()]
     writer = open_alignment_writer(output_path, references)
     stats = CollapseStats()
+    metrics = {"input_bam": input_bam, "references": {},
+               "started": time.time()}
 
     for ref in rm.references.values():
         log.info("processing reads from input BAM file: %s (reference %s)",
                  input_bam, ref.name)
+        before = stats.passing
         reads = read_sorting_reads_from_bam(
             input_bam, ref.name, rm, layout, stats)
+        ref_metrics = {"passing_reads": stats.passing - before, "levels": []}
         if not reads:
             log.warning("No valid reads found for reference %s", ref.name)
+            metrics["references"][ref.name] = ref_metrics
             continue
         for tag in layout.get_sorted_umi_configurations(ref.name):
+            n_in = len(reads)
             reads = sort_level(reads, tag, known_lists)
+            ref_metrics["levels"].append({
+                "symbol": tag.symbol, "sort_type": tag.sort_type.value,
+                "reads_in": n_in, "reads_out": len(reads)})
         written = write_outputs(reads, writer, rm, correct_only,
                                 downsample_cap)
+        ref_metrics["output_records"] = written
+        metrics["references"][ref.name] = ref_metrics
         log.info("reference %s: wrote %d records", ref.name, written)
 
     writer.close()
+    metrics["elapsed_s"] = round(time.time() - metrics["started"], 3)
+    metrics["read_stats"] = {
+        "total": stats.total_reads, "unmapped": stats.unmapped,
+        "secondary": stats.secondary, "failed_filters": stats.failed_filters,
+        "invalid_tags": stats.invalid_tags, "passing": stats.passing}
+    mpath = metrics_path or (str(output_path) + ".collapse_metrics.json")
+    with open(mpath, "w") as fh:
+        json.dump(metrics, fh, indent=2)
     return stats
