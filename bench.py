@@ -42,14 +42,23 @@ def main() -> None:
     rng = np.random.default_rng(2026)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
 
+    # Representative GESTALT-style lineage amplicon (BASELINE configs 1/3):
+    # ~600bp with a 16bp cell barcode, 12bp UMI, and ten 23bp Cas9 target
+    # sites separated by fixed linkers - the shape real ONT lineage
+    # libraries have (the reference's own test amplicons are 0.2-1.9kb).
     a5 = "TTCAGACGTGTGCTCTTCCGATCT"
     a3 = "AGATCGGAAGAGCACACGTCTGAA"
-    target = "GGCACTGCGGCTGGAGGTGGTGAGCAAGGGCGAGGA"
-    ref_seq = f"{a5}{'0' * 16}{'1' * 12}{target}{a3}"
+    targets = [rng.choice(bases, 20).tobytes().decode() + "TGG"
+               for _ in range(10)]
+    linker = "GAAA"
+    target_block = linker.join(targets)
+    ref_seq = f"{a5}{'0' * 16}{'1' * 12}{target_block}{a3}"
 
     n_reads = 20000
     with tempfile.TemporaryDirectory() as tmp:
         layout_path = os.path.join(tmp, "layout.yaml")
+        target_list = ", ".join(f'"{t}"' for t in targets)
+        type_list = ", ".join('"Cas9WT"' for _ in targets)
         with open(layout_path, "w") as fh:
             fh.write(f"""
 known_strand: true
@@ -59,17 +68,17 @@ reads:
 references:
   amplicon1:
     sequence: "{ref_seq}"
-    targets: ["{target}"]
-    target_types: ["Cas9WT"]
+    targets: [{target_list}]
+    target_types: [{type_list}]
     umi_configurations:
       cell_id: {{symbol: '0', sort_type: "KnownTag", length: 16, order: 0, max_distance: 2}}
       cell_umi: {{symbol: '1', sort_type: "DegenerateTag", length: 12, order: 1, max_distance: 2}}
 """)
         fq = os.path.join(tmp, "reads.fastq")
         sub_p = 0.05
-        L = len(ref_seq)
         base_read = np.frombuffer(
-            (a5 + "N" * 28 + target + a3).encode(), dtype=np.uint8)
+            (a5 + "N" * 28 + target_block + a3).encode(), dtype=np.uint8)
+        L = len(base_read)
         with open(fq, "w") as fh:
             for i in range(n_reads):
                 read = base_read.copy()

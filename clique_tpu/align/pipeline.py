@@ -265,6 +265,7 @@ def align_reads(
         refs = [rm.references[p.ref_id].sequence for p in pending]
         reads = [p.seq for p in pending]
         out = aligner.align_pairs(refs, reads)
+        batch_records = []
         for p, (a1, a2, cigar, score) in zip(pending, out):
             aligned = AlignedRead(
                 read_name=p.name,
@@ -275,7 +276,12 @@ def align_reads(
                 cigar=cigar,
                 score=0.0 if report_zero_score else score,
             )
-            _write_aligned(writer, aligned, layout, stats)
+            batch_records.append(_make_record(aligned, layout))
+        if hasattr(writer, "write_batch"):
+            writer.write_batch(batch_records)
+        else:
+            for rec in batch_records:
+                writer.write(rec)
         stats.aligned += len(pending)
         if stats.aligned % 1_000_000 < len(pending):
             log.info("Time elapsed in aligning reads (%d) is: %.1fs",
@@ -405,8 +411,7 @@ def _choose_reference(rm: ReferenceManager, layout: SequenceLayout,
     return list(votes.keys())
 
 
-def _write_aligned(writer, aligned: AlignedRead, layout: SequenceLayout,
-                   stats: AlignStats) -> None:
+def _make_record(aligned: AlignedRead, layout: SequenceLayout) -> SamRecord:
     ref_cfg = layout.references.get(aligned.reference_name)
     tags: Dict[str, str] = {}
     if ref_cfg is not None:
@@ -420,9 +425,6 @@ def _write_aligned(writer, aligned: AlignedRead, layout: SequenceLayout,
                 tags[f"e{sym}"] = hit
         non_digit = [s for s in symbols if not s.isdigit()]
         if non_digit:
-            # symbols outside '0'-'9' are not captured by the extractor walk
-            # (SPECIAL_CHARACTERS covers digits only, extractor.rs:20-35);
-            # run the exact walk so zone captures can match if configured
             extracted = extract_tagged_sequences(
                 aligned.read_aligned, aligned.reference_aligned)
             for sym in non_digit:
@@ -431,4 +433,9 @@ def _write_aligned(writer, aligned: AlignedRead, layout: SequenceLayout,
                     tags[f"e{sym}"] = hit
     tags["rc"] = "1"
     tags["ar"] = aligned.read_name
-    writer.write(aligned.to_sam_record(tags))
+    return aligned.to_sam_record(tags)
+
+
+def _write_aligned(writer, aligned: AlignedRead, layout: SequenceLayout,
+                   stats: AlignStats) -> None:
+    writer.write(_make_record(aligned, layout))

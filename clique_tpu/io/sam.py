@@ -222,6 +222,91 @@ class BamWriter:
         ) + name_b + cigar_b + bytes(seq_b) + qual_b + bytes(tags_b)
         self._bgzf.write(struct.pack("<i", len(body)) + body)
 
+    def write_batch(self, records: List[SamRecord]) -> None:
+        """Encode a whole batch of records through the native C codec
+        (clique_tpu/native/bamcodec.c) in one call; falls back to per-record
+        python encoding when no C compiler is available."""
+        from clique_tpu.native import get_lib
+
+        lib = get_lib()
+        if lib is None or not records:
+            for rec in records:
+                self.write(rec)
+            return
+
+        import ctypes
+
+        n = len(records)
+        ref_ids = np.empty(n, dtype=np.int32)
+        pos0 = np.empty(n, dtype=np.int32)
+        mapq = np.empty(n, dtype=np.uint8)
+        flags = np.empty(n, dtype=np.uint16)
+        names = []
+        cigars = []
+        seqs = []
+        quals = []
+        tags = []
+        for i, rec in enumerate(records):
+            ref_ids[i] = self._ref_ids.get(rec.reference_name, -1) \
+                if rec.reference_name else -1
+            pos0[i] = rec.pos - 1 if rec.pos > 0 else -1
+            mapq[i] = rec.mapq
+            flags[i] = rec.flag
+            names.append(rec.name.encode())
+            cigars.append(np.array(
+                [(c << 4) | _CIGAR_CODE[op] for c, op in rec.cigar
+                 if op in _CIGAR_CODE], dtype=np.uint32))
+            seqs.append(rec.seq)
+            if rec.qual and rec.qual != b"*" and len(rec.qual) == len(rec.seq):
+                quals.append((np.frombuffer(rec.qual, dtype=np.uint8) - 33
+                              ).tobytes())
+            else:
+                quals.append(b"")
+            tag_b = bytearray()
+            for k, v in rec.tags.items():
+                tag_b += k.encode() + b"Z" + v.encode() + b"\x00"
+            for k, (t, v) in rec.typed_tags.items():
+                if t == "i":
+                    tag_b += k.encode() + b"i" + struct.pack("<i", int(v))
+                elif t == "f":
+                    tag_b += k.encode() + b"f" + struct.pack("<f", float(v))
+                else:
+                    tag_b += k.encode() + b"Z" + str(v).encode() + b"\x00"
+            tags.append(bytes(tag_b))
+
+        def blob(parts):
+            off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum([len(p) for p in parts], out=off[1:])
+            return b"".join(parts), off
+
+        name_blob, name_off = blob(names)
+        cigar_cat = np.concatenate(cigars) if cigars else \
+            np.zeros(0, dtype=np.uint32)
+        cigar_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(c) for c in cigars], out=cigar_off[1:])
+        seq_blob, seq_off = blob(seqs)
+        qual_blob, qual_off = blob(quals)
+        tag_blob, tag_off = blob(tags)
+
+        cap = (36 + 256) * n + len(name_blob) + 4 * len(cigar_cat) + \
+            len(seq_blob) + len(seq_blob) + len(qual_blob) + len(tag_blob)
+        out = ctypes.create_string_buffer(cap)
+        written = lib.encode_bam_records(
+            n,
+            ref_ids.ctypes.data, pos0.ctypes.data, mapq.ctypes.data,
+            flags.ctypes.data,
+            name_blob, name_off.ctypes.data,
+            cigar_cat.ctypes.data, cigar_off.ctypes.data,
+            seq_blob, seq_off.ctypes.data,
+            qual_blob, qual_off.ctypes.data,
+            tag_blob, tag_off.ctypes.data,
+            ctypes.addressof(out), cap)
+        if written < 0:
+            for rec in records:
+                self.write(rec)
+            return
+        self._bgzf.write(out.raw[:written])
+
     def close(self) -> None:
         self._bgzf.close()
         self._raw.close()

@@ -1,0 +1,192 @@
+/* Native BAM record assembler + BGZF compressor.
+ *
+ * The htslib-equivalent hot path of the output layer (the reference engine
+ * links rust-htslib/noodles; we keep the format logic in
+ * clique_tpu/io/sam.py and move the byte-bashing here): encodes whole
+ * batches of BAM records from flat blobs in one call and compresses BGZF
+ * blocks with zlib. Loaded via ctypes (clique_tpu/native/__init__.py),
+ * built on first use with cc -O3 -shared -lz.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+#include <zlib.h>
+
+/* 4-bit encoding table for SEQ: =ACMGRSVTWYHKDBN */
+static unsigned char nib_lut[256];
+static int nib_init_done = 0;
+
+static void nib_init(void) {
+    const char *alpha = "=ACMGRSVTWYHKDBN";
+    int i;
+    for (i = 0; i < 256; i++) nib_lut[i] = 15;
+    for (i = 0; i < 16; i++) {
+        nib_lut[(unsigned char)alpha[i]] = (unsigned char)i;
+        if (alpha[i] >= 'A' && alpha[i] <= 'Z')
+            nib_lut[(unsigned char)(alpha[i] + 32)] = (unsigned char)i;
+    }
+    nib_init_done = 1;
+}
+
+/* SAM-spec reg2bin */
+static int reg2bin(int beg, int end) {
+    end -= 1;
+    if (end < beg) end = beg;
+    if (beg >> 14 == end >> 14) return ((1 << 15) - 1) / 7 + (beg >> 14);
+    if (beg >> 17 == end >> 17) return ((1 << 12) - 1) / 7 + (beg >> 17);
+    if (beg >> 20 == end >> 20) return ((1 << 9) - 1) / 7 + (beg >> 20);
+    if (beg >> 23 == end >> 23) return ((1 << 6) - 1) / 7 + (beg >> 23);
+    if (beg >> 26 == end >> 26) return ((1 << 3) - 1) / 7 + (beg >> 26);
+    return 0;
+}
+
+/* Encode N records into out (caller-sized). Blobs are concatenations with
+ * int64 offset arrays of length N+1. cigar blob holds packed uint32 ops.
+ * quals blob holds raw phred (already -33) or is ignored when
+ * qual_offsets[i+1]==qual_offsets[i] (fill 0xFF). Returns bytes written,
+ * or -1 if out_cap is too small. */
+long encode_bam_records(
+    long n,
+    const int32_t *ref_ids, const int32_t *pos0, const uint8_t *mapq,
+    const uint16_t *flags,
+    const char *name_blob, const int64_t *name_off,
+    const uint32_t *cigar_blob, const int64_t *cigar_off,
+    const char *seq_blob, const int64_t *seq_off,
+    const char *qual_blob, const int64_t *qual_off,
+    const char *tag_blob, const int64_t *tag_off,
+    char *out, long out_cap)
+{
+    long w = 0;
+    long i;
+    if (!nib_init_done) nib_init();
+
+    for (i = 0; i < n; i++) {
+        long name_len = name_off[i + 1] - name_off[i];      /* no NUL */
+        long n_cigar = cigar_off[i + 1] - cigar_off[i];
+        long l_seq = seq_off[i + 1] - seq_off[i];
+        long qual_len = qual_off[i + 1] - qual_off[i];
+        long tag_len = tag_off[i + 1] - tag_off[i];
+        long seq_bytes = (l_seq + 1) / 2;
+        long body = 32 + (name_len + 1) + 4 * n_cigar + seq_bytes + l_seq
+                    + tag_len;
+        long ref_span = 0, k;
+        int bin;
+        char *p;
+
+        if (w + 4 + body > out_cap) return -1;
+
+        for (k = 0; k < n_cigar; k++) {
+            uint32_t op = cigar_blob[cigar_off[i] + k];
+            uint32_t code = op & 0xF;
+            /* M=0 I=1 D=2 N=3 S=4 ... consume reference for M,D,N,=,X */
+            if (code == 0 || code == 2 || code == 3 || code == 7 || code == 8)
+                ref_span += op >> 4;
+        }
+        if (ref_span == 0) ref_span = 1;
+        bin = reg2bin(pos0[i] < 0 ? 0 : pos0[i],
+                      (pos0[i] < 0 ? 0 : pos0[i]) + (int)ref_span);
+
+        p = out + w;
+        *(int32_t *)(p) = (int32_t)body;
+        p += 4;
+        /* 32-byte fixed record header */
+        *(int32_t *)(p + 0) = ref_ids[i];
+        *(int32_t *)(p + 4) = pos0[i];
+        ((unsigned char *)p)[8] = (unsigned char)(name_len + 1);
+        ((unsigned char *)p)[9] = mapq[i];
+        *(uint16_t *)(p + 10) = (uint16_t)bin;
+        *(uint16_t *)(p + 12) = (uint16_t)n_cigar;
+        *(uint16_t *)(p + 14) = flags[i];
+        *(int32_t *)(p + 16) = (int32_t)l_seq;
+        *(int32_t *)(p + 20) = -1;
+        *(int32_t *)(p + 24) = -1;
+        *(int32_t *)(p + 28) = 0;
+        p += 32;
+        memcpy(p, name_blob + name_off[i], (size_t)name_len);
+        p[name_len] = 0;
+        p += name_len + 1;
+        memcpy(p, cigar_blob + cigar_off[i], (size_t)(4 * n_cigar));
+        p += 4 * n_cigar;
+        {
+            const unsigned char *s =
+                (const unsigned char *)(seq_blob + seq_off[i]);
+            long j;
+            for (j = 0; j + 1 < l_seq; j += 2)
+                *p++ = (char)((nib_lut[s[j]] << 4) | nib_lut[s[j + 1]]);
+            if (l_seq & 1)
+                *p++ = (char)(nib_lut[s[l_seq - 1]] << 4);
+        }
+        if (qual_len == l_seq) {
+            memcpy(p, qual_blob + qual_off[i], (size_t)l_seq);
+        } else {
+            memset(p, 0xFF, (size_t)l_seq);
+        }
+        p += l_seq;
+        memcpy(p, tag_blob + tag_off[i], (size_t)tag_len);
+        p += tag_len;
+        w += 4 + body;
+    }
+    return w;
+}
+
+/* Compress data into BGZF blocks. Returns bytes written or -1 on error /
+ * insufficient out_cap. */
+long bgzf_compress(const char *data, long len, int level,
+                   char *out, long out_cap)
+{
+    const long MAX_BLOCK = 0xFF00;
+    long r = 0, w = 0;
+    while (r < len) {
+        long chunk = len - r < MAX_BLOCK ? len - r : MAX_BLOCK;
+        uLongf comp_cap = compressBound((uLong)chunk);
+        unsigned char *cbuf = (unsigned char *)malloc(comp_cap);
+        z_stream zs;
+        unsigned long crc;
+        long bsize;
+        if (!cbuf) return -1;
+        memset(&zs, 0, sizeof(zs));
+        if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                         Z_DEFAULT_STRATEGY) != Z_OK) {
+            free(cbuf);
+            return -1;
+        }
+        zs.next_in = (Bytef *)(data + r);
+        zs.avail_in = (uInt)chunk;
+        zs.next_out = cbuf;
+        zs.avail_out = (uInt)comp_cap;
+        if (deflate(&zs, Z_FINISH) != Z_STREAM_END) {
+            deflateEnd(&zs);
+            free(cbuf);
+            return -1;
+        }
+        deflateEnd(&zs);
+        bsize = (long)zs.total_out + 26;
+        if (w + bsize > out_cap) { free(cbuf); return -1; }
+        {
+            unsigned char *p = (unsigned char *)(out + w);
+            p[0] = 0x1f; p[1] = 0x8b; p[2] = 8; p[3] = 4;
+            p[4] = p[5] = p[6] = p[7] = 0;
+            p[8] = 0; p[9] = 0xff;
+            p[10] = 6; p[11] = 0;
+            p[12] = 'B'; p[13] = 'C'; p[14] = 2; p[15] = 0;
+            p[16] = (unsigned char)((bsize - 1) & 0xff);
+            p[17] = (unsigned char)(((bsize - 1) >> 8) & 0xff);
+            memcpy(p + 18, cbuf, (size_t)zs.total_out);
+            crc = crc32(0L, (const Bytef *)(data + r), (uInt)chunk);
+            p += 18 + zs.total_out;
+            p[0] = (unsigned char)(crc & 0xff);
+            p[1] = (unsigned char)((crc >> 8) & 0xff);
+            p[2] = (unsigned char)((crc >> 16) & 0xff);
+            p[3] = (unsigned char)((crc >> 24) & 0xff);
+            p[4] = (unsigned char)(chunk & 0xff);
+            p[5] = (unsigned char)((chunk >> 8) & 0xff);
+            p[6] = (unsigned char)((chunk >> 16) & 0xff);
+            p[7] = (unsigned char)((chunk >> 24) & 0xff);
+        }
+        free(cbuf);
+        w += bsize;
+        r += chunk;
+    }
+    return w;
+}
