@@ -1,0 +1,115 @@
+"""WFA wavefront kernel tests: edit distances vs the DP kernel, affine
+penalties vs a reference computation."""
+
+import numpy as np
+import pytest
+
+from clique_tpu.align.wavefront import (
+    wfa_affine_batch,
+    wfa_edit_batch,
+    wfa_edit_distances,
+)
+
+RNG = np.random.default_rng(11)
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _lev(a, b):
+    m, n = len(a), len(b)
+    d = np.zeros((m + 1, n + 1), dtype=int)
+    d[:, 0] = np.arange(m + 1)
+    d[0, :] = np.arange(n + 1)
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            d[i, j] = min(d[i - 1, j] + 1, d[i, j - 1] + 1,
+                          d[i - 1, j - 1] + (a[i - 1] != b[j - 1]))
+    return d[m, n]
+
+
+def _affine_penalty(a, b, x, o, e):
+    """Reference gap-affine minimal penalty (match 0, mismatch x, gap
+    o + k*e) via plain 3-matrix DP."""
+    INF = 1 << 28
+    m, n = len(a), len(b)
+    M = np.full((m + 1, n + 1), INF, dtype=int)
+    I = np.full((m + 1, n + 1), INF, dtype=int)
+    D = np.full((m + 1, n + 1), INF, dtype=int)
+    M[0, 0] = 0
+    for i in range(1, m + 1):
+        D[i, 0] = o + i * e
+    for j in range(1, n + 1):
+        I[0, j] = o + j * e
+    for i in range(m + 1):
+        for j in range(n + 1):
+            if i > 0:
+                D[i, j] = min(D[i, j], min(M[i - 1, j], D[i - 1, j] - o) + o + e)
+            if j > 0:
+                I[i, j] = min(I[i, j], min(M[i, j - 1], I[i, j - 1] - o) + o + e)
+            if i > 0 and j > 0:
+                sub = 0 if a[i - 1] == b[j - 1] else x
+                M[i, j] = min(M[i, j],
+                              min(M[i - 1, j - 1], I[i - 1, j - 1],
+                                  D[i - 1, j - 1]) + sub)
+            M[i, j] = min(M[i, j], I[i, j], D[i, j])
+    return min(M[m, n], I[m, n], D[m, n])
+
+
+def mutate(seq, sub=0.05, indel=0.02):
+    out = bytearray()
+    for c in seq:
+        r = RNG.random()
+        if r < indel / 2:
+            continue
+        if r < indel:
+            out.append(RNG.choice(BASES))
+        out.append(RNG.choice(BASES) if RNG.random() < sub else c)
+    return bytes(out)
+
+
+def test_wfa_edit_random_pairs():
+    pa, pb = [], []
+    for _ in range(16):
+        a = RNG.choice(BASES, int(RNG.integers(10, 60))).tobytes()
+        pa.append(a)
+        pb.append(mutate(a, sub=0.1, indel=0.06))
+    out = wfa_edit_distances(pa, pb)
+    for a, b, d in zip(pa, pb, out):
+        assert d == _lev(a, b), (a, b, int(d), _lev(a, b))
+
+
+def test_wfa_edit_identical_and_empty_ish():
+    s = RNG.choice(BASES, 40).tobytes()
+    assert wfa_edit_distances([s], [s])[0] == 0
+    assert wfa_edit_distances([s], [s[:-3]])[0] == 3
+
+
+def test_wfa_edit_censoring():
+    a = b"A" * 30
+    b = b"T" * 30
+    out = wfa_edit_distances([a], [b], smax=5)
+    assert out[0] == 6  # censored at smax + 1
+
+
+def test_wfa_affine_random_pairs():
+    L = 48
+    x, o, e = 4, 6, 2
+    pairs = []
+    for _ in range(8):
+        a = RNG.choice(BASES, L).tobytes()
+        b = mutate(a, sub=0.08, indel=0.04)
+        pairs.append((a, b))
+    P = len(pairs)
+    Lm = max(max(len(a), len(b)) for a, b in pairs)
+    arr_a = np.zeros((8, Lm), dtype=np.uint8)
+    arr_b = np.zeros((8, Lm), dtype=np.uint8)
+    la = np.zeros(8, dtype=np.int32)
+    lb = np.zeros(8, dtype=np.int32)
+    for i, (a, b) in enumerate(pairs):
+        arr_a[i, :len(a)] = np.frombuffer(a, dtype=np.uint8)
+        arr_b[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+        la[i], lb[i] = len(a), len(b)
+    out = np.asarray(wfa_affine_batch(arr_a, arr_b, la, lb, n1=Lm, n2=Lm,
+                                      smax=400, x=x, o=o, e=e))
+    for i, (a, b) in enumerate(pairs):
+        expect = _affine_penalty(a, b, x, o, e)
+        assert out[i] == expect, (i, int(out[i]), expect)
