@@ -130,22 +130,31 @@ def _supervised() -> None:
 
     for attempt in range(3):
         env = dict(os.environ, BENCH_CHILD="1")
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, timeout=480, capture_output=True, text=True)
-        except subprocess.TimeoutExpired:
-            print(f"[bench] attempt {attempt + 1} timed out; cooling down",
-                  file=sys.stderr, flush=True)
-            time.sleep(120)
-            continue
-        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-        sys.stderr.write(proc.stderr[-2000:])
+        # IMPORTANT: redirect to files, not pipes - a wedged TPU claim can
+        # leave orphaned helper processes holding pipe ends open, which
+        # deadlocks the parent's post-kill pipe drain
+        out_path = tempfile.mktemp(prefix="bench_child_out")
+        err_path = tempfile.mktemp(prefix="bench_child_err")
+        with open(out_path, "w") as out_fh, open(err_path, "w") as err_fh:
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, timeout=480, stdout=out_fh, stderr=err_fh)
+                rc = proc.returncode
+            except subprocess.TimeoutExpired:
+                print(f"[bench] attempt {attempt + 1} timed out; cooling "
+                      f"down", file=sys.stderr, flush=True)
+                time.sleep(120)
+                continue
+        with open(out_path) as fh:
+            lines = [l for l in fh if l.startswith("{")]
+        with open(err_path) as fh:
+            sys.stderr.write(fh.read()[-2000:])
         if lines:
-            print(lines[-1])
+            print(lines[-1].strip())
             return
         print(f"[bench] attempt {attempt + 1} produced no result "
-              f"(rc={proc.returncode}); retrying", file=sys.stderr, flush=True)
+              f"(rc={rc}); retrying", file=sys.stderr, flush=True)
         time.sleep(120)
     raise SystemExit("bench failed after 3 attempts")
 

@@ -131,6 +131,10 @@ class BatchAligner:
         self.batch_size = batch_size
         self.quantum = length_quantum
         self.special_mode = special_mode
+        self.device_seconds = 0.0   # dispatch + sync time
+        self.post_seconds = 0.0     # host-side expansion
+        self.pairs_aligned = 0
+        self.cells_filled = 0
 
     def _bucket_len(self, n: int) -> int:
         q = self.quantum
@@ -152,6 +156,7 @@ class BatchAligner:
         idxs = sorted(range(len(refs)),
                       key=lambda k: (self._bucket_len(len(refs[k]) + 1),
                                      self._bucket_len(len(reads[k]) + 1)))
+        t0 = time.time()
         inflight = []
         while i < len(idxs):
             n1 = self._bucket_len(len(refs[idxs[i]]) + 1)
@@ -163,10 +168,14 @@ class BatchAligner:
                 group.append(idxs[i])
                 i += 1
             inflight.append(self._dispatch_group(group, refs, reads, n1, n2))
+            self.cells_filled += len(group) * (n1 - 1) * (n2 - 1)
+        self.pairs_aligned += len(idxs)
 
         for group, refs_arr, reads_arr, res in inflight:
             ops, n_ops, scores = jax.device_get(
                 (res.ops, res.n_ops, res.score))
+            t1 = time.time()
+            self.device_seconds += t1 - t0
             a_ref, a_read, _valid = dbatch.ops_to_alignments_batch(
                 ops, n_ops, refs_arr, reads_arr)
             for j, k in enumerate(group):
@@ -175,6 +184,8 @@ class BatchAligner:
                               a_read[j, :n].tobytes(),
                               dbatch.cigar_from_ops_row(ops[j], n),
                               float(scores[j]))
+            t0 = time.time()
+            self.post_seconds += t0 - t1
         return results
 
     def _dispatch_group(self, group, refs, reads, n1, n2):
@@ -224,6 +235,7 @@ def align_reads(
     quick_match_threshold: float = 0.90,
     mode: str = "ont",
     router: str = "kmer",
+    metrics_path: Optional[str] = None,
 ) -> AlignStats:
     """The `clique align` equivalent (alignment_functions.rs:63-257).
 
@@ -385,8 +397,29 @@ def align_reads(
         flush_routes()
     flush(pending)
     writer.close()
+    elapsed = time.time() - start
     log.info("Aligned %d/%d reads in %.1fs", stats.aligned, stats.total,
-             time.time() - start)
+             elapsed)
+    if metrics_path:
+        import json
+
+        with open(metrics_path, "w") as fh:
+            json.dump({
+                "total_reads": stats.total,
+                "aligned": stats.aligned,
+                "dropped_length": stats.dropped_length,
+                "failed": stats.failed,
+                "elapsed_s": round(elapsed, 3),
+                "reads_per_s": round(stats.aligned / elapsed, 1)
+                if elapsed else None,
+                "device_seconds": round(aligner.device_seconds, 3),
+                "host_post_seconds": round(aligner.post_seconds, 3),
+                "pairs_aligned": aligner.pairs_aligned,
+                "dp_cells_filled": aligner.cells_filled,
+                "dp_cells_per_s": round(
+                    aligner.cells_filled / aligner.device_seconds)
+                if aligner.device_seconds else None,
+            }, fh, indent=2)
     return stats
 
 
