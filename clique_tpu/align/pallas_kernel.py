@@ -1,0 +1,248 @@
+"""Pallas TPU kernel for the 3-plane affine DP fill.
+
+Fuses the whole anti-diagonal sweep of align/batch.py into a single Mosaic
+kernel: the score carries live in VMEM scratch across grid steps (one grid
+step = one anti-diagonal of one batch tile), and the per-diagonal read
+bytes come from a rolling window updated with one dynamic-slice insert per
+step - the systolic-array formulation of sequence alignment, with the VPU's
+8x128 lanes playing the array:
+
+    w[x] <- read[d-1-x]   (window rolls one lane per diagonal)
+    rx fixed per lane     (ref byte per DP row)
+
+Per grid step the kernel computes the three planes' [TILE_B, n1] updates
+(exactly update_3d_score's max/tie semantics, vectorized) and writes one
+packed traceback byte per cell. Semantics match align/batch.py bit for bit;
+tests run the kernel in interpreter mode on CPU against the golden model,
+and align_batch_device can route through it on TPU with
+CLIQUE_TPU_PALLAS=1.
+
+Full-band fill only (the driver path uses bandwidth >= read length in
+practice); the banded/stale-cell variant stays with the XLA kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from clique_tpu.align.scoring import MAX_NEG_SCORE
+
+DIAG, UP, LEFT = 0, 1, 2
+_TB_FRESH = UP | (UP << 2) | (UP << 4)
+TILE_B = 8
+
+
+def _three_way(up, left, diag):
+    up_wins = (up > left) & (up > diag)
+    left_wins = jnp.logical_not(up > left) & (left > diag)
+    val = jnp.where(up_wins, up, jnp.where(left_wins, left, diag))
+    direction = jnp.where(up_wins, UP,
+                          jnp.where(left_wins, LEFT, DIAG)).astype(jnp.uint8)
+    return val, direction
+
+
+def _fill_kernel(params_ref, lens_ref,           # SMEM
+                 refs_ref, reads_ref,            # VMEM [TILE_B, n1], [TILE_B, n2pad]
+                 tb_ref, corner_ref,             # outputs
+                 pm, pp1, pp2, p2m, p2p1, p2p2,  # scratch [TILE_B, n1] f32
+                 win,                            # scratch [TILE_B, n1] i32
+                 corner_acc):                    # scratch [TILE_B, 128] f32
+    d = pl.program_id(1)
+    n1 = pm.shape[1]
+    neg = jnp.float32(MAX_NEG_SCORE)
+
+    m_s = params_ref[0]
+    mm_s = params_ref[1]
+    sp_s = params_ref[2]
+    go = params_ref[3]
+    ge = params_ref[4]
+    fgm = params_ref[5]
+    n2_real = lens_ref[2]  # padded read length (static per call)
+
+    @pl.when(d == 0)
+    def _init():
+        pm[...] = jnp.zeros_like(pm)
+        pp1[...] = jnp.zeros_like(pp1)
+        pp2[...] = jnp.zeros_like(pp2)
+        p2m[...] = jnp.zeros_like(p2m)
+        p2p1[...] = jnp.zeros_like(p2p1)
+        p2p2[...] = jnp.zeros_like(p2p2)
+        win[...] = jnp.zeros_like(win)
+        corner_acc[...] = jnp.zeros_like(corner_acc)
+
+    # roll the read window: w[x] <- read[d-1-x]; new byte read[d-1] at x=0
+    w_prev = win[...]
+    rolled = pltpu.roll(w_prev, 1, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 1)
+    new_byte = jax.lax.cond(
+        d >= 1,
+        lambda: reads_ref[:, pl.ds(jnp.minimum(d - 1, n2_real - 1), 1)]
+        .astype(jnp.int32),
+        lambda: jnp.zeros((rolled.shape[0], 1), jnp.int32))
+    w = jnp.where(lane == 0, new_byte, rolled)
+    win[...] = w
+
+    x = lane                                    # [TILE_B, n1]
+    y = d - x
+    # uniform-length tiles: every element of the call shares (l1, l2)
+    l1 = lens_ref[0]
+    l2 = lens_ref[1]
+
+    rx = refs_ref[...].astype(jnp.int32)        # ref byte at x-1, pre-shifted
+    ry = w
+    special = (rx == 78) | (ry == 78) | (rx < 58) | (ry < 58)
+    ms = jnp.where(special, sp_s, jnp.where(rx == ry, m_s, mm_s))
+
+    gm = jnp.where((x == l1) | (y == l2), fgm, jnp.float32(1.0))
+    x1 = go + ge * gm
+    lge = ge * gm
+
+    def shift(v):
+        r = pltpu.roll(v, 1, 1)
+        return jnp.where(lane == 0, jnp.float32(0.0), r)
+
+    p2m_s = shift(p2m[...])
+    p2p1_s = shift(p2p1[...])
+    p2p2_s = shift(p2p2[...])
+    pm_v = pm[...]
+    pp1_v = pp1[...]
+    pp2_v = pp2[...]
+    pm_s = shift(pm_v)
+    pp1_s = shift(pp1_v)
+    pp2_s = shift(pp2_v)
+
+    m_val, m_dir = _three_way(p2p1_s + ms, p2p2_s + ms, p2m_s + ms)
+    d_val, d_dir = _three_way(pp1_s + lge, pp2_s + x1, pm_s + x1)
+    i_val, i_dir = _three_way(pp1_v + x1, pp2_v + lge, pm_v + x1)
+
+    interior = (x >= 1) & (x <= l1) & (y >= 1) & (y <= l2)
+    is_x_border = (x == 0) & (y >= 1) & (y <= l2)
+    is_y_border = (y == 0) & (x >= 1) & (x <= l1)
+    is_origin = (x == 0) & (y == 0)
+
+    xb = (go + y.astype(jnp.float32) * ge) * fgm
+    yb = (go + x.astype(jnp.float32) * ge) * fgm
+
+    m_out = jnp.where(interior, m_val,
+                      jnp.where(is_origin, 0.0,
+                                jnp.where(is_x_border | is_y_border, neg,
+                                          0.0))).astype(jnp.float32)
+    p1_out = jnp.where(interior, d_val,
+                       jnp.where(is_x_border, xb,
+                                 jnp.where(is_y_border, yb,
+                                           jnp.where(is_origin, neg, 0.0)))
+                       ).astype(jnp.float32)
+    p2_out = jnp.where(interior, i_val,
+                       jnp.where(is_x_border, xb,
+                                 jnp.where(is_y_border, yb,
+                                           jnp.where(is_origin, neg, 0.0)))
+                       ).astype(jnp.float32)
+
+    tb = jnp.where(
+        interior,
+        m_dir.astype(jnp.int32) | (d_dir.astype(jnp.int32) << 2)
+        | (i_dir.astype(jnp.int32) << 4),
+        _TB_FRESH).astype(jnp.int32)
+    # pack 4 diagonals per int32 word (block revisited for d % 4 != 0)
+    word = (tb << (8 * (d % 4)))[:, None, :]
+
+    @pl.when(d % 4 == 0)
+    def _new_word():
+        tb_ref[...] = word
+
+    @pl.when(d % 4 != 0)
+    def _or_word():
+        tb_ref[...] = tb_ref[...] | word
+
+    # capture corner scores when the corner diagonal passes (x == l1)
+    on_corner = (d == l1 + l2)
+    corner_col = jnp.where(x == l1, m_out, 0.0)
+    corner_m = jnp.sum(corner_col, axis=1, keepdims=True)
+    corner_p1 = jnp.sum(jnp.where(x == l1, p1_out, 0.0), axis=1,
+                        keepdims=True)
+    corner_p2 = jnp.sum(jnp.where(x == l1, p2_out, 0.0), axis=1,
+                        keepdims=True)
+    acc = corner_acc[...]
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+    packed = jnp.where(lane128 == 0, corner_m,
+                       jnp.where(lane128 == 1, corner_p1,
+                                 jnp.where(lane128 == 2, corner_p2, 0.0)))
+
+    @pl.when(on_corner)
+    def _store_corner():
+        corner_acc[...] = packed
+
+    corner_ref[...] = corner_acc[...][:, None, :]
+
+    # rotate carries
+    p2m[...] = pm_v
+    p2p1[...] = pp1_v
+    p2p2[...] = pp2_v
+    pm[...] = m_out
+    pp1[...] = p1_out
+    pp2[...] = p2_out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n1", "n2", "interpret"))
+def pallas_fill(refs, reads, ref_len: int, read_len: int, scoring_params,
+                *, n1: int, n2: int, interpret: bool = False):
+    """Fill via the Pallas kernel for a uniform-length batch.
+
+    refs [B, n1] uint8 pre-shifted so refs[:, x] = ref byte for DP row x
+    (i.e. ref[x-1], column 0 arbitrary); reads [B, n2pad] uint8.
+    Returns (tb [B, D, n1] uint8-compatible i32, corner [B, 3] f32).
+    """
+    B = refs.shape[0]
+    assert B % TILE_B == 0
+    D = n1 + n2 - 1
+    Dp = -(-D // 4)
+    n2pad = reads.shape[1]
+
+    params = scoring_params.astype(jnp.float32)
+    lens = jnp.array([ref_len, read_len, n2pad], dtype=jnp.int32)
+
+    grid = (B // TILE_B, D)
+    out_tb, out_corner = pl.pallas_call(
+        _fill_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE_B, n1), lambda i, d: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, n2pad), lambda i, d: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE_B, 1, n1), lambda i, d: (i, d // 4, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, 1, 128), lambda i, d: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Dp, n1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_B, n1), jnp.float32) for _ in range(6)
+        ] + [
+            pltpu.VMEM((TILE_B, n1), jnp.int32),
+            pltpu.VMEM((TILE_B, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(params, lens, refs.astype(jnp.int32), reads)
+    corner = out_corner[:, 0, :3]
+    # unpack 4-diagonal words back to one uint8 per cell: [B, Dp, n1] i32
+    # -> [B, 4 * Dp, n1] u8 -> [:, :D]
+    shifts = jnp.array([0, 8, 16, 24], dtype=jnp.int32)
+    unpacked = ((out_tb[:, :, None, :] >> shifts[None, None, :, None])
+                & 0xFF).astype(jnp.uint8)
+    tb_u8 = unpacked.reshape(B, 4 * Dp, n1)[:, :D]
+    return tb_u8, corner
