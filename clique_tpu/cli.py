@@ -61,6 +61,9 @@ def main(argv=None) -> int:
     p_collapse.add_argument("--fast-reference-lookup", action="store_true")
     p_collapse.add_argument("--max-deletion", type=int, default=0)
     p_collapse.add_argument("--correct-only", action="store_true")
+    p_collapse.add_argument("--checkpoint", action="store_true",
+                            help="persist each correction level under "
+                                 "--temp-dir and resume interrupted runs")
 
     p_call = sub.add_parser(
         "call", help="call editing events / lineage alleles from a tagged BAM")
@@ -105,6 +108,7 @@ def main(argv=None) -> int:
             input_bam=args.input_bam_file,
             temp_dir=None if args.temp_dir == "NONE" else args.temp_dir,
             correct_only=args.correct_only,
+            checkpoint=args.checkpoint,
         )
         return 0
 

@@ -368,15 +368,48 @@ def _fmt_rate(x: float) -> str:
     return repr(x)
 
 
+def _checkpoint_path(temp_dir: str, ref_name: str, level: int) -> str:
+    import os
+
+    safe = "".join(c if c.isalnum() else "_" for c in ref_name)
+    return os.path.join(temp_dir, f"collapse.{safe}.level{level}.ckpt")
+
+
+def _save_checkpoint(path: str, reads: List[SortingRead]) -> None:
+    import pickle
+
+    with open(path + ".tmp", "wb") as fh:
+        pickle.dump(reads, fh, protocol=pickle.HIGHEST_PROTOCOL)
+    import os
+
+    os.replace(path + ".tmp", path)
+
+
+def _load_checkpoint(path: str) -> Optional[List[SortingRead]]:
+    import os
+    import pickle
+
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as fh:
+        return pickle.load(fh)
+
+
 def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
              temp_dir: Optional[str] = None, correct_only: bool = False,
              downsample_cap: int = 40,
-             metrics_path: Optional[str] = None) -> CollapseStats:
+             metrics_path: Optional[str] = None,
+             checkpoint: bool = False) -> CollapseStats:
     """The `clique collapse` equivalent (collapse.rs:70-141).
 
     Also emits collapse_metrics.json (the reference README promises this,
     README.md:66-69, but never writes it): per-reference read accounting,
-    per-level pass counts, and output record counts."""
+    per-level pass counts, and output record counts.
+
+    With checkpoint=True (requires temp_dir), each correction level's
+    output is persisted and an interrupted run resumes from the last
+    completed level - the explicit version of the reference's implicit
+    shardio temp files (SURVEY section 5 checkpoint/resume)."""
     import json
     import time
 
@@ -399,12 +432,30 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
             log.warning("No valid reads found for reference %s", ref.name)
             metrics["references"][ref.name] = ref_metrics
             continue
-        for tag in layout.get_sorted_umi_configurations(ref.name):
+        configs = layout.get_sorted_umi_configurations(ref.name)
+        start_level = 0
+        if checkpoint and temp_dir:
+            # resume from the deepest completed level
+            for lvl in range(len(configs), 0, -1):
+                saved = _load_checkpoint(
+                    _checkpoint_path(temp_dir, ref.name, lvl))
+                if saved is not None:
+                    reads = saved
+                    start_level = lvl
+                    log.info("resumed reference %s from level %d "
+                             "(%d reads)", ref.name, lvl, len(reads))
+                    break
+        for lvl, tag in enumerate(configs):
+            if lvl < start_level:
+                continue
             n_in = len(reads)
             reads = sort_level(reads, tag, known_lists)
             ref_metrics["levels"].append({
                 "symbol": tag.symbol, "sort_type": tag.sort_type.value,
                 "reads_in": n_in, "reads_out": len(reads)})
+            if checkpoint and temp_dir:
+                _save_checkpoint(
+                    _checkpoint_path(temp_dir, ref.name, lvl + 1), reads)
         written = write_outputs(reads, writer, rm, correct_only,
                                 downsample_cap)
         ref_metrics["output_records"] = written
