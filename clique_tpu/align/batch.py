@@ -204,7 +204,12 @@ def align_batch_device(
     score = jnp.take_along_axis(corner, z0[:, None], axis=1)[:, 0]
 
     # --- traceback walk (perform_3d_global_traceback, :941-1086) ----------
+    # flat 1-D gathers: per sequential step we pull B bytes from the packed
+    # traceback; 3-D gathers on a multi-hundred-MB array are pathologically
+    # slow on TPU, a flat take is a fast path
     T = n1 + n2  # upper bound on number of ops
+    tb_flat = tb_b.reshape(-1)
+    b_base = jnp.arange(B, dtype=jnp.int32) * (D * n1)
 
     def walk_step(state, _):
         x, y, z = state
@@ -215,7 +220,8 @@ def align_batch_device(
                       jnp.where(y > 0, jnp.uint8(OP_INS), jnp.uint8(OP_DONE))))
 
         d = x + y
-        byte = tb_b[jnp.arange(B), jnp.clip(d, 0, D - 1), jnp.clip(x, 0, n1 - 1)]
+        flat_idx = b_base + jnp.clip(d, 0, D - 1) * n1 + jnp.clip(x, 0, n1 - 1)
+        byte = jnp.take(tb_flat, flat_idx)
         direction = (byte >> (2 * z.astype(jnp.uint8))).astype(jnp.int32) & 3
 
         dx = jnp.where(in_core,
