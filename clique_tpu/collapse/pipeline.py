@@ -83,14 +83,17 @@ def alignment_check(read: SortingRead, min_aligned_bases: int = 45,
     """AlignmentCheck filter (collapse.rs:251-279): over columns where both
     bytes are > 59 and the reference isn't N, require >= min_aligned_bases
     alignable columns at >= min_identical identity."""
-    matches = alignable = 0
-    for x, y in zip(read.read_aligned, read.reference_aligned):
-        if y > 59 and x > 59 and y != FASTA_N:
-            alignable += 1
-            if x == y:
-                matches += 1
+    import numpy as np
+
+    x = np.frombuffer(read.read_aligned, dtype=np.uint8)
+    y = np.frombuffer(read.reference_aligned, dtype=np.uint8)
+    n = min(len(x), len(y))
+    x, y = x[:n], y[:n]
+    mask = (y > 59) & (x > 59) & (y != FASTA_N)
+    alignable = int(mask.sum())
     if alignable == 0:
         return False
+    matches = int(((x == y) & mask).sum())
     return (matches / alignable >= min_identical) and \
         (alignable >= min_aligned_bases)
 
@@ -303,18 +306,32 @@ def _consensus_record(group: List[SortingRead], rm: ReferenceManager,
         ref_name = Counter(
             r.reference_name for r in group).most_common(1)[0][0]
         ref_seq = rm.references[rm.name_to_id[ref_name]].sequence
-        candidate = AlignmentCandidate(ref_seq, ref_name)
-        failures = 0
-        for r in group:
-            try:
-                candidate.add_alignment(r.reference_aligned, r.read_aligned,
-                                        r.read_name, r.read_quals)
-            except ValueError:
-                failures += 1
-        if failures > 1:
-            raise RuntimeError(
-                f"Unable to create consensus for {len(group)} reads")
-        con = candidate.to_consensus(gap_call_threshold)
+        from clique_tpu.consensus.fast import (
+            consensus_fast,
+            group_is_insertion_free,
+        )
+
+        if group_is_insertion_free(ref_seq,
+                                   [r.reference_aligned for r in group]):
+            con = consensus_fast(
+                ref_seq, [r.read_aligned for r in group],
+                [r.read_quals for r in group],
+                [r.read_name for r in group], ref_name,
+                gap_call_threshold)
+        else:
+            candidate = AlignmentCandidate(ref_seq, ref_name)
+            failures = 0
+            for r in group:
+                try:
+                    candidate.add_alignment(
+                        r.reference_aligned, r.read_aligned,
+                        r.read_name, r.read_quals)
+                except ValueError:
+                    failures += 1
+            if failures > 1:
+                raise RuntimeError(
+                    f"Unable to create consensus for {len(group)} reads")
+            con = candidate.to_consensus(gap_call_threshold)
         tags["ar"] = ",".join(r.read_name for r in group)
         tags["rm"] = _fmt_rate(alignment_rate_fast(
             con.reference_aligned, con.read_aligned))

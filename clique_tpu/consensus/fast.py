@@ -1,0 +1,132 @@
+"""Vectorized consensus for insertion-free groups.
+
+When no member of a UMI group carries an insertion against the reference
+(the overwhelmingly common case: every gapped reference_aligned equals the
+reference), the stretcher column model reduces to fixed columns and the
+whole group collapses in a handful of numpy array ops: per-column allele
+counts, the log2-space Bayesian posterior of consensus/quality.py summed
+vectorized, gap calls, and run-length CIGAR.
+
+Semantics match consensus/stretcher.py exactly for base calls and CIGAR;
+consensus PHRED values may differ by the floating-point summation order in
+degenerate ties (documented; the slow path remains the reference
+implementation and handles insertion-bearing groups).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from clique_tpu.align.cpu import AlignmentResult, simplify_cigar
+
+GAP = ord("-")
+
+_ALLELE_INDEX = np.full(256, -1, dtype=np.int8)
+for _i, _b in enumerate("ACGTN"):
+    _ALLELE_INDEX[ord(_b)] = _i
+    _ALLELE_INDEX[ord(_b.lower())] = _i
+
+
+def group_is_insertion_free(reference: bytes,
+                            members_ref_aligned: List[bytes]) -> bool:
+    return all(ra == reference for ra in members_ref_aligned)
+
+
+def consensus_fast(reference: bytes, read_aligned: List[bytes],
+                   read_quals: List[Optional[bytes]], read_names: List[str],
+                   reference_name: str,
+                   gap_call_threshold: float = 0.75,
+                   reference_prob: float = 0.75) -> AlignmentResult:
+    """Collapse an insertion-free group. read_aligned rows all have
+    len == len(reference)."""
+    G = len(read_aligned)
+    L = len(reference)
+    reads = np.frombuffer(b"".join(read_aligned), dtype=np.uint8
+                          ).reshape(G, L)
+    ref = np.frombuffer(reference, dtype=np.uint8)
+
+    # per-member per-column quality bytes: the stretcher walks the member's
+    # raw qual string, advancing only on non-gap read bases and substituting
+    # '+' for gaps (stretcher.rs:283-290); gap columns carry no quality.
+    quals = np.full((G, L), ord("h"), dtype=np.int32)
+    nongap = reads != GAP
+    for g in range(G):
+        q = read_quals[g]
+        if q is None:
+            continue  # stretcher substitutes 'h' for missing quals
+        idx = np.nonzero(nongap[g])[0]
+        qa = np.frombuffer(q, dtype=np.uint8)
+        take = min(len(idx), len(qa))
+        quals[g, idx[:take]] = qa[:take]
+
+    allele = _ALLELE_INDEX[reads]                       # [G, L] -1..4
+    valid = allele >= 0
+    gap_mask = reads == GAP
+
+    counts = np.zeros((6, L), dtype=np.int64)           # A C G T N gap
+    for a in range(5):
+        counts[a] = (allele == a).sum(axis=0)
+    counts[5] = gap_mask.sum(axis=0)
+    total = counts.sum(axis=0)
+
+    # Bayesian posterior per column (quality.py combine_qual_scores):
+    p_err = np.power(10.0, quals / -10.0)               # [G, L]
+    l_hit = np.log2(1.0 - p_err)
+    l_miss = np.log2(p_err / 3.0)
+
+    ref_allele = _ALLELE_INDEX[ref]                     # [L]
+    prior = np.full((5, L), np.log2((1.0 - reference_prob) / 4.0))
+    known = ref_allele >= 0
+    prior[ref_allele[known], np.nonzero(known)[0]] = np.log2(reference_prob)
+
+    props = prior.copy()
+    miss_sum = np.where(valid, l_miss, 0.0).sum(axis=0)  # [L]
+    props += miss_sum[None, :]
+    for a in range(5):
+        hit = (allele == a)
+        props[a] += np.where(hit, l_hit - l_miss, 0.0).sum(axis=0)
+
+    powed = np.power(2.0, props)
+    tot = powed.sum(axis=0)
+    posterior = powed / tot                              # [5, L]
+
+    # argmax over ACGT, later alleles win ties (Rust max_by keeps last)
+    acgt = counts[:4]
+    index_of_max = 3 - np.argmax(acgt[::-1], axis=0)
+    chosen_prob = posterior[index_of_max, np.arange(L)]
+
+    # prob_to_phred (quality.py): NaN->0, tiny->0, cap 40, +33 ascii
+    phred = np.where(
+        np.isnan(chosen_prob), 0,
+        np.where(chosen_prob < 1e-8, 0,
+                 np.minimum(40, np.round(
+                     -10.0 * np.log10(1.00000000001 - chosen_prob))))
+    ).astype(np.int64)
+
+    call_gap = (total == 0) | \
+        (np.divide(counts[5], np.maximum(total, 1)) >= gap_call_threshold)
+    bases = np.where(call_gap, GAP,
+                     np.frombuffer(b"ACGT", dtype=np.uint8)[index_of_max]
+                     ).astype(np.uint8)
+    qual_out = (phred[~call_gap] + 33).astype(np.uint8).tobytes()
+
+    # run-length CIGAR: D for gap columns, M otherwise
+    ops = np.where(call_gap, 1, 0).astype(np.uint8)
+    change = np.nonzero(np.diff(ops))[0]
+    starts = np.concatenate(([0], change + 1))
+    ends = np.concatenate((change + 1, [L]))
+    cigar = simplify_cigar(
+        [(int(e - s), "MD"[ops[s]]) for s, e in zip(starts, ends)])
+
+    return AlignmentResult(
+        reference_name=reference_name,
+        read_name=read_names[0] if read_names else "UnnamedRead",
+        reference_aligned=reference,
+        read_aligned=bases.tobytes(),
+        read_quals=qual_out,
+        cigar=cigar,
+        path=[],
+        score=0.0,
+    )
