@@ -48,7 +48,9 @@ from clique_tpu.extract.extractor import (
     extract_tag_sequences,
     extract_tagged_sequences,
     recover_aligned_sequences,
+    recover_aligned_sequences_fast,
     stretch_sequence_to_alignment,
+    stretch_sequence_to_alignment_fast,
 )
 from clique_tpu.io.sam import BamReader, SamRecord, open_alignment_writer
 from clique_tpu.reference.manager import ReferenceManager
@@ -114,9 +116,13 @@ def read_sorting_reads_from_bam(input_bam: str, reference_name: str,
     """sort_reads_from_bam_file (collapse.rs:427-579): stream records for one
     reference, rebuild the gapped alignment (soft clips realigned), stretch
     the wildcard-bearing reference back in, extract + validate tags, filter."""
+    from clique_tpu.extract.extractor import extract_digit_tags_fast
+
     ref_id = rm.name_to_id[reference_name]
     reference_sequence = rm.references[ref_id].sequence
     ref_cfg = layout.references[reference_name]
+    symbols = [u.symbol for u in ref_cfg.umi_configurations.values()]
+    all_digits = all(s.isdigit() for s in symbols)
     out: List[SortingRead] = []
 
     with BamReader(input_bam) as reader:
@@ -131,12 +137,23 @@ def read_sorting_reads_from_bam(input_bam: str, reference_name: str,
                 stats.unmapped += 1
                 continue
 
-            aligned_read, aligned_ref = recover_aligned_sequences(
-                rec.seq, rec.pos, rec.cigar, reference_sequence,
-                soft_clip="Realign")
-            stretched = stretch_sequence_to_alignment(
-                aligned_ref, reference_sequence)
-            tags = extract_tagged_sequences(aligned_read, stretched)
+            fast = recover_aligned_sequences_fast(
+                rec.seq, rec.pos, rec.cigar, reference_sequence)
+            if fast is not None:
+                aligned_read, aligned_ref = fast
+                stretched = stretch_sequence_to_alignment_fast(
+                    aligned_ref, reference_sequence)
+            else:
+                aligned_read, aligned_ref = recover_aligned_sequences(
+                    rec.seq, rec.pos, rec.cigar, reference_sequence,
+                    soft_clip="Realign")
+                stretched = stretch_sequence_to_alignment(
+                    aligned_ref, reference_sequence)
+            if all_digits:
+                tags = {ord(s): v for s, v in extract_digit_tags_fast(
+                    aligned_read, stretched, symbols).items()}
+            else:
+                tags = extract_tagged_sequences(aligned_read, stretched)
             invalid, ordered = extract_tag_sequences(ref_cfg, tags)
             if invalid:
                 stats.invalid_tags += 1

@@ -132,6 +132,66 @@ def extract_digit_tags_fast(aligned_read: bytes, aligned_ref: bytes,
     return out
 
 
+def recover_aligned_sequences_fast(unaligned_read: bytes,
+                                   one_based_start: int,
+                                   cigar, reference: bytes):
+    """Vectorized CIGAR reconstruction for records without soft clips
+    (M/=/X/I/D/N/H/P only). Returns (aligned_read, aligned_ref) matching
+    recover_aligned_sequences, or None when a soft clip requires the
+    realignment path."""
+    import numpy as np
+
+    if not cigar or any(op == "S" for _c, op in cigar):
+        return None
+    ref_pos = one_based_start - 1
+    ops = np.concatenate([
+        np.full(c, {"M": 0, "=": 0, "X": 0, "I": 1, "D": 2, "N": 2}.get(op, 3),
+                dtype=np.uint8)
+        for c, op in cigar]) if cigar else np.zeros(0, np.uint8)
+    core = ops[ops != 3]
+    read_a = np.frombuffer(unaligned_read, dtype=np.uint8)
+    ref_a = np.frombuffer(reference, dtype=np.uint8)
+
+    r_step = core != 1          # consumes reference
+    d_step = core != 2          # consumes read
+    r_idx = np.cumsum(r_step) + ref_pos
+    d_idx = np.cumsum(d_step)
+    mid_ref = np.where(r_step,
+                       ref_a[np.clip(r_idx - 1, 0, len(ref_a) - 1)],
+                       GAP).astype(np.uint8)
+    mid_read = np.where(d_step,
+                        read_a[np.clip(d_idx - 1, 0, len(read_a) - 1)],
+                        GAP).astype(np.uint8)
+    end_ref_pos = ref_pos + int(r_step.sum())
+
+    lead_ref = ref_a[:ref_pos]
+    lead_read = np.full(ref_pos, GAP, dtype=np.uint8)
+    tail_ref = ref_a[end_ref_pos:]
+    tail_read = np.full(len(ref_a) - end_ref_pos, GAP, dtype=np.uint8)
+    aligned_ref = np.concatenate([lead_ref, mid_ref, tail_ref]).tobytes()
+    aligned_read = np.concatenate([lead_read, mid_read, tail_read]).tobytes()
+    return aligned_read, aligned_ref
+
+
+def stretch_sequence_to_alignment_fast(aligned_version: bytes,
+                                       native_version: bytes) -> bytes:
+    """Vectorized stretch_sequence_to_alignment (same trailing-gap-dropping
+    quirk)."""
+    import numpy as np
+
+    av = np.frombuffer(aligned_version, dtype=np.uint8)
+    nv = np.frombuffer(native_version, dtype=np.uint8)
+    if len(nv) == 0:
+        return b""
+    gap = av == GAP
+    nongap_before = np.concatenate(([0], np.cumsum(~gap)[:-1]))
+    emit = nongap_before < len(nv)
+    out = np.where(gap, GAP,
+                   nv[np.clip(nongap_before, 0, max(len(nv) - 1, 0))]
+                   ).astype(np.uint8)
+    return out[emit].tobytes()
+
+
 def alignment_rate_fast(aligned_ref: bytes, aligned_read: bytes) -> float:
     """Vectorized get_reference_alignment_rate
     (consensus_builders.rs:288-307)."""

@@ -7,7 +7,9 @@ from clique_tpu.extract.extractor import (
     extract_tagged_sequences,
     gap_proportion_per_tag,
     recover_aligned_sequences,
+    recover_aligned_sequences_fast,
     stretch_sequence_to_alignment,
+    stretch_sequence_to_alignment_fast,
 )
 
 
@@ -73,3 +75,41 @@ def test_recover_aligned_sequences_indels():
         read, 2, [(4, "M"), (2, "I"), (3, "M")], ref)
     assert aligned_ref == b"AACGT--ACGTAA"
     assert aligned_read == b"-ACGTCCACG---"
+
+
+def test_recover_fast_matches_slow():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ref = rng.choice(bases, 80).tobytes()
+    for cigar, pos in [
+        ([(30, "M")], 5),
+        ([(10, "M"), (4, "I"), (20, "M")], 1),
+        ([(10, "M"), (6, "D"), (10, "M")], 12),
+        ([(8, "M"), (2, "I"), (5, "M"), (3, "D"), (7, "M")], 3),
+        ([(15, "M"), (2, "H"), (5, "M")], 1),
+    ]:
+        read_len = sum(c for c, op in cigar if op in "MI=X")
+        read = rng.choice(bases, read_len).tobytes()
+        slow = recover_aligned_sequences(read, pos, cigar, ref,
+                                         soft_clip="Realign")
+        fast = recover_aligned_sequences_fast(read, pos, cigar, ref)
+        assert fast is not None
+        assert fast == slow, (cigar, pos)
+    # soft clips fall back
+    assert recover_aligned_sequences_fast(b"ACGT", 1, [(4, "S")], ref) is None
+
+
+def test_stretch_fast_matches_slow():
+    cases = [
+        (b"AC-GT-A", b"ACGTA"),
+        (b"ACGT", b"ACGT"),
+        (b"-ACGT", b"ACGT"),
+        (b"ACGT-", b"ACGT"),
+        (b"----", b""),
+        (b"A--CG--T", b"NN12"),
+    ]
+    for aligned, native in cases:
+        assert stretch_sequence_to_alignment_fast(aligned, native) == \
+            stretch_sequence_to_alignment(aligned, native), (aligned, native)
