@@ -171,6 +171,16 @@ class BatchAligner:
             self.cells_filled += len(group) * (n1 - 1) * (n2 - 1)
         self.pairs_aligned += len(idxs)
 
+        # start every device->host copy before blocking on any: the tunnel
+        # occasionally stalls a transfer ~30s, and overlapped copies make
+        # stalls concurrent instead of serial
+        for _g, _ra, _da, res in inflight:
+            for arr in (res.ops, res.n_ops, res.score):
+                try:
+                    arr.copy_to_host_async()
+                except Exception:
+                    pass
+
         for group, refs_arr, reads_arr, res in inflight:
             ops, n_ops, scores = jax.device_get(
                 (res.ops, res.n_ops, res.score))
