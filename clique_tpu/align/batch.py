@@ -56,6 +56,8 @@ class BatchAlignment(NamedTuple):
     start_z: jax.Array    # [B] i32 starting plane (diagnostic)
     ops: jax.Array        # [B, T] uint8 op codes (OP_* above), OP_DONE-padded
     n_ops: jax.Array      # [B] i32 number of valid ops
+    ops_packed: jax.Array  # [B, ceil(T/4)] uint8, 4 ops per byte - pull
+    #                        this instead of `ops` on slow transfer links
 
 
 def _three_way_max(up, left, diag):
@@ -245,7 +247,15 @@ def align_batch_device(
         jnp.take_along_axis(ops_rev, jnp.clip(idx, 0, T - 1), axis=1),
         jnp.uint8(OP_DONE))
 
-    return BatchAlignment(score=score, start_z=z0, ops=ops_fwd, n_ops=n_ops), tb_b
+    # 2-bit packing (ops are 0..3) for cheap device->host transfer
+    T4 = -(-T // 4) * 4
+    o = jnp.pad(ops_fwd, ((0, 0), (0, T4 - T)),
+                constant_values=OP_DONE).reshape(B, T4 // 4, 4)
+    ops_packed = (o[:, :, 0] | (o[:, :, 1] << 2) | (o[:, :, 2] << 4)
+                  | (o[:, :, 3] << 6)).astype(jnp.uint8)
+
+    return BatchAlignment(score=score, start_z=z0, ops=ops_fwd, n_ops=n_ops,
+                          ops_packed=ops_packed), tb_b
 
 
 def scoring_to_params(scoring: AffineScoring) -> jnp.ndarray:
@@ -255,6 +265,14 @@ def scoring_to_params(scoring: AffineScoring) -> jnp.ndarray:
          scoring.special_character_score, scoring.gap_open,
          scoring.gap_extend, scoring.final_gap_multiplier],
         dtype=jnp.float32)
+
+
+def unpack_ops(ops_packed: np.ndarray, T: int) -> np.ndarray:
+    """Host-side unpack of 2-bit op codes -> [B, T] uint8."""
+    B = ops_packed.shape[0]
+    shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
+    u = (ops_packed[:, :, None] >> shifts[None, None, :]) & 3
+    return u.reshape(B, -1)[:, :T].astype(np.uint8)
 
 
 # --- host-side helpers -------------------------------------------------------

@@ -175,15 +175,17 @@ class BatchAligner:
         # occasionally stalls a transfer ~30s, and overlapped copies make
         # stalls concurrent instead of serial
         for _g, _ra, _da, res in inflight:
-            for arr in (res.ops, res.n_ops, res.score):
+            for arr in (res.ops_packed, res.n_ops, res.score):
                 try:
                     arr.copy_to_host_async()
                 except Exception:
                     pass
 
         for group, refs_arr, reads_arr, res in inflight:
-            ops, n_ops, scores = jax.device_get(
-                (res.ops, res.n_ops, res.score))
+            packed, n_ops, scores = jax.device_get(
+                (res.ops_packed, res.n_ops, res.score))
+            T = int(res.ops.shape[1])
+            ops = dbatch.unpack_ops(packed, T)
             t1 = time.time()
             self.device_seconds += t1 - t0
             a_ref, a_read, _valid = dbatch.ops_to_alignments_batch(
