@@ -206,46 +206,56 @@ def align_batch_device(
     score = jnp.take_along_axis(corner, z0[:, None], axis=1)[:, 0]
 
     # --- traceback walk (perform_3d_global_traceback, :941-1086) ----------
-    # flat 1-D gathers: per sequential step we pull B bytes from the packed
-    # traceback; 3-D gathers on a multi-hundred-MB array are pathologically
-    # slow on TPU, a flat take is a fast path
-    T = n1 + n2  # upper bound on number of ops
-    tb_flat = tb_b.reshape(-1)
-    b_base = jnp.arange(B, dtype=jnp.int32) * (D * n1)
+    # Gather-free diagonal-major walk: the walk visits strictly decreasing
+    # diagonals (z=0 steps skip one), so scanning d = D-1 .. 0 with the
+    # traceback array itself as the scan input feeds each diagonal's bytes
+    # without any gather; the per-element byte at lane x is a one-hot lane
+    # reduction on the VPU. Per-step gathers on the multi-hundred-MB
+    # traceback were ~100x slower than the whole fill.
+    lane = jnp.arange(n1, dtype=jnp.int32)[None, :]
 
-    def walk_step(state, _):
-        x, y, z = state
+    def walk_step(state, tb_diag):
+        x, y, z, d = state
+        active = (x + y == d) & ((x > 0) | (y > 0))
         in_core = (x > 0) & (y > 0)
         op = jnp.where(
-            in_core, z.astype(jnp.uint8),
-            jnp.where(x > 0, jnp.uint8(OP_DEL),
-                      jnp.where(y > 0, jnp.uint8(OP_INS), jnp.uint8(OP_DONE))))
+            active & in_core, z.astype(jnp.uint8),
+            jnp.where(active & (x > 0), jnp.uint8(OP_DEL),
+                      jnp.where(active & (y > 0), jnp.uint8(OP_INS),
+                                jnp.uint8(OP_DONE))))
 
-        d = x + y
-        flat_idx = b_base + jnp.clip(d, 0, D - 1) * n1 + jnp.clip(x, 0, n1 - 1)
-        byte = jnp.take(tb_flat, flat_idx)
-        direction = (byte >> (2 * z.astype(jnp.uint8))).astype(jnp.int32) & 3
+        byte = jnp.sum(
+            jnp.where(lane == x[:, None], tb_diag.astype(jnp.int32), 0),
+            axis=1)
+        direction = (byte >> (2 * z)) & 3
 
-        dx = jnp.where(in_core,
-                       jnp.where(z == 2, 0, 1),
-                       jnp.where(x > 0, 1, 0))
-        dy = jnp.where(in_core,
-                       jnp.where(z == 1, 0, 1),
-                       jnp.where((x <= 0) & (y > 0), 1, 0))
-        new_z = jnp.where(in_core, direction, z)
-        return (x - dx, y - dy, new_z), op
+        step_core = active & in_core
+        dx = jnp.where(step_core, jnp.where(z == 2, 0, 1),
+                       jnp.where(active & (x > 0), 1, 0))
+        dy = jnp.where(step_core, jnp.where(z == 1, 0, 1),
+                       jnp.where(active & (x <= 0) & (y > 0), 1, 0))
+        new_z = jnp.where(step_core, direction, z)
+        return (x - dx, y - dy, new_z, d - 1), op
 
-    init_walk = (ref_lens.astype(jnp.int32), read_lens.astype(jnp.int32), z0)
-    _, ops_rev = jax.lax.scan(walk_step, init_walk, None, length=T)
-    ops_rev = jnp.transpose(ops_rev, (1, 0))          # [B, T], reverse order
-    n_ops = jnp.sum(ops_rev != OP_DONE, axis=1).astype(jnp.int32)
+    init_walk = (ref_lens.astype(jnp.int32), read_lens.astype(jnp.int32),
+                 z0, jnp.int32(D - 1))
+    # reverse scan over diagonals (d = D-1 first); ys stay aligned to xs,
+    # so ops_desc[i] is the op taken on diagonal i - already forward order
+    _, ops_desc = jax.lax.scan(walk_step, init_walk, tb, reverse=True)
+    ops_d = jnp.transpose(ops_desc, (1, 0))            # [B, D], fwd order
+    n_ops = jnp.sum(ops_d != OP_DONE, axis=1).astype(jnp.int32)
 
-    # reverse the valid prefix per element: ops are emitted end-to-start
-    idx = n_ops[:, None] - 1 - jnp.arange(T, dtype=jnp.int32)[None, :]
-    ops_fwd = jnp.where(
-        idx >= 0,
-        jnp.take_along_axis(ops_rev, jnp.clip(idx, 0, T - 1), axis=1),
-        jnp.uint8(OP_DONE))
+    # left-compact the non-DONE ops preserving order (stable argsort on the
+    # DONE mask)
+    T = n1 + n2
+    order = jnp.argsort((ops_d == OP_DONE).astype(jnp.int32), axis=1,
+                        stable=True)
+    ops_compact = jnp.take_along_axis(ops_d, order, axis=1)
+    if D < T:
+        ops_fwd = jnp.pad(ops_compact, ((0, 0), (0, T - D)),
+                          constant_values=OP_DONE)
+    else:
+        ops_fwd = ops_compact[:, :T]
 
     # 2-bit packing (ops are 0..3) for cheap device->host transfer
     T4 = -(-T // 4) * 4
