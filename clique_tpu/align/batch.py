@@ -108,16 +108,26 @@ def align_batch_device(
     reads_i = reads.astype(jnp.int32)
     neg = jnp.float32(MAX_NEG_SCORE)
 
+    # per-step gathers are pathologically slow inside the scan; instead:
+    # rx (ref byte per DP row) is constant across diagonals - hoist it;
+    # ry (read byte at y-1 = d-x-1) is a rolling window: shift down one
+    # lane per diagonal and insert read[d-1] at lane 0 (systolic layout)
+    rx_const = jnp.pad(refs_i[:, :n1 - 1], ((0, 0), (1, 0)))   # [B, n1]
+
     def step(carry, d):
-        prev, prev2, corner = carry
+        prev, prev2, corner, win = carry
         pm, pp1, pp2 = prev
         p2m, p2p1, p2p2 = prev2
 
         y = jnp.broadcast_to(d - xs[None, :], (B, n1))
         x = jnp.broadcast_to(xs[None, :], (B, n1))
 
-        rx = jnp.take_along_axis(refs_i, jnp.clip(x - 1, 0, n1 - 2), axis=1)
-        ry = jnp.take_along_axis(reads_i, jnp.clip(y - 1, 0, n2 - 2), axis=1)
+        rx = rx_const
+        new_byte = jax.lax.dynamic_slice(
+            reads_i, (0, jnp.clip(d - 1, 0, n2 - 2)), (B, 1))
+        win = jnp.where(xs[None, :] == 0, new_byte,
+                        jnp.pad(win[:, :-1], ((0, 0), (1, 0))))
+        ry = win
         if special_mode == "ref_n_only":
             # rust-bio-compat rule (alignment_functions.rs:55): only a
             # reference-side N scores as a guaranteed match
@@ -182,19 +192,21 @@ def align_batch_device(
             | (i_dir.astype(jnp.uint8) << 4),
             jnp.uint8(_TB_FRESH))
 
-        # capture the (l1, l2) corner when its diagonal comes by
+        # capture the (l1, l2) corner when its diagonal comes by; one-hot
+        # lane reduction instead of a per-step gather
         on_corner_diag = (l1[:, 0] + l2[:, 0]) == d                 # [B]
-        corner_col = jnp.take_along_axis(
-            jnp.stack([m_out, p1_out, p2_out], axis=-1),            # [B,n1,3]
-            jnp.clip(l1, 0, n1 - 1)[..., None], axis=1)[:, 0, :]    # [B,3]
+        corner_lane = (xs[None, :] == l1)                           # [B, n1]
+        corner_col = jnp.stack(
+            [jnp.sum(jnp.where(corner_lane, v, 0.0), axis=1)
+             for v in (m_out, p1_out, p2_out)], axis=-1)            # [B, 3]
         corner = jnp.where(on_corner_diag[:, None], corner_col, corner)
 
-        return ((m_out, p1_out, p2_out), prev, corner), tb_byte
+        return ((m_out, p1_out, p2_out), prev, corner, win), tb_byte
 
     zeros = jnp.zeros((B, n1), dtype=f32)
     init = ((zeros, zeros, zeros), (zeros, zeros, zeros),
-            jnp.zeros((B, 3), dtype=f32))
-    (_, _, corner), tb = jax.lax.scan(
+            jnp.zeros((B, 3), dtype=f32), jnp.zeros((B, n1), jnp.int32))
+    (_, _, corner, _win), tb = jax.lax.scan(
         step, init, jnp.arange(D, dtype=jnp.int32))
     # tb: [D, B, n1] -> [B, D, n1] for per-element gathers
     tb_b = jnp.transpose(tb, (1, 0, 2))
