@@ -77,16 +77,24 @@ def hmm_forward_batch(
         m = jnp.maximum(a, b)
         return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m))
 
+    # hoist the per-row ref byte; read bytes come from a rolling window
+    # (per-step gathers are pathologically slow inside TPU scans)
+    rx_const = jnp.pad(refs_i[:, :n1 - 1], ((0, 0), (1, 0)))
+
     def step(carry, d):
-        prev, prev2, final = carry
+        prev, prev2, final, win = carry
         pm, pi, pd = prev
         p2m, p2i, p2d = prev2
 
         x = jnp.broadcast_to(xs[None, :], (B, n1))
         y = jnp.broadcast_to(d - xs[None, :], (B, n1))
 
-        rx = jnp.take_along_axis(refs_i, jnp.clip(x - 1, 0, n1 - 2), axis=1)
-        ry = jnp.take_along_axis(reads_i, jnp.clip(y - 1, 0, n2 - 2), axis=1)
+        rx = rx_const
+        new_byte = jax.lax.dynamic_slice(
+            reads_i, (0, jnp.clip(d - 1, 0, n2 - 2)), (B, 1))
+        win = jnp.where(xs[None, :] == 0, new_byte,
+                        jnp.pad(win[:, :-1], ((0, 0), (1, 0))))
+        ry = win
         wild = (rx == 78) | (rx < 58) | (ry == 78)
         e_m = jnp.where(wild, lw, jnp.where(rx == ry, lm, lx))
 
@@ -108,17 +116,21 @@ def hmm_forward_batch(
                           jnp.where(inside, i_val, f32(NEG)))
 
         on_corner = (l1[:, 0] + l2[:, 0]) == d
-        corner_col = jnp.take_along_axis(
-            jnp.stack([m_out, i_out, d_out], axis=-1),
-            jnp.clip(l1, 0, n1 - 1)[..., None], axis=1)[:, 0, :]
-        ll = lse3(corner_col[:, 0], corner_col[:, 1], corner_col[:, 2])
+        # one-hot lane reduction: exactly one lane matches, so the sum
+        # recovers its value exactly (even when negative)
+        corner_lane = xs[None, :] == l1
+        c_m, c_i, c_d = [
+            jnp.sum(jnp.where(corner_lane, v, 0.0), axis=1)
+            for v in (m_out, i_out, d_out)]
+        ll = lse3(c_m, c_i, c_d)
         final = jnp.where(on_corner, ll, final)
-        return ((m_out, i_out, d_out), prev, final), None
+        return ((m_out, i_out, d_out), prev, final, win), None
 
     neg = jnp.full((B, n1), NEG, dtype=f32)
-    init = ((neg, neg, neg), (neg, neg, neg), jnp.full((B,), NEG, f32))
-    (_, _, final), _ = jax.lax.scan(step, init,
-                                    jnp.arange(D, dtype=jnp.int32))
+    init = ((neg, neg, neg), (neg, neg, neg), jnp.full((B,), NEG, f32),
+            jnp.zeros((B, n1), jnp.int32))
+    (_, _, final, _w), _ = jax.lax.scan(step, init,
+                                        jnp.arange(D, dtype=jnp.int32))
     return final
 
 

@@ -49,13 +49,19 @@ def _edit_distance_kernel(a, b, la, lb, *, L1: int, L2: int):
     def shift(v):
         return jnp.pad(v[:, :-1], ((0, 0), (1, 0)), constant_values=BIG)
 
+    ax_const = jnp.pad(a_i[:, :n1 - 1], ((0, 0), (1, 0)))
+
     def step(carry, d):
-        prev, prev2, final = carry
+        prev, prev2, final, win = carry
         x = jnp.broadcast_to(xs[None, :], (P, n1))
         y = jnp.broadcast_to(d - xs[None, :], (P, n1))
 
-        ax = jnp.take_along_axis(a_i, jnp.clip(x - 1, 0, L1 - 1), axis=1)
-        by = jnp.take_along_axis(b_i, jnp.clip(y - 1, 0, L2 - 1), axis=1)
+        ax = ax_const
+        new_byte = jax.lax.dynamic_slice(
+            b_i, (0, jnp.clip(d - 1, 0, L2 - 1)), (P, 1))
+        win = jnp.where(xs[None, :] == 0, new_byte,
+                        jnp.pad(win[:, :-1], ((0, 0), (1, 0))))
+        by = win
         sub = jnp.where(ax == by, 0, 1)
 
         diag = shift(prev2) + sub
@@ -71,12 +77,14 @@ def _edit_distance_kernel(a, b, la, lb, *, L1: int, L2: int):
         hit = (x == la_c) & (y == lb_c)
         final = jnp.where(jnp.any(hit, axis=1),
                           jnp.max(jnp.where(hit, val, 0), axis=1), final)
-        return (val, prev, final), None
+        return (val, prev, final, win), None
 
     init = (jnp.full((P, n1), BIG, jnp.int32),
             jnp.full((P, n1), BIG, jnp.int32),
-            jnp.zeros((P,), jnp.int32))
-    (prev, _, final), _ = jax.lax.scan(step, init, jnp.arange(D, dtype=jnp.int32))
+            jnp.zeros((P,), jnp.int32),
+            jnp.zeros((P, n1), jnp.int32))
+    (prev, _, final, _w), _ = jax.lax.scan(step, init,
+                                           jnp.arange(D, dtype=jnp.int32))
     return final
 
 
