@@ -209,6 +209,104 @@ def wfa_affine_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
     return jnp.where(result < 0, smax + 1, result)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("n1", "n2", "smax", "x", "o1", "e1",
+                                    "o2", "e2"))
+def wfa_affine2p_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
+                       smax: int, x: int = 4, o1: int = 6, e1: int = 2,
+                       o2: int = 24, e2: int = 1):
+    """Dual-affine ("convex" piecewise) WFA: gap cost is the minimum of two
+    affine classes (o1 + k*e1, o2 + k*e2) - WFA2-lib's affine2p model
+    (SURVEY 2.9), the practical convex-gap approximation. Returns the
+    minimal penalty [B] i32 (smax + 1 censored)."""
+    B = refs.shape[0]
+    Kmax = n1 + n2
+    K = 2 * Kmax + 1
+    ks = jnp.arange(K, dtype=jnp.int32) - Kmax
+    hist = max(x, o1 + e1, e1, o2 + e2, e2) + 1
+
+    refs_i = refs.astype(jnp.int32)
+    reads_i = reads.astype(jnp.int32)
+    l1 = ref_lens[:, None].astype(jnp.int32)
+    l2 = read_lens[:, None].astype(jnp.int32)
+    k_target = (l1 - l2)[:, 0]
+
+    def clamp(offs):
+        v = offs - ks[None, :]
+        return jnp.where((offs <= l1) & (v <= l2) & (v >= 0) &
+                         (ks[None, :] >= -l2) & (ks[None, :] <= l1),
+                         offs, NEG)
+
+    def diag_valid(s):
+        return (jnp.abs(ks)[None, :] <= s) & \
+            (ks[None, :] >= -l2) & (ks[None, :] <= l1)
+
+    neg_wf = jnp.full((B, K), NEG, jnp.int32)
+    m0 = jnp.where((ks == 0)[None, :] & jnp.ones((B, 1), bool), 0, NEG)
+    m0 = _extend(m0, refs_i, reads_i, ks, l1, l2, diag_valid(0))
+
+    bufs = {name: jnp.full((hist, B, K), NEG, jnp.int32)
+            for name in ("M", "I1", "D1", "I2", "D2")}
+    bufs["M"] = bufs["M"].at[0].set(m0)
+
+    def get(buf, s, back):
+        ok = s - back >= 0
+        return jnp.where(ok, buf[(s - back) % hist], neg_wf)
+
+    def done(m):
+        tgt = jnp.take_along_axis(m, (k_target + Kmax)[:, None], axis=1)[:, 0]
+        return tgt >= l1[:, 0]
+
+    def cond(state):
+        s, M, I1, D1, I2, D2, result = state
+        return (s < smax) & jnp.logical_not(jnp.all(result >= 0))
+
+    def body(state):
+        s, M, I1, D1, I2, D2, result = state
+        s1 = s + 1
+
+        def sr(w):
+            return jnp.pad(w[:, :-1], ((0, 0), (1, 0)), constant_values=NEG)
+
+        def sl(w):
+            return jnp.pad(w[:, 1:], ((0, 0), (0, 1)), constant_values=NEG)
+
+        vld = diag_valid(s1)
+        new = {}
+        for suffix, o, e in (("1", o1, e1), ("2", o2, e2)):
+            m_oe = get(M, s1, o + e)
+            i_e = get(I1 if suffix == "1" else I2, s1, e)
+            d_e = get(D1 if suffix == "1" else D2, s1, e)
+            nd = jnp.maximum(sr(m_oe), sr(d_e))
+            new["D" + suffix] = clamp(jnp.where(
+                vld, jnp.where(nd > NEG, nd + 1, NEG), NEG))
+            new["I" + suffix] = clamp(jnp.where(
+                vld, jnp.maximum(sl(m_oe), sl(i_e)), NEG))
+
+        m_x = get(M, s1, x)
+        mism = jnp.where(m_x > NEG, m_x + 1, NEG)
+        nm = jnp.maximum(
+            mism, jnp.maximum(jnp.maximum(new["I1"], new["D1"]),
+                              jnp.maximum(new["I2"], new["D2"])))
+        nm = clamp(jnp.where(vld, nm, NEG))
+        nm = _extend(nm, refs_i, reads_i, ks, l1, l2, vld)
+
+        idx = s1 % hist
+        M = M.at[idx].set(nm)
+        I1 = I1.at[idx].set(new["I1"])
+        D1 = D1.at[idx].set(new["D1"])
+        I2 = I2.at[idx].set(new["I2"])
+        D2 = D2.at[idx].set(new["D2"])
+        result = jnp.where((result < 0) & done(nm), s1, result)
+        return s1, M, I1, D1, I2, D2, result
+
+    init_result = jnp.where(done(m0), 0, -1)
+    state = (jnp.int32(0), bufs["M"], bufs["I1"], bufs["D1"], bufs["I2"],
+             bufs["D2"], init_result)
+    s, M, I1, D1, I2, D2, result = jax.lax.while_loop(cond, body, state)
+    return jnp.where(result < 0, smax + 1, result)
+
+
 # --- host helpers ------------------------------------------------------------
 
 def wfa_edit_distances(pairs_a, pairs_b, smax=None, pad_to: int = 64):

@@ -100,6 +100,42 @@ def alignment_check(read: SortingRead, min_aligned_bases: int = 45,
         (alignable >= min_aligned_bases)
 
 
+def flanking_degenerate_base_filter(read: SortingRead,
+                                    min_flanking_identity: float = 0.50,
+                                    flanking_window_size: int = 10) -> bool:
+    """FlankingDegenerateBaseFilter (collapse.rs:284-344): require the
+    sequence windows flanking each degenerate capture zone to match the
+    reference at >= min_flanking_identity. Present-but-disabled in the
+    reference's filter list; exposed here for layouts that opt in."""
+    pushed: List[int] = []
+    ret = True
+    count_down = None
+
+    for read_base, ref_base in zip(read.read_aligned,
+                                   read.reference_aligned):
+        if count_down == 0:
+            count_down = None
+            lookback = min(len(pushed), flanking_window_size)
+            if lookback:
+                prop = sum(pushed[-lookback:]) / lookback
+                if prop < min_flanking_identity:
+                    ret = False
+            pushed.clear()
+        elif ref_base > 58 and ref_base != FASTA_N:
+            if count_down is not None:
+                count_down -= 1
+            pushed.append(1 if read_base == ref_base else 0)
+        elif ref_base < 59 and pushed:
+            lookback = min(len(pushed), flanking_window_size)
+            prop = sum(pushed[-lookback:]) / lookback
+            pushed.clear()
+            if prop < min_flanking_identity:
+                ret = False
+        elif ref_base == FASTA_N and not pushed:
+            count_down = flanking_window_size
+    return ret
+
+
 @dataclass
 class CollapseStats:
     total_reads: int = 0

@@ -69,3 +69,41 @@ def calculate_qual_scores(allele_props: Sequence[float]) -> List[float]:
     powed = [2.0 ** x for x in allele_props]
     total = sum(powed)
     return [p / total for p in powed]
+
+
+def calculate_conc_qual_score(alignments: Sequence[bytes],
+                              quality_scores: Sequence[bytes]
+                              ) -> Tuple[bytes, bytes]:
+    """Auxiliary column-consensus with qualities
+    (consensus_builders.rs:344-400): alignments[0] is the gapped reference,
+    the rest are gapped member reads; gap bases carry quality 20, reference
+    prior 0.99. Reproduces the reference's loop bounds (the last column is
+    not processed) and its sequence-index bookkeeping."""
+    assert len(alignments) - 1 == len(quality_scores)
+    conc = bytearray()
+    final_quals = bytearray()
+    seq_indexes = [0] * len(alignments)
+    ln = len(alignments[0])
+    reference = alignments[0]
+
+    for index in range(ln - 1):
+        bases = bytearray()
+        quals = bytearray()
+        for seq_i, x in enumerate(alignments[1:]):
+            assert len(x) == ln
+            base = x[index]
+            if base == ord("-"):
+                qual = 20
+            else:
+                qual = quality_scores[seq_i][seq_indexes[seq_i]]
+            # (reference quirk: advances by seq_i rather than 1)
+            seq_indexes[seq_i] = seq_i + (0 if base == ord("-") else 1)
+            bases.append(base)
+            quals.append(qual)
+        scores = combine_qual_scores([bytes(bases)], [bytes(quals)],
+                                     reference[index], 0.99)
+        index_of_max = max(range(5), key=lambda i: (scores[i], i))
+        prob = prob_to_phred(scores[index_of_max])
+        final_quals.append(prob)
+        conc.append(b"ACGT-"[index_of_max])
+    return bytes(conc), bytes(final_quals)

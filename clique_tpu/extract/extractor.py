@@ -206,6 +206,27 @@ def alignment_rate_fast(aligned_ref: bytes, aligned_read: bytes) -> float:
     return float(int(((r == d) & counted).sum()) / total)
 
 
+def custom_umi_score(a: int, b: int) -> int:
+    """Nucleotide/degenerate scoring for UMI matching (extractor.rs:414-442):
+    10 for matching/degenerate-compatible known bases, -8 for known-base
+    mismatches, 7 for special characters."""
+    from clique_tpu.utils.seq import DEGENERATE_MASK, KNOWN_BASE
+
+    ka, kb = KNOWN_BASE[a], KNOWN_BASE[b]
+    if ka and kb and ka == kb:
+        return 10
+    bits = {ord("A"): 1, ord("C"): 2, ord("G"): 4, ord("T"): 8}
+    if ka and kb and DEGENERATE_MASK[a] and kb in bits and \
+            (DEGENERATE_MASK[a] & bits[kb]):
+        return 10
+    if ka and kb and DEGENERATE_MASK[b] and ka in bits and \
+            (DEGENERATE_MASK[b] & bits[ka]):
+        return 10
+    if ka and kb:
+        return -8
+    return 7
+
+
 # --- CIGAR-based alignment reconstruction (extractor.rs:56-190) -------------
 
 def recover_aligned_sequences(

@@ -164,3 +164,32 @@ def test_collapse_known_list(tmp_path):
     assert len(records) == 1
     assert records[0].tags["e0"] == allow[0]
     assert records[0].tags["rc"] == "3"
+
+
+def test_flanking_degenerate_base_filter():
+    from clique_tpu.collapse.pipeline import (
+        SortingRead,
+        flanking_degenerate_base_filter,
+    )
+
+    def mk(read, ref):
+        return SortingRead(
+            read_name="x", reference_name="r", reference_aligned=ref,
+            read_aligned=read, read_quals=None, cigar=[], reference_start=1,
+            score=0.0)
+
+    # the reference's quirky semantics (collapse.rs:284-344): the left-flank
+    # check fires when a DIGIT wildcard (< 59) is reached with history;
+    # N zones only start a countdown when no history is buffered
+    ref = b"ACGTACGTAC" + b"0" * 8 + b"GTACGTACGT"
+    read = b"ACGTACGTAC" + b"TTTTTTTT" + b"GTACGTACGT"
+    assert flanking_degenerate_base_filter(mk(read, ref)) is True
+    # garbage left flank before the digit zone: drop
+    bad = b"TTTTTTTTTT" + b"TTTTTTTT" + b"GTACGTACGT"
+    assert flanking_degenerate_base_filter(mk(bad, ref)) is False
+    # leading-N countdown: bad window right after an N zone at read start
+    ref2 = b"N" * 5 + b"ACGTACGTACGT"
+    ok2 = b"GGGGG" + b"ACGTACGTACGT"
+    bad2 = b"GGGGG" + b"TTTTTTTTTTTT"
+    assert flanking_degenerate_base_filter(mk(ok2, ref2)) is True
+    assert flanking_degenerate_base_filter(mk(bad2, ref2)) is False

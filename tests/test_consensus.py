@@ -105,3 +105,15 @@ def test_combine_qual_scores_prior():
                                 [bytes([40] * 4), b"", b"", b"", b""],
                                 ord("A"), 0.75)
     assert probs[0] > 0.99
+
+
+def test_calculate_conc_qual_score():
+    from clique_tpu.consensus.quality import calculate_conc_qual_score
+
+    ref = b"ACGTACGT"
+    members = [b"ACGTACGT", b"ACGTACGT", b"ACTTACGT"]
+    quals = [bytes([35] * 8), bytes([35] * 8), bytes([35] * 8)]
+    conc, qv = calculate_conc_qual_score([ref] + members, quals)
+    # reference loop drops the final column
+    assert len(conc) == 7
+    assert conc[:3] == b"ACG"

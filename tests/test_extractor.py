@@ -113,3 +113,13 @@ def test_stretch_fast_matches_slow():
     for aligned, native in cases:
         assert stretch_sequence_to_alignment_fast(aligned, native) == \
             stretch_sequence_to_alignment(aligned, native), (aligned, native)
+
+
+def test_custom_umi_score():
+    from clique_tpu.extract.extractor import custom_umi_score
+
+    assert custom_umi_score(ord("A"), ord("A")) == 10
+    assert custom_umi_score(ord("a"), ord("A")) == 10
+    assert custom_umi_score(ord("A"), ord("T")) == -8
+    assert custom_umi_score(ord("N"), ord("A")) == 7   # N not a known base
+    assert custom_umi_score(ord("*"), ord("A")) == 7

@@ -113,3 +113,58 @@ def test_wfa_affine_random_pairs():
     for i, (a, b) in enumerate(pairs):
         expect = _affine_penalty(a, b, x, o, e)
         assert out[i] == expect, (i, int(out[i]), expect)
+
+
+def _affine2p_penalty(a, b, x, o1, e1, o2, e2):
+    INF = 1 << 28
+    m, n = len(a), len(b)
+    M = np.full((m + 1, n + 1), INF, dtype=int)
+    I1 = np.full((m + 1, n + 1), INF, dtype=int)
+    D1 = np.full((m + 1, n + 1), INF, dtype=int)
+    I2 = np.full((m + 1, n + 1), INF, dtype=int)
+    D2 = np.full((m + 1, n + 1), INF, dtype=int)
+    M[0, 0] = 0
+    for i in range(m + 1):
+        for j in range(n + 1):
+            if i > 0:
+                D1[i, j] = min(D1[i, j], min(M[i-1, j], D1[i-1, j] - o1) + o1 + e1)
+                D2[i, j] = min(D2[i, j], min(M[i-1, j], D2[i-1, j] - o2) + o2 + e2)
+            if j > 0:
+                I1[i, j] = min(I1[i, j], min(M[i, j-1], I1[i, j-1] - o1) + o1 + e1)
+                I2[i, j] = min(I2[i, j], min(M[i, j-1], I2[i, j-1] - o2) + o2 + e2)
+            if i > 0 and j > 0:
+                sub = 0 if a[i-1] == b[j-1] else x
+                M[i, j] = min(M[i, j], min(M[i-1, j-1], I1[i-1, j-1],
+                                           D1[i-1, j-1], I2[i-1, j-1],
+                                           D2[i-1, j-1]) + sub)
+            M[i, j] = min(M[i, j], I1[i, j], D1[i, j], I2[i, j], D2[i, j])
+    return min(M[m, n], I1[m, n], D1[m, n], I2[m, n], D2[m, n])
+
+
+def test_wfa_affine2p_long_gap_cheaper():
+    from clique_tpu.align.wavefront import wfa_affine2p_batch
+
+    L = 40
+    x, o1, e1, o2, e2 = 4, 6, 2, 24, 1
+    a = RNG.choice(BASES, L).tobytes()
+    # one long deletion of 12bp: class-2 gap should win
+    b = a[:10] + a[22:]
+    arr_a = np.zeros((8, L), dtype=np.uint8)
+    arr_b = np.zeros((8, L), dtype=np.uint8)
+    la = np.zeros(8, dtype=np.int32)
+    lb = np.zeros(8, dtype=np.int32)
+    pairs = []
+    for i in range(8):
+        aa = RNG.choice(BASES, L).tobytes()
+        bb = aa[:10] + aa[10 + int(RNG.integers(1, 14)):] if i % 2 else \
+            mutate(aa, sub=0.1, indel=0.0)
+        pairs.append((aa, bb))
+        arr_a[i, :len(aa)] = np.frombuffer(aa, dtype=np.uint8)
+        arr_b[i, :len(bb)] = np.frombuffer(bb, dtype=np.uint8)
+        la[i], lb[i] = len(aa), len(bb)
+    out = np.asarray(wfa_affine2p_batch(arr_a, arr_b, la, lb, n1=L, n2=L,
+                                        smax=300, x=x, o1=o1, e1=e1,
+                                        o2=o2, e2=e2))
+    for i, (aa, bb) in enumerate(pairs):
+        expect = _affine2p_penalty(aa, bb, x, o1, e1, o2, e2)
+        assert out[i] == expect, (i, int(out[i]), expect)
