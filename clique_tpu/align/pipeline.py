@@ -248,6 +248,7 @@ def align_reads(
     mode: str = "ont",
     router: str = "kmer",
     metrics_path: Optional[str] = None,
+    pipeline_threads: bool = True,
 ) -> AlignStats:
     """The `clique align` equivalent (alignment_functions.rs:63-257).
 
@@ -280,6 +281,42 @@ def align_reads(
     writer = open_alignment_writer(output_path, references)
     start = time.time()
 
+    # writer thread: BAM encode + BGZF compression (C paths that release
+    # the GIL) overlap the next chunk's parse/dispatch
+    import queue
+    import threading
+
+    write_queue: "queue.Queue" = queue.Queue(maxsize=8)
+    writer_error: List[BaseException] = []
+
+    def _writer_loop():
+        while True:
+            item = write_queue.get()
+            if item is None:
+                return
+            try:
+                if hasattr(writer, "write_batch"):
+                    writer.write_batch(item)
+                else:
+                    for rec in item:
+                        writer.write(rec)
+            except BaseException as exc:  # surfaced on close
+                writer_error.append(exc)
+
+    writer_thread = None
+    if pipeline_threads:
+        writer_thread = threading.Thread(target=_writer_loop, daemon=True)
+        writer_thread.start()
+
+    def emit_records(records):
+        if writer_thread is not None:
+            write_queue.put(records)
+        elif hasattr(writer, "write_batch"):
+            writer.write_batch(records)
+        else:
+            for rec in records:
+                writer.write(rec)
+
     reader = ReadIterator(read1, read2, index1, index2)
     needs_align_merge = layout.merge == MergeStrategy.ALIGN
 
@@ -301,11 +338,7 @@ def align_reads(
                 score=0.0 if report_zero_score else score,
             )
             batch_records.append(_make_record(aligned, layout))
-        if hasattr(writer, "write_batch"):
-            writer.write_batch(batch_records)
-        else:
-            for rec in batch_records:
-                writer.write(rec)
+        emit_records(batch_records)
         stats.aligned += len(pending)
         if stats.aligned % 1_000_000 < len(pending):
             log.info("Time elapsed in aligning reads (%d) is: %.1fs",
@@ -363,7 +396,7 @@ def align_reads(
                 reference_aligned=a1, read_aligned=a2,
                 quals=quals, cigar=cigar,
                 score=score)
-            _write_aligned(writer, aligned, layout, stats)
+            emit_records([_make_record(aligned, layout)])
             stats.aligned += 1
             return
         # orientation for single reference without known strand
@@ -408,6 +441,11 @@ def align_reads(
     if hmm_router is not None:
         flush_routes()
     flush(pending)
+    if writer_thread is not None:
+        write_queue.put(None)
+        writer_thread.join()
+        if writer_error:
+            raise writer_error[0]
     writer.close()
     elapsed = time.time() - start
     log.info("Aligned %d/%d reads in %.1fs", stats.aligned, stats.total,
