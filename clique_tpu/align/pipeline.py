@@ -126,7 +126,8 @@ class BatchAligner:
     """Length-bucketed batcher around align_batch_device."""
 
     def __init__(self, scoring: AffineScoring, batch_size: int = 128,
-                 length_quantum: int = 128, special_mode: str = "both"):
+                 length_quantum: int = 128, special_mode: str = "both",
+                 use_mesh: Optional[bool] = None):
         self.params = dbatch.scoring_to_params(scoring)
         self.batch_size = batch_size
         self.quantum = length_quantum
@@ -135,6 +136,22 @@ class BatchAligner:
         self.post_seconds = 0.0     # host-side expansion
         self.pairs_aligned = 0
         self.cells_filled = 0
+
+        # shard batches over all chips when more than one is visible: read
+        # batches data-parallel, scoring params replicated (SURVEY 2.11 P1)
+        import jax
+
+        self.mesh = None
+        n_dev = len(jax.devices())
+        if use_mesh is None:
+            use_mesh = n_dev > 1
+        if use_mesh and n_dev > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            self.mesh = Mesh(np.array(jax.devices()), axis_names=("data",))
+            self._data_sharding = NamedSharding(self.mesh, P("data"))
+            self._repl_sharding = NamedSharding(self.mesh, P())
+            self.params = jax.device_put(self.params, self._repl_sharding)
 
     def _bucket_len(self, n: int) -> int:
         q = self.quantum
@@ -201,6 +218,8 @@ class BatchAligner:
         return results
 
     def _dispatch_group(self, group, refs, reads, n1, n2):
+        import jax
+
         # pad the batch dimension to a power of two (min 32) so each (B, n1,
         # n2) kernel shape is compiled once and reused
         B = 32
@@ -217,8 +236,12 @@ class BatchAligner:
             ref_lens[j] = len(r)
             read_lens[j] = len(d)
         bw = np.maximum(ref_lens, np.maximum(read_lens, 1))
+        args = (refs_arr, reads_arr, ref_lens, read_lens, bw)
+        if self.mesh is not None:
+            args = tuple(jax.device_put(a, self._data_sharding)
+                         for a in args)
         res, _tb = dbatch.align_batch_device(
-            refs_arr, reads_arr, ref_lens, read_lens, bw, self.params,
+            *args, self.params,
             n1=n1, n2=n2, special_mode=self.special_mode)
         return group, refs_arr, reads_arr, res
 
