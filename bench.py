@@ -71,7 +71,7 @@ references:
     targets: [{target_list}]
     target_types: [{type_list}]
     umi_configurations:
-      cell_id: {{symbol: '0', sort_type: "KnownTag", length: 16, order: 0, max_distance: 2}}
+      cell_id: {{symbol: '0', sort_type: "DegenerateTag", length: 16, order: 0, max_distance: 2}}
       cell_umi: {{symbol: '1', sort_type: "DegenerateTag", length: 12, order: 1, max_distance: 2}}
 """)
         fq = os.path.join(tmp, "reads.fastq")
@@ -79,10 +79,18 @@ references:
         base_read = np.frombuffer(
             (a5 + "N" * 28 + target_block + a3).encode(), dtype=np.uint8)
         L = len(base_read)
+        # realistic single-cell structure: 500 cells x 40 reads, ~4 UMIs
+        # per cell - exercises global cell-barcode clustering, per-cell UMI
+        # correction, and ~10-read consensus groups
+        n_cells = 500
+        cells = rng.choice(bases, (n_cells, 16))
+        umis = rng.choice(bases, (n_cells, 4, 12))
         with open(fq, "w") as fh:
             for i in range(n_reads):
+                c = i % n_cells
                 read = base_read.copy()
-                read[24:52] = rng.choice(bases, 28)   # cell + umi
+                read[24:40] = cells[c]
+                read[40:52] = umis[c, (i // n_cells) % 4]
                 subs = rng.random(L) < sub_p          # ONT-like substitutions
                 read[subs] = rng.choice(bases, int(subs.sum()))
                 fh.write(f"@r{i}\n{read.tobytes().decode()}\n+\n{'I' * L}\n")
@@ -103,19 +111,29 @@ references:
                     batch_size=512)
         log("warmup done; timing main run")
 
+        from clique_tpu.collapse.pipeline import collapse
+
         t0 = time.time()
         stats = align_reads(layout, rm, os.path.join(tmp, "out.bam"),
                             read1=fq, batch_size=512)
-        dt = time.time() - t0
-        log(f"main run done in {dt:.1f}s")
+        align_dt = time.time() - t0
+        log(f"align done in {align_dt:.1f}s")
+        t0 = time.time()
+        collapse(os.path.join(tmp, "collapsed.bam"), layout,
+                 os.path.join(tmp, "out.bam"))
+        collapse_dt = time.time() - t0
+        dt = align_dt + collapse_dt
+        log(f"collapse done in {collapse_dt:.1f}s; chain {dt:.1f}s")
 
     reads_per_s = stats.aligned / dt
     ref_len = len(ref_seq)
     read_len = ref_len  # same-shape synthetic reads
+    # Rust estimate: align DP (see header) + collapse at ~1.5x align cost
+    # (re-alignment recovery + trie/clustering + consensus, single node)
     cells_per_read = 3 * ref_len * read_len
-    rust_estimate = 8e8 / cells_per_read  # reads/s, single node (see header)
+    rust_estimate = 8e8 / cells_per_read / 2.5
     print(json.dumps({
-        "metric": "align_reads_per_s_per_chip",
+        "metric": "align_collapse_reads_per_s_per_chip",
         "value": round(reads_per_s, 1),
         "unit": "reads/s/chip",
         "vs_baseline": round(reads_per_s / rust_estimate, 2),
