@@ -1,11 +1,12 @@
 #!/usr/bin/env python
-"""Benchmark: end-to-end `align` throughput on one chip.
+"""Benchmark: end-to-end align + collapse throughput on one chip.
 
-Runs the full align pipeline (FASTQ decode -> merge -> batched device DP ->
-traceback -> tag extraction -> BAM encode) on a synthetic single-amplicon
-ONT-like dataset (BASELINE config 1 shape: ~100bp amplicon with 16bp cell
-barcode + 12bp UMI capture groups, reads ~1x reference) and prints ONE JSON
-line with reads/s/chip.
+Runs the full chain (FASTQ decode -> merge -> batched device DP ->
+traceback -> tag extraction -> BAM -> hierarchical cell/UMI correction ->
+consensus BAM) on a synthetic ONT-like single-cell lineage dataset
+(BASELINE configs 1+3 shape: ~600bp amplicon with ten Cas9 targets, 16bp
+cell barcode + 12bp UMI, 500 cells x 40 reads) and prints ONE JSON line
+with chain reads/s/chip.
 
 vs_baseline is measured against an ESTIMATE of the single-node Rust
 reference: the reference publishes no numbers (BASELINE.md), so we use its

@@ -155,9 +155,18 @@ def unify_read(reads: ReadSetContainer, layout: SequenceLayout,
                               reverse_complement(reads.read_two.seq),
                               reads.read_two.qual[::-1]))
         return merge_by_alignment(reads)
-    if pattern[:2] == (True, True) and layout.merge in (
-            MergeStrategy.CONCATENATE, MergeStrategy.CONCATENATE_BOTH_FORWARD):
-        return merge_by_concatenation(reads, layout)
+    if layout.merge in (MergeStrategy.CONCATENATE,
+                        MergeStrategy.CONCATENATE_BOTH_FORWARD):
+        # concatenate whatever read positions the layout declares (the
+        # reference's decision tree only supports the (R1,R2[,I1]) patterns
+        # and panics otherwise, merger.rs:295-300; any declared-and-present
+        # combination works here)
+        available = {"Read1": True, "Read2": has[1], "Index1": has[2],
+                     "Index2": has[3]}
+        missing = [p.kind for p in layout.reads
+                   if p.kind != "Spacer" and not available.get(p.kind, False)]
+        if not missing:
+            return merge_by_concatenation(reads, layout)
     if pattern[0] and not pattern[1]:
         orientation = next(
             (p.orientation for p in layout.reads if p.kind == "Read1"),

@@ -108,3 +108,54 @@ def test_concatenate_strategy(tmp_path):
         f = line.split("\t")
         tags = dict(t.split(":", 2)[::2] for t in f[11:])
         assert tags["e0"] == truth[f[0]]
+
+
+def test_index_read_concatenation(tmp_path):
+    """Index1 participates in the concatenation layout (merger.rs decision
+    tree (true,true,true,false) arm)."""
+    layout_path = tmp_path / "layout.yaml"
+    umi_len = 8
+    layout_path.write_text(f"""
+known_strand: true
+merge: "Concatenate"
+reads:
+  - !Index1
+    orientation: Forward
+  - !Read1
+    orientation: Forward
+references:
+  amp1:
+    sequence: "{'0' * umi_len}{A5}{T}{A3}"
+    targets: []
+    target_types: []
+    umi_configurations:
+      idx:
+        symbol: '0'
+        sort_type: "DegenerateTag"
+        length: {umi_len}
+        order: 0
+        max_distance: 2
+""")
+    r1p = tmp_path / "r1.fastq.gz"
+    i1p = tmp_path / "i1.fastq.gz"
+    truth = {}
+    with gzip.open(r1p, "wt") as f1, gzip.open(i1p, "wt") as fi:
+        for i in range(5):
+            idx = rand_seq(umi_len)
+            truth[f"x{i}"] = idx
+            body = A5 + T + A3
+            f1.write(f"@x{i}\n{body}\n+\n{'I' * len(body)}\n")
+            fi.write(f"@x{i}\n{idx}\n+\n{'I' * umi_len}\n")
+
+    layout = SequenceLayout.from_yaml(str(layout_path))
+    rm = ReferenceManager.from_layout(layout)
+    out = tmp_path / "out.sam"
+    stats = align_reads(layout, rm, str(out), read1=str(r1p),
+                        index1=str(i1p), batch_size=4)
+    assert stats.aligned == 5
+    for line in out.read_text().splitlines():
+        if line.startswith("@"):
+            continue
+        f = line.split("\t")
+        tags = dict(t.split(":", 2)[::2] for t in f[11:])
+        assert tags["e0"] == truth[f[0]]
