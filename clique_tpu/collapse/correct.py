@@ -108,6 +108,95 @@ def correct_known_levenshtein(counts: Dict[bytes, int], allowlist: List[bytes],
     return out
 
 
+def degenerate_prepare(counts: Dict[bytes, int], max_distance: int,
+                       length: int):
+    """Stage 1 of correct_degenerate: normalize tags and produce candidate
+    pairs. Returns (norm_counts, tags, pair_list) or a finished map for the
+    trivial cases (when pair_list is None)."""
+    if not counts:
+        return None, None, None, {}
+    norm_counts: Counter = Counter()
+    for tag, c in counts.items():
+        norm_counts[normalize_tag(tag, length)] += c
+    tags = list(norm_counts.keys())
+    if len(tags) == 1:
+        return None, None, None, {tags[0]: tags[0]}
+    max_len = max(len(t) for t in tags)
+    padded = [t + b"-" * (max_len - len(t)) for t in tags]
+    if len(tags) <= 4096:
+        pairs = [(i, j) for i in range(len(tags))
+                 for j in range(i + 1, len(tags))]
+    else:
+        pairs = candidate_pairs(padded, max_distance)
+    return norm_counts, tags, [(padded[i], padded[j], i, j)
+                               for i, j in pairs], None
+
+
+def degenerate_finish(norm_counts, tags, pairs, dists, max_distance: int,
+                      collapse_ratio: float) -> Dict[bytes, bytes]:
+    """Stage 2: ratio absorption + transitive resolution given pair
+    distances."""
+    close_pairs = [(i, j) for (_a, _b, i, j), dd in zip(pairs, dists)
+                   if dd <= max_distance]
+    parent = list(range(len(tags)))
+
+    def better_absorber(a: int, cur: int) -> bool:
+        ca, cc = norm_counts[tags[a]], norm_counts[tags[cur]]
+        return ca > cc or (ca == cc and tags[a] < tags[cur])
+
+    for i, j in close_pairs:
+        ci, cj = norm_counts[tags[i]], norm_counts[tags[j]]
+        if ci == cj:
+            continue
+        a, b = (i, j) if ci > cj else (j, i)
+        ca, cb = max(ci, cj), min(ci, cj)
+        if ca / cb >= collapse_ratio:
+            if parent[b] == b or better_absorber(a, parent[b]):
+                parent[b] = a
+
+    def root(i: int) -> int:
+        seen = set()
+        while parent[i] != i and i not in seen:
+            seen.add(i)
+            i = parent[i]
+        return i
+
+    return {tags[i]: tags[root(i)] for i in range(len(tags))}
+
+
+def correct_degenerate_groups(group_counts, max_distance: int, length: int,
+                              collapse_ratio: float = 5.0):
+    """Batched correct_degenerate over many groups: one device distance
+    call for every group's candidate pairs combined (per-group device
+    dispatches dominate wall-clock on high-latency links)."""
+    prepared = [degenerate_prepare(c, max_distance, length)
+                for c in group_counts]
+    all_a: List[bytes] = []
+    all_b: List[bytes] = []
+    spans = []
+    for norm_counts, tags, pairs, ready in prepared:
+        if ready is not None or not pairs:
+            spans.append((0, 0))
+            continue
+        start = len(all_a)
+        all_a.extend(p[0] for p in pairs)
+        all_b.extend(p[1] for p in pairs)
+        spans.append((start, len(all_a)))
+    dists = edit_distance_pairs(all_a, all_b) if all_a else []
+
+    out = []
+    for (norm_counts, tags, pairs, ready), (s, e) in zip(prepared, spans):
+        if ready is not None:
+            out.append(ready)
+        elif not pairs:
+            out.append({t: t for t in tags} if tags else {})
+        else:
+            out.append(degenerate_finish(norm_counts, tags, pairs,
+                                         dists[s:e], max_distance,
+                                         collapse_ratio))
+    return out
+
+
 def correct_degenerate(counts: Dict[bytes, int], max_distance: int,
                        length: int, collapse_ratio: float = 5.0
                        ) -> Dict[bytes, bytes]:

@@ -103,14 +103,17 @@ def edit_distance_pairs(seqs_a: Sequence[bytes], seqs_b: Sequence[bytes],
     Ppad = 256
     while Ppad < P:
         Ppad *= 2
-    a = np.zeros((Ppad, L), dtype=np.uint8)
-    b = np.zeros((Ppad, L), dtype=np.uint8)
+    pad_rows = Ppad - P
+    a = np.frombuffer(
+        b"".join(s.ljust(L, b"\x00") for s in seqs_a) + b"\x00" * (L * pad_rows),
+        dtype=np.uint8).reshape(Ppad, L)
+    b = np.frombuffer(
+        b"".join(s.ljust(L, b"\x00") for s in seqs_b) + b"\x00" * (L * pad_rows),
+        dtype=np.uint8).reshape(Ppad, L)
     la = np.zeros(Ppad, dtype=np.int32)
     lb = np.zeros(Ppad, dtype=np.int32)
-    for i, (s, t) in enumerate(zip(seqs_a, seqs_b)):
-        a[i, :len(s)] = np.frombuffer(s, dtype=np.uint8)
-        b[i, :len(t)] = np.frombuffer(t, dtype=np.uint8)
-        la[i], lb[i] = len(s), len(t)
+    la[:P] = [len(s) for s in seqs_a]
+    lb[:P] = [len(s) for s in seqs_b]
     return np.asarray(_edit_distance_kernel(a, b, la, lb, L1=L, L2=L))[:P]
 
 

@@ -33,6 +33,7 @@ from typing import Deque, Dict, List, Optional, Tuple
 
 from clique_tpu.collapse.correct import (
     correct_degenerate,
+    correct_degenerate_groups,
     correct_known_hamming,
     correct_known_levenshtein,
     normalize_tag,
@@ -238,9 +239,8 @@ def sort_level(reads: List[SortingRead], tag: UMIConfiguration,
     # group by the already-corrected key tuple (shardio sort equivalent)
     reads_sorted = sorted(reads, key=lambda r: (r.reference_name,
                                                 r.key_tuple()))
-    out: List[SortingRead] = []
+    groups: List[List[SortingRead]] = []
     i = 0
-    n_groups = 0
     while i < len(reads_sorted):
         j = i
         key = (reads_sorted[i].reference_name, reads_sorted[i].key_tuple())
@@ -248,51 +248,69 @@ def sort_level(reads: List[SortingRead], tag: UMIConfiguration,
                 (reads_sorted[j].reference_name,
                  reads_sorted[j].key_tuple()) == key:
             j += 1
-        group = reads_sorted[i:j]
-        n_groups += 1
-        out.extend(_correct_group(group, tag, known_lists))
+        groups.append(reads_sorted[i:j])
         i = j
+
+    # phase 1: per-group counts (push() length gating)
+    group_counts: List[Counter] = []
+    group_kept: List[List[SortingRead]] = []
+    for group in groups:
+        counts: Counter = Counter()
+        kept: List[SortingRead] = []
+        for read in group:
+            sym, raw = read.unsorted_keys[0]
+            assert sym == tag.symbol, \
+                f"tag order mismatch: {sym} vs {tag.symbol}"
+            gapless = bytes(b for b in raw if b != GAP)
+            if tag.length - tag.max_distance <= len(gapless) <= \
+                    tag.length + tag.max_distance:
+                counts[gapless] += 1
+                kept.append(read)
+        group_counts.append(counts)
+        group_kept.append(kept)
+
+    # phase 2: corrections - degenerate levels batch every group's pair
+    # distances into one device call
+    if tag.sort_type == UMISortType.DEGENERATE_TAG:
+        corrections = correct_degenerate_groups(
+            group_counts, tag.max_distance, tag.length,
+            tag.minimum_collapsing_difference or 5.0)
+    else:
+        corrections = [
+            _known_correction(counts, tag, known_lists)
+            for counts in group_counts]
+
+    # phase 3: apply
+    out: List[SortingRead] = []
+    for kept, correction in zip(group_kept, corrections):
+        out.extend(_apply_correction(kept, tag, correction))
     log.info("level %s (%s): %d groups, %d reads in, %d passed",
-             tag.symbol, tag.sort_type.value, n_groups, len(reads), len(out))
+             tag.symbol, tag.sort_type.value, len(groups), len(reads),
+             len(out))
     return out
 
 
-def _correct_group(group: List[SortingRead], tag: UMIConfiguration,
-                   known_lists: Dict[str, List[bytes]]) -> List[SortingRead]:
-    # push(): count gap-stripped tags, length-gated (correct_tags.rs:79-107)
-    counts: Counter = Counter()
-    kept: List[SortingRead] = []
-    for read in group:
-        sym, raw = read.unsorted_keys[0]
-        assert sym == tag.symbol, f"tag order mismatch: {sym} vs {tag.symbol}"
-        gapless = bytes(b for b in raw if b != GAP)
-        if tag.length - tag.max_distance <= len(gapless) <= \
-                tag.length + tag.max_distance:
-            counts[gapless] += 1
-            kept.append(read)
+def _known_correction(counts: Counter, tag: UMIConfiguration,
+                      known_lists: Dict[str, List[bytes]]):
+    allow = known_lists.get(tag.file or "", [])
+    if not allow:
+        # KnownTag without an allowlist file: the reference engine
+        # panics here (correct_tags.rs:394-399 unwraps a missing trie);
+        # we pass tags through uncorrected instead
+        log.warning(
+            "KnownTag level %s has no allowlist file; passing tags "
+            "through uncorrected", tag.symbol)
+        return {normalize_tag(t, tag.length): normalize_tag(t, tag.length)
+                for t in counts}
+    if tag.levenshtein_distance is None or tag.levenshtein_distance:
+        return correct_known_levenshtein(
+            counts, allow, tag.max_distance, tag.length)
+    return correct_known_hamming(
+        counts, allow, tag.max_distance, tag.length)
 
-    if tag.sort_type == UMISortType.KNOWN_TAG:
-        allow = known_lists.get(tag.file or "", [])
-        if not allow:
-            # KnownTag without an allowlist file: the reference engine
-            # panics here (correct_tags.rs:394-399 unwraps a missing trie);
-            # we pass tags through uncorrected instead
-            log.warning(
-                "KnownTag level %s has no allowlist file; passing tags "
-                "through uncorrected", tag.symbol)
-            correction = {normalize_tag(t, tag.length): normalize_tag(
-                t, tag.length) for t in counts}
-        elif tag.levenshtein_distance is None or tag.levenshtein_distance:
-            correction = correct_known_levenshtein(
-                counts, allow, tag.max_distance, tag.length)
-        else:
-            correction = correct_known_hamming(
-                counts, allow, tag.max_distance, tag.length)
-    else:
-        correction = correct_degenerate(
-            counts, tag.max_distance, tag.length,
-            tag.minimum_collapsing_difference or 5.0)
 
+def _apply_correction(kept: List[SortingRead], tag: UMIConfiguration,
+                      correction) -> List[SortingRead]:
     out: List[SortingRead] = []
     for read in kept:
         sym, raw = read.unsorted_keys.popleft()

@@ -28,6 +28,7 @@ _NIBBLE_LUT = np.full(256, 15, dtype=np.uint8)
 for _b, _i in _NIBBLE_CODE.items():
     _NIBBLE_LUT[_b] = _i
     _NIBBLE_LUT[ord(chr(_b).lower())] = _i
+_SEQ_ASCII_LUT = np.frombuffer(_SEQ_NIBBLE.encode(), dtype=np.uint8)
 
 
 @dataclass
@@ -352,21 +353,24 @@ class BamReader:
         off = 32
         name = body[off:off + l_name - 1].decode()
         off += l_name
-        cigar = []
-        for _ in range(n_cigar):
-            (v,) = struct.unpack("<I", body[off:off + 4])
-            cigar.append((v >> 4, CIGAR_OPS[v & 0xF]))
-            off += 4
-        seq = bytearray()
-        for i in range(l_seq):
-            byte = body[off + i // 2]
-            nib = (byte >> 4) if i % 2 == 0 else (byte & 0xF)
-            seq.append(ord(_SEQ_NIBBLE[nib]))
-        off += (l_seq + 1) // 2
+        cigar_words = np.frombuffer(body, dtype="<u4", count=n_cigar,
+                                    offset=off) if n_cigar else ()
+        cigar = [(int(v) >> 4, CIGAR_OPS[int(v) & 0xF]) for v in cigar_words]
+        off += 4 * n_cigar
+        n_seq_bytes = (l_seq + 1) // 2
+        packed = np.frombuffer(body, dtype=np.uint8, count=n_seq_bytes,
+                               offset=off)
+        nibs = np.empty(n_seq_bytes * 2, dtype=np.uint8)
+        nibs[0::2] = packed >> 4
+        nibs[1::2] = packed & 0xF
+        seq = _SEQ_ASCII_LUT[nibs[:l_seq]].tobytes()
+        off += n_seq_bytes
         qual_raw = body[off:off + l_seq]
         off += l_seq
-        qual = b"*" if (l_seq == 0 or qual_raw[:1] == b"\xff") else bytes(
-            q + 33 for q in qual_raw)
+        if l_seq == 0 or qual_raw[:1] == b"\xff":
+            qual = b"*"
+        else:
+            qual = (np.frombuffer(qual_raw, dtype=np.uint8) + 33).tobytes()
 
         tags: Dict[str, str] = {}
         typed: Dict[str, Tuple[str, object]] = {}
