@@ -338,35 +338,74 @@ def write_outputs(reads: List[SortingRead], writer, rm: ReferenceManager,
                   gap_call_threshold: float = 0.75) -> int:
     """write_consensus_reads / write_corrected_reads
     (consensus_builders.rs:34-165)."""
+    from clique_tpu.consensus.fast import (
+        consensus_fast_groups,
+        group_is_insertion_free,
+    )
+
     reads_sorted = sorted(reads, key=lambda r: (r.reference_name,
                                                 r.key_tuple()))
-    written = 0
+    groups: List[List[SortingRead]] = []
     i = 0
     while i < len(reads_sorted):
         if correct_only:
-            group = [reads_sorted[i]]
-            j = i + 1
-        else:
-            j = i
-            key = (reads_sorted[i].reference_name,
-                   reads_sorted[i].key_tuple())
-            while j < len(reads_sorted) and \
-                    (reads_sorted[j].reference_name,
-                     reads_sorted[j].key_tuple()) == key:
-                j += 1
-            group = reads_sorted[i:j]
-        rec = _consensus_record(group, rm, downsample_cap if not correct_only
-                                else 0, gap_call_threshold)
-        if rec is not None:
-            writer.write(rec)
-            written += 1
+            groups.append([reads_sorted[i]])
+            i += 1
+            continue
+        j = i
+        key = (reads_sorted[i].reference_name,
+               reads_sorted[i].key_tuple())
+        while j < len(reads_sorted) and \
+                (reads_sorted[j].reference_name,
+                 reads_sorted[j].key_tuple()) == key:
+            j += 1
+        groups.append(reads_sorted[i:j])
         i = j
+
+    # batch all insertion-free multi-read groups through the segment-sum
+    # consensus (one numpy pass per reference)
+    precomputed = {}
+    by_ref: Dict[str, List[int]] = {}
+    for gi, group in enumerate(groups):
+        if len(group) <= 1:
+            continue
+        ref_name = Counter(
+            r.reference_name for r in group).most_common(1)[0][0]
+        ref_seq = rm.references[rm.name_to_id[ref_name]].sequence
+        if group_is_insertion_free(ref_seq,
+                                   [r.reference_aligned for r in group]):
+            by_ref.setdefault(ref_name, []).append(gi)
+    for ref_name, gis in by_ref.items():
+        ref_seq = rm.references[rm.name_to_id[ref_name]].sequence
+        batched = consensus_fast_groups(
+            ref_seq,
+            [([r.read_aligned for r in groups[gi]],
+              [r.read_quals for r in groups[gi]],
+              [r.read_name for r in groups[gi]]) for gi in gis],
+            ref_name, gap_call_threshold)
+        for gi, con in zip(gis, batched):
+            precomputed[gi] = con
+
+    written = 0
+    records = []
+    for gi, group in enumerate(groups):
+        rec = _consensus_record(group, rm, downsample_cap if not correct_only
+                                else 0, gap_call_threshold,
+                                precomputed.get(gi))
+        if rec is not None:
+            records.append(rec)
+            written += 1
+    if hasattr(writer, "write_batch"):
+        writer.write_batch(records)
+    else:
+        for rec in records:
+            writer.write(rec)
     return written
 
 
 def _consensus_record(group: List[SortingRead], rm: ReferenceManager,
-                      downsample_cap: int, gap_call_threshold: float
-                      ) -> Optional[SamRecord]:
+                      downsample_cap: int, gap_call_threshold: float,
+                      precomputed=None) -> Optional[SamRecord]:
     """create_consensus_sam_read (consensus_builders.rs:174-286) +
     to_sam_record tag conventions."""
     tags: Dict[str, str] = {}
@@ -382,8 +421,10 @@ def _consensus_record(group: List[SortingRead], rm: ReferenceManager,
             group_is_insertion_free,
         )
 
-        if group_is_insertion_free(ref_seq,
-                                   [r.reference_aligned for r in group]):
+        if precomputed is not None:
+            con = precomputed
+        elif group_is_insertion_free(ref_seq,
+                                     [r.reference_aligned for r in group]):
             con = consensus_fast(
                 ref_seq, [r.read_aligned for r in group],
                 [r.read_quals for r in group],

@@ -34,6 +34,124 @@ def group_is_insertion_free(reference: bytes,
     return all(ra == reference for ra in members_ref_aligned)
 
 
+def consensus_fast_groups(reference: bytes,
+                          groups: List[Tuple[List[bytes], List[Optional[bytes]],
+                                             List[str]]],
+                          reference_name: str,
+                          gap_call_threshold: float = 0.75,
+                          reference_prob: float = 0.75
+                          ) -> List[AlignmentResult]:
+    """Collapse MANY insertion-free groups at once: all members of all
+    groups stack into one [N, L] matrix; per-group-column counts and the
+    Bayesian posterior come from flat bincounts (the segment-sum consensus
+    kernel of SURVEY 7), then bases/CIGARs are emitted per group."""
+    if not groups:
+        return []
+    L = len(reference)
+    G = len(groups)
+    members = []
+    gids = []
+    for gi, (reads, _quals, _names) in enumerate(groups):
+        members.extend(reads)
+        gids.extend([gi] * len(reads))
+    N = len(members)
+    reads_mat = np.frombuffer(b"".join(members), dtype=np.uint8
+                              ).reshape(N, L)
+    gid = np.asarray(gids, dtype=np.int64)
+    group_sizes = np.bincount(gid, minlength=G)
+
+    quals = np.full((N, L), ord("h"), dtype=np.int64)
+    nongap = reads_mat != GAP
+    row = 0
+    for reads, qlist, _names in groups:
+        for q in qlist:
+            if q is not None:
+                idx = np.nonzero(nongap[row])[0]
+                qa = np.frombuffer(q, dtype=np.uint8)
+                take = min(len(idx), len(qa))
+                quals[row, idx[:take]] = qa[:take]
+            row += 1
+
+    allele = _ALLELE_INDEX[reads_mat].astype(np.int64)   # [N, L], -1..4
+    valid = allele >= 0
+    gap_mask = reads_mat == GAP
+    cols = np.broadcast_to(np.arange(L, dtype=np.int64), (N, L))
+    gid_l = np.broadcast_to(gid[:, None], (N, L))
+
+    # counts [G, 6, L] via one flat bincount
+    slot = np.where(valid, allele, np.where(gap_mask, 5, -1))
+    flat_ok = slot >= 0
+    flat_idx = (gid_l * 6 + slot) * L + cols
+    counts = np.bincount(flat_idx[flat_ok], minlength=G * 6 * L
+                         ).reshape(G, 6, L)
+    total = counts.sum(axis=1)                            # [G, L]
+
+    # posterior log2 sums via weighted bincounts
+    p_err = np.power(10.0, quals / -10.0)
+    l_hit = np.log2(1.0 - p_err)
+    l_miss = np.log2(p_err / 3.0)
+
+    miss_flat = (gid_l * L + cols)[valid]
+    miss_sum = np.bincount(miss_flat, weights=l_miss[valid],
+                           minlength=G * L).reshape(G, L)
+    hit_idx = (gid_l * 5 + np.clip(allele, 0, 4)) * L + cols
+    hit_sum = np.bincount(hit_idx[valid],
+                          weights=(l_hit - l_miss)[valid],
+                          minlength=G * 5 * L).reshape(G, 5, L)
+
+    ref = np.frombuffer(reference, dtype=np.uint8)
+    ref_allele = _ALLELE_INDEX[ref]
+    prior = np.full((5, L), np.log2((1.0 - reference_prob) / 4.0))
+    known = ref_allele >= 0
+    prior[ref_allele[known], np.nonzero(known)[0]] = np.log2(reference_prob)
+
+    props = prior[None, :, :] + miss_sum[:, None, :] + hit_sum
+    powed = np.power(2.0, props)
+    posterior = powed / powed.sum(axis=1, keepdims=True)  # [G, 5, L]
+
+    acgt = counts[:, :4, :]
+    index_of_max = 3 - np.argmax(acgt[:, ::-1, :], axis=1)  # [G, L]
+    chosen = np.take_along_axis(posterior, index_of_max[:, None, :],
+                                axis=1)[:, 0, :]
+    phred = np.where(
+        np.isnan(chosen), 0,
+        np.where(chosen < 1e-8, 0,
+                 np.minimum(40, np.round(
+                     -10.0 * np.log10(1.00000000001 - chosen))))
+    ).astype(np.int64)
+
+    call_gap = (total == 0) | \
+        (np.divide(counts[:, 5, :], np.maximum(total, 1))
+         >= gap_call_threshold)
+    bases_all = np.where(
+        call_gap, GAP,
+        np.frombuffer(b"ACGT", dtype=np.uint8)[index_of_max]
+    ).astype(np.uint8)
+
+    results = []
+    for gi, (reads, _qlist, names) in enumerate(groups):
+        bases = bases_all[gi]
+        cg = call_gap[gi]
+        qual_out = (phred[gi][~cg] + 33).astype(np.uint8).tobytes()
+        ops = cg.astype(np.uint8)
+        change = np.nonzero(np.diff(ops))[0]
+        starts = np.concatenate(([0], change + 1))
+        ends = np.concatenate((change + 1, [L]))
+        cigar = simplify_cigar(
+            [(int(e - s), "MD"[ops[s]]) for s, e in zip(starts, ends)])
+        results.append(AlignmentResult(
+            reference_name=reference_name,
+            read_name=names[0] if names else "UnnamedRead",
+            reference_aligned=reference,
+            read_aligned=bases.tobytes(),
+            read_quals=qual_out,
+            cigar=cigar,
+            path=[],
+            score=0.0,
+        ))
+    return results
+
+
 def consensus_fast(reference: bytes, read_aligned: List[bytes],
                    read_quals: List[Optional[bytes]], read_names: List[str],
                    reference_name: str,

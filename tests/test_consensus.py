@@ -117,3 +117,34 @@ def test_calculate_conc_qual_score():
     # reference loop drops the final column
     assert len(conc) == 7
     assert conc[:3] == b"ACG"
+
+
+def test_batched_consensus_matches_single():
+    from clique_tpu.consensus.fast import consensus_fast, consensus_fast_groups
+
+    ref = RNG.choice(BASES, 50).tobytes()
+    groups = []
+    for g in range(5):
+        G = int(RNG.integers(2, 7))
+        reads, quals, names = [], [], []
+        for m in range(G):
+            row = bytearray(ref)
+            for _ in range(int(RNG.integers(0, 4))):
+                p = int(RNG.integers(0, len(ref)))
+                row[p] = RNG.choice(BASES)
+            if RNG.random() < 0.4:
+                p = int(RNG.integers(0, len(ref) - 3))
+                row[p] = ord("-")
+            reads.append(bytes(row))
+            quals.append(bytes([33 + int(x) for x in RNG.integers(
+                5, 40, len(ref) - bytes(row).count(b"-"))]))
+            names.append(f"g{g}m{m}")
+        groups.append((reads, quals, names))
+
+    batched = consensus_fast_groups(ref, groups, "r", 0.75)
+    for (reads, quals, names), con_b in zip(groups, batched):
+        con_s = consensus_fast(ref, reads, quals, names, "r", 0.75)
+        assert con_b.read_aligned == con_s.read_aligned
+        assert con_b.cigar == con_s.cigar
+        assert con_b.read_quals == con_s.read_quals
+        assert con_b.read_name == con_s.read_name
