@@ -338,11 +338,6 @@ def write_outputs(reads: List[SortingRead], writer, rm: ReferenceManager,
                   gap_call_threshold: float = 0.75) -> int:
     """write_consensus_reads / write_corrected_reads
     (consensus_builders.rs:34-165)."""
-    from clique_tpu.consensus.fast import (
-        consensus_fast_groups,
-        group_is_insertion_free,
-    )
-
     reads_sorted = sorted(reads, key=lambda r: (r.reference_name,
                                                 r.key_tuple()))
     groups: List[List[SortingRead]] = []
@@ -362,29 +357,10 @@ def write_outputs(reads: List[SortingRead], writer, rm: ReferenceManager,
         groups.append(reads_sorted[i:j])
         i = j
 
-    # batch all insertion-free multi-read groups through the segment-sum
-    # consensus (one numpy pass per reference)
-    precomputed = {}
-    by_ref: Dict[str, List[int]] = {}
-    for gi, group in enumerate(groups):
-        if len(group) <= 1:
-            continue
-        ref_name = Counter(
-            r.reference_name for r in group).most_common(1)[0][0]
-        ref_seq = rm.references[rm.name_to_id[ref_name]].sequence
-        if group_is_insertion_free(ref_seq,
-                                   [r.reference_aligned for r in group]):
-            by_ref.setdefault(ref_name, []).append(gi)
-    for ref_name, gis in by_ref.items():
-        ref_seq = rm.references[rm.name_to_id[ref_name]].sequence
-        batched = consensus_fast_groups(
-            ref_seq,
-            [([r.read_aligned for r in groups[gi]],
-              [r.read_quals for r in groups[gi]],
-              [r.read_name for r in groups[gi]]) for gi in gis],
-            ref_name, gap_call_threshold)
-        for gi, con in zip(gis, batched):
-            precomputed[gi] = con
+    # per-group vectorized consensus is the default; the segment-sum
+    # batched variant (consensus_fast_groups) exists but its giant index
+    # temporaries measured slower at these group sizes
+    precomputed: Dict[int, object] = {}
 
     written = 0
     records = []
