@@ -272,6 +272,7 @@ def align_reads(
     router: str = "kmer",
     metrics_path: Optional[str] = None,
     pipeline_threads: bool = True,
+    profile_dir: Optional[str] = None,
 ) -> AlignStats:
     """The `clique align` equivalent (alignment_functions.rs:63-257).
 
@@ -299,6 +300,13 @@ def align_reads(
         aligner = BatchAligner(scoring, batch_size)
         report_zero_score = False
     merge_aligner = BatchAligner(MERGE_SCORING, batch_size)
+
+    profiler_cm = None
+    if profile_dir:
+        import jax
+
+        profiler_cm = jax.profiler.trace(profile_dir)
+        profiler_cm.__enter__()
 
     references = [(r.name, len(r.sequence)) for r in rm.references.values()]
     writer = open_alignment_writer(output_path, references)
@@ -470,6 +478,8 @@ def align_reads(
         if writer_error:
             raise writer_error[0]
     writer.close()
+    if profiler_cm is not None:
+        profiler_cm.__exit__(None, None, None)
     elapsed = time.time() - start
     log.info("Aligned %d/%d reads in %.1fs", stats.aligned, stats.total,
              elapsed)

@@ -49,6 +49,10 @@ def main(argv=None) -> int:
     p_align.add_argument("--router", default="kmer", choices=["kmer", "hmm"],
                          help="multi-reference routing: unique-kmer vote or "
                               "pair-HMM forward likelihood")
+    p_align.add_argument("--metrics", default=None,
+                         help="write per-stage JSON metrics to this path")
+    p_align.add_argument("--profile-dir", default=None,
+                         help="capture a jax profiler trace into this dir")
 
     p_collapse = sub.add_parser(
         "collapse", help="hierarchically sort, correct and collapse tags")
@@ -93,6 +97,8 @@ def main(argv=None) -> int:
             single_ref_native=args.single_ref_native,
             mode=args.mode,
             router=args.router,
+            metrics_path=args.metrics,
+            profile_dir=args.profile_dir,
         )
         logging.info("align done: %s", stats)
         return 0
