@@ -85,7 +85,9 @@ def _edit_distance_kernel(a, b, la, lb, *, L1: int, L2: int):
             jnp.zeros((P, n1), jnp.int32))
     (prev, _, final, _w), _ = jax.lax.scan(step, init,
                                            jnp.arange(D, dtype=jnp.int32))
-    return final
+    # uint8 output: distances are <= L1+L2 << 255 here, and a small payload
+    # matters on high-latency device->host links
+    return jnp.minimum(final, 255).astype(jnp.uint8)
 
 
 def edit_distance_pairs(seqs_a: Sequence[bytes], seqs_b: Sequence[bytes],
@@ -130,15 +132,17 @@ def _byte_classes(arrays: List[np.ndarray]) -> Tuple[np.ndarray, int]:
 
 @functools.partial(jax.jit, static_argnames=("n_classes",))
 def _match_count_kernel(tags_cls, allow_cls, *, n_classes: int):
-    """tags_cls [U, L] i32, allow_cls [K, L] i32 -> matches [U, K] i32."""
+    """tags_cls [U, L] i32, allow_cls [K, L] i32 -> matches [U, K] u8
+    (match counts are <= L <= 255; uint8 keeps transfers small)."""
     t_oh = jax.nn.one_hot(tags_cls, n_classes, dtype=jnp.int8)   # [U, L, A]
     a_oh = jax.nn.one_hot(allow_cls, n_classes, dtype=jnp.int8)  # [K, L, A]
     U, L, A = t_oh.shape
     K = a_oh.shape[0]
-    return jax.lax.dot_general(
+    m = jax.lax.dot_general(
         t_oh.reshape(U, L * A), a_oh.reshape(K, L * A),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)
+    return jnp.minimum(m, 255).astype(jnp.uint8)
 
 
 def hamming_hits(tags: List[bytes], allowlist: List[bytes], max_distance: int,
