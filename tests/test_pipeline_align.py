@@ -145,3 +145,14 @@ def test_align_orients_reverse_reads(tmp_path):
         cell, umi = truth[fields[0]]
         assert tags["e0"] == cell
         assert tags["e1"] == umi
+
+
+def test_cli_help_and_version_smoke():
+    from clique_tpu.cli import main
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit) as e:
+        main(["align", "--help"])
+    assert e.value.code == 0
+    with _pytest.raises(SystemExit):
+        main([])  # missing subcommand
