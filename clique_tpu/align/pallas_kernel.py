@@ -149,16 +149,17 @@ def _fill_kernel(params_ref, lens_ref,           # SMEM
         m_dir.astype(jnp.int32) | (d_dir.astype(jnp.int32) << 2)
         | (i_dir.astype(jnp.int32) << 4),
         _TB_FRESH).astype(jnp.int32)
-    # pack 4 diagonals per int32 word (block revisited for d % 4 != 0)
+    # pack 4 diagonals per int32 word; blocks hold 8 words (32 diagonals)
+    # to satisfy Mosaic's (8, 128) block-shape divisibility
     word = (tb << (8 * (d % 4)))[:, None, :]
+    word_row = (d % 32) // 4
 
-    @pl.when(d % 4 == 0)
-    def _new_word():
-        tb_ref[...] = word
+    @pl.when(d % 32 == 0)
+    def _new_block():
+        tb_ref[...] = jnp.zeros_like(tb_ref)
 
-    @pl.when(d % 4 != 0)
-    def _or_word():
-        tb_ref[...] = tb_ref[...] | word
+    cur = tb_ref[:, pl.ds(word_row, 1), :]
+    tb_ref[:, pl.ds(word_row, 1), :] = cur | word
 
     # capture corner scores when the corner diagonal passes (x == l1)
     on_corner = (d == l1 + l2)
@@ -202,7 +203,7 @@ def pallas_fill(refs, reads, ref_len: int, read_len: int, scoring_params,
     B = refs.shape[0]
     assert B % TILE_B == 0
     D = n1 + n2 - 1
-    Dp = -(-D // 4)
+    Dp = -(-D // 32) * 8           # packed words, padded to 8-word blocks
     n2pad = reads.shape[1]
 
     params = scoring_params.astype(jnp.float32)
@@ -221,7 +222,7 @@ def pallas_fill(refs, reads, ref_len: int, read_len: int, scoring_params,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TILE_B, 1, n1), lambda i, d: (i, d // 4, 0),
+            pl.BlockSpec((TILE_B, 8, n1), lambda i, d: (i, d // 32, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_B, 1, 128), lambda i, d: (i, 0, 0),
                          memory_space=pltpu.VMEM),
