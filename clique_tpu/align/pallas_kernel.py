@@ -3,12 +3,17 @@
 Fuses the whole anti-diagonal sweep of align/batch.py into a single Mosaic
 kernel: the score carries live in VMEM scratch across grid steps (one grid
 step = one anti-diagonal of one batch tile), and the per-diagonal read
-bytes come from a rolling window updated with one dynamic-slice insert per
-step - the systolic-array formulation of sequence alignment, with the VPU's
-8x128 lanes playing the array:
+bytes come from a pure-roll window - the systolic-array formulation of
+sequence alignment, with the VPU's 8x128 lanes playing the array:
 
     w[x] <- read[d-1-x]   (window rolls one lane per diagonal)
     rx fixed per lane     (ref byte per DP row)
+
+The read is preloaded REVERSED at the top lanes of a W-wide buffer
+(rev[W-1-k] = read[k]); after d cumulative one-lane rolls,
+roll(rev, d)[x] = rev[(x-d) mod W] = read[d-1-x] for every in-band cell,
+so the per-step update is a single pltpu.roll with no dynamic lane index
+(Mosaic rejects non-128-aligned dynamic slices on the lane dimension).
 
 Per grid step the kernel computes the three planes' [TILE_B, n1] updates
 (exactly update_3d_score's max/tie semantics, vectorized) and writes one
@@ -48,10 +53,10 @@ def _three_way(up, left, diag):
 
 
 def _fill_kernel(params_ref, lens_ref,           # SMEM
-                 refs_ref, reads_ref,            # VMEM [TILE_B, n1], [TILE_B, n2pad]
+                 refs_ref, rev_reads_ref,        # VMEM [TILE_B, n1], [TILE_B, W]
                  tb_ref, corner_ref,             # outputs
                  pm, pp1, pp2, p2m, p2p1, p2p2,  # scratch [TILE_B, n1] f32
-                 win,                            # scratch [TILE_B, n1] i32
+                 win,                            # scratch [TILE_B, W] i32
                  corner_acc):                    # scratch [TILE_B, 128] f32
     d = pl.program_id(1)
     n1 = pm.shape[1]
@@ -63,7 +68,6 @@ def _fill_kernel(params_ref, lens_ref,           # SMEM
     go = params_ref[3]
     ge = params_ref[4]
     fgm = params_ref[5]
-    n2_real = lens_ref[2]  # padded read length (static per call)
 
     @pl.when(d == 0)
     def _init():
@@ -73,20 +77,18 @@ def _fill_kernel(params_ref, lens_ref,           # SMEM
         p2m[...] = jnp.zeros_like(p2m)
         p2p1[...] = jnp.zeros_like(p2p1)
         p2p2[...] = jnp.zeros_like(p2p2)
-        win[...] = jnp.zeros_like(win)
+        win[...] = rev_reads_ref[...].astype(jnp.int32)
         corner_acc[...] = jnp.zeros_like(corner_acc)
 
-    # roll the read window: w[x] <- read[d-1-x]; new byte read[d-1] at x=0
-    w_prev = win[...]
-    rolled = pltpu.roll(w_prev, 1, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 1)
-    new_byte = jax.lax.cond(
-        d >= 1,
-        lambda: reads_ref[:, pl.ds(jnp.minimum(d - 1, n2_real - 1), 1)]
-        .astype(jnp.int32),
-        lambda: jnp.zeros((rolled.shape[0], 1), jnp.int32))
-    w = jnp.where(lane == 0, new_byte, rolled)
-    win[...] = w
+    # pure-roll systolic read window: rev_reads is laid out so that after d
+    # cumulative one-lane rolls, win[:, x] == read[d - 1 - x]; no dynamic
+    # indexing (Mosaic requires static lane offsets)
+    @pl.when(d > 0)
+    def _roll():
+        win[...] = pltpu.roll(win[...], 1, 1)
+
+    w = win[:, :n1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
 
     x = lane                                    # [TILE_B, n1]
     y = d - x
@@ -205,6 +207,10 @@ def pallas_fill(refs, reads, ref_len: int, read_len: int, scoring_params,
     D = n1 + n2 - 1
     Dp = -(-D // 32) * 8           # packed words, padded to 8-word blocks
     n2pad = reads.shape[1]
+    # roll-window buffer: reversed read at the top lanes, zeros below; wide
+    # enough that lanes x >= d (pre-read region) never touch read bytes
+    W = -(-(n1 + n2pad) // 128) * 128
+    rev_reads = jnp.pad(reads[:, ::-1], ((0, 0), (W - n2pad, 0)))
 
     params = scoring_params.astype(jnp.float32)
     lens = jnp.array([ref_len, read_len, n2pad], dtype=jnp.int32)
@@ -218,7 +224,7 @@ def pallas_fill(refs, reads, ref_len: int, read_len: int, scoring_params,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((TILE_B, n1), lambda i, d: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, n2pad), lambda i, d: (i, 0),
+            pl.BlockSpec((TILE_B, W), lambda i, d: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -234,11 +240,11 @@ def pallas_fill(refs, reads, ref_len: int, read_len: int, scoring_params,
         scratch_shapes=[
             pltpu.VMEM((TILE_B, n1), jnp.float32) for _ in range(6)
         ] + [
-            pltpu.VMEM((TILE_B, n1), jnp.int32),
+            pltpu.VMEM((TILE_B, W), jnp.int32),
             pltpu.VMEM((TILE_B, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(params, lens, refs.astype(jnp.int32), reads)
+    )(params, lens, refs.astype(jnp.int32), rev_reads)
     corner = out_corner[:, 0, :3]
     # unpack 4-diagonal words back to one uint8 per cell: [B, Dp, n1] i32
     # -> [B, 4 * Dp, n1] u8 -> [:, :D]

@@ -379,6 +379,41 @@ def align_reads(
     merge_pending: List[Tuple[str, bytes, bytes, bytes, bytes]] = []
 
     route_pending: List[Tuple[str, bytes, bytes]] = []
+    exh_pending: List[Tuple[str, bytes, bytes, List[int]]] = []
+
+    def flush_exhaustive():
+        """Batched exhaustive search: every (candidate ref, read) pair of every
+        queued read goes through ONE align_pairs call; per read the best score
+        wins, Rust max_by keeping the LAST maximum on ties
+        (exhaustive_alignment_search)."""
+        if not exh_pending:
+            return
+        refs: List[bytes] = []
+        reads: List[bytes] = []
+        spans: List[Tuple[int, int]] = []  # (start, count) into outs per read
+        for _name, seq, _quals, cands in exh_pending:
+            spans.append((len(refs), len(cands)))
+            refs.extend(rm.references[i].sequence for i in cands)
+            reads.extend([seq] * len(cands))
+        outs = aligner.align_pairs(refs, reads)
+        batch_records = []
+        for (name, seq, quals, cands), (start, count) in zip(
+                exh_pending, spans):
+            best = 0
+            for i in range(count):
+                if outs[start + i][3] >= outs[start + best][3]:
+                    best = i
+            a1, a2, cigar, score = outs[start + best]
+            aligned = AlignedRead(
+                read_name=name,
+                reference_name=rm.references[cands[best]].name,
+                reference_aligned=a1, read_aligned=a2,
+                quals=quals, cigar=cigar,
+                score=score)
+            batch_records.append(_make_record(aligned, layout))
+        emit_records(batch_records)
+        stats.aligned += len(exh_pending)
+        exh_pending.clear()
 
     def flush_routes():
         if not route_pending:
@@ -412,23 +447,11 @@ def align_reads(
             stats.failed += 1
             return
         if isinstance(ref_id, list):
-            # exhaustive search: align against each candidate, best score wins
-            refs = [rm.references[i].sequence for i in ref_id]
-            outs = aligner.align_pairs(refs, [seq] * len(refs))
-            # Rust max_by keeps the LAST maximum on ties
-            best = 0
-            for i in range(len(outs)):
-                if outs[i][3] >= outs[best][3]:
-                    best = i
-            a1, a2, cigar, score = outs[best]
-            aligned = AlignedRead(
-                read_name=name,
-                reference_name=rm.references[ref_id[best]].name,
-                reference_aligned=a1, read_aligned=a2,
-                quals=quals, cigar=cigar,
-                score=score)
-            emit_records([_make_record(aligned, layout)])
-            stats.aligned += 1
+            # exhaustive search: batched below - align against every candidate,
+            # best score wins (see flush_exhaustive)
+            exh_pending.append((name, seq, quals, ref_id))
+            if sum(len(e[3]) for e in exh_pending) >= batch_size * 8:
+                flush_exhaustive()
             return
         # orientation for single reference without known strand
         if single_ref and not layout.known_strand:
@@ -471,6 +494,7 @@ def align_reads(
     flush_merges()
     if hmm_router is not None:
         flush_routes()
+    flush_exhaustive()
     flush(pending)
     if writer_thread is not None:
         write_queue.put(None)

@@ -147,6 +147,57 @@ def test_align_orients_reverse_reads(tmp_path):
         assert tags["e1"] == umi
 
 
+MIDDLE_A = "ACGTACGTACGTACGTACGT"
+MIDDLE_B = "TGCATGCATGCATGCATGCA"
+
+TWO_REF_YAML = f"""
+known_strand: true
+reads:
+  - !Read1
+    orientation: Forward
+references:
+  ampA:
+    sequence: "{ANCHOR5}{MIDDLE_A}{TARGET}{ANCHOR3}"
+    targets: ["{TARGET}"]
+    target_types: ["Cas9WT"]
+    umi_configurations: {{}}
+  ampB:
+    sequence: "{ANCHOR5}{MIDDLE_B}{TARGET}{ANCHOR3}"
+    targets: ["{TARGET}"]
+    target_types: ["Cas9WT"]
+    umi_configurations: {{}}
+"""
+
+
+def test_align_exhaustive_search_batched(tmp_path):
+    """quick_match_threshold > 1 forces every read down the exhaustive-search
+    path (align vs every voted candidate, best score wins); reads must still
+    land on their own amplicon."""
+    layout_path = tmp_path / "layout.yaml"
+    layout_path.write_text(TWO_REF_YAML)
+    fastq_path = tmp_path / "reads.fastq.gz"
+    truth = {}
+    with gzip.open(fastq_path, "wt") as fh:
+        for i in range(12):
+            mid = MIDDLE_A if i % 2 == 0 else MIDDLE_B
+            ref = "ampA" if i % 2 == 0 else "ampB"
+            read = f"{ANCHOR5}{mid}{TARGET}{ANCHOR3}"
+            truth[f"x{i}"] = ref
+            fh.write(f"@x{i}\n{read}\n+\n{'I' * len(read)}\n")
+
+    layout = SequenceLayout.from_yaml(str(layout_path))
+    rm = ReferenceManager.from_layout(layout)
+    out = tmp_path / "out.sam"
+    stats = align_reads(layout, rm, str(out), read1=str(fastq_path),
+                        batch_size=4, quick_match_threshold=1.01)
+    assert stats.aligned == len(truth)
+    lines = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+    assert len(lines) == len(truth)
+    for line in lines:
+        fields = line.split("\t")
+        assert fields[2] == truth[fields[0]], fields[0]
+
+
 def test_cli_help_and_version_smoke():
     from clique_tpu.cli import main
 
