@@ -75,7 +75,8 @@ def _shift_down(arr):
     return jnp.pad(arr[:, :-1], ((0, 0), (1, 0)))
 
 
-@functools.partial(jax.jit, static_argnames=("n1", "n2", "local", "special_mode"))
+@functools.partial(jax.jit, static_argnames=("n1", "n2", "local",
+                                             "special_mode", "use_pallas"))
 def align_batch_device(
     refs: jax.Array,
     reads: jax.Array,
@@ -88,8 +89,14 @@ def align_batch_device(
     n2: int,
     local: bool = False,
     special_mode: str = "both",
+    use_pallas: bool = False,
 ):
     """Full device alignment: fill + corner extraction + traceback walk.
+
+    use_pallas routes the fill through the fused Mosaic kernel
+    (pallas_kernel.pallas_fill, bit-identical; requires local=False,
+    B % 8 == 0 and a bandwidth that covers the full rectangle - the
+    caller's responsibility); the traceback walk is shared.
 
     Returns BatchAlignment (ops in forward order) and the packed traceback
     (for debugging/tests).
@@ -113,6 +120,20 @@ def align_batch_device(
     # ry (read byte at y-1 = d-x-1) is a rolling window: shift down one
     # lane per diagonal and insert read[d-1] at lane 0 (systolic layout)
     rx_const = jnp.pad(refs_i[:, :n1 - 1], ((0, 0), (1, 0)))   # [B, n1]
+
+    if use_pallas:
+        if local:
+            raise ValueError("use_pallas supports global mode only")
+        from clique_tpu.align.pallas_kernel import pallas_fill
+
+        tb_b, corner = pallas_fill(
+            rx_const, reads, ref_lens.astype(jnp.int32),
+            read_lens.astype(jnp.int32), scoring_params,
+            n1=n1, n2=n2, special_mode=special_mode,
+            interpret=jax.default_backend() != "tpu")
+        tb = jnp.transpose(tb_b, (1, 0, 2))        # [D, B, n1] for the walk
+        return _finish_from_traceback(
+            tb, tb_b, corner, ref_lens, read_lens, n1=n1, n2=n2)
 
     def step(carry, d):
         prev, prev2, corner, win = carry
@@ -210,6 +231,17 @@ def align_batch_device(
         step, init, jnp.arange(D, dtype=jnp.int32))
     # tb: [D, B, n1] -> [B, D, n1] for per-element gathers
     tb_b = jnp.transpose(tb, (1, 0, 2))
+    return _finish_from_traceback(
+        tb, tb_b, corner, ref_lens, read_lens, n1=n1, n2=n2)
+
+
+def _finish_from_traceback(tb, tb_b, corner, ref_lens, read_lens,
+                           *, n1: int, n2: int):
+    """Shared epilogue: starting plane + score from the corner, then the
+    gather-free traceback walk and 2-bit op packing. tb is diagonal-major
+    [D, B, n1]; tb_b the batch-major view returned for tests."""
+    B = tb_b.shape[0]
+    D = n1 + n2 - 1
 
     # starting plane: argmax, later plane wins ties (Rust max_by keeps last)
     z0 = jnp.where(

@@ -52,12 +52,14 @@ def _three_way(up, left, diag):
     return val, direction
 
 
-def _fill_kernel(params_ref, lens_ref,           # SMEM
+def _fill_kernel(params_ref,                     # SMEM [6] f32
+                 lens_ref,                       # VMEM [TILE_B, 128] i32
                  refs_ref, rev_reads_ref,        # VMEM [TILE_B, n1], [TILE_B, W]
                  tb_ref, corner_ref,             # outputs
                  pm, pp1, pp2, p2m, p2p1, p2p2,  # scratch [TILE_B, n1] f32
                  win,                            # scratch [TILE_B, W] i32
-                 corner_acc):                    # scratch [TILE_B, 128] f32
+                 corner_acc,                     # scratch [TILE_B, 128] f32
+                 *, special_mode: str):
     d = pl.program_id(1)
     n1 = pm.shape[1]
     neg = jnp.float32(MAX_NEG_SCORE)
@@ -92,13 +94,22 @@ def _fill_kernel(params_ref, lens_ref,           # SMEM
 
     x = lane                                    # [TILE_B, n1]
     y = d - x
-    # uniform-length tiles: every element of the call shares (l1, l2)
-    l1 = lens_ref[0]
-    l2 = lens_ref[1]
+    # per-element lengths: lens holds l1 at lane 0, l2 at lane 1; one-hot
+    # lane reductions pull them out as [TILE_B, 1] columns (no dynamic or
+    # scalar indexing inside the kernel)
+    lens_v = lens_ref[...]
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, lens_v.shape, 1)
+    l1 = jnp.sum(jnp.where(lane128 == 0, lens_v, 0), axis=1, keepdims=True)
+    l2 = jnp.sum(jnp.where(lane128 == 1, lens_v, 0), axis=1, keepdims=True)
 
     rx = refs_ref[...].astype(jnp.int32)        # ref byte at x-1, pre-shifted
     ry = w
-    special = (rx == 78) | (ry == 78) | (rx < 58) | (ry < 58)
+    if special_mode == "ref_n_only":
+        # rust-bio-compat rule (alignment_functions.rs:55): only a
+        # reference-side N scores as a guaranteed match
+        special = rx == 78
+    else:
+        special = (rx == 78) | (ry == 78) | (rx < 58) | (ry < 58)
     ms = jnp.where(special, sp_s, jnp.where(rx == ry, m_s, mm_s))
 
     gm = jnp.where((x == l1) | (y == l2), fgm, jnp.float32(1.0))
@@ -163,8 +174,9 @@ def _fill_kernel(params_ref, lens_ref,           # SMEM
     cur = tb_ref[:, pl.ds(word_row, 1), :]
     tb_ref[:, pl.ds(word_row, 1), :] = cur | word
 
-    # capture corner scores when the corner diagonal passes (x == l1)
-    on_corner = (d == l1 + l2)
+    # capture corner scores when each row's own corner diagonal passes
+    # (per-element lengths: rows hit their corner on different diagonals)
+    on_corner = (d == l1 + l2)                   # [TILE_B, 1]
     corner_col = jnp.where(x == l1, m_out, 0.0)
     corner_m = jnp.sum(corner_col, axis=1, keepdims=True)
     corner_p1 = jnp.sum(jnp.where(x == l1, p1_out, 0.0), axis=1,
@@ -172,15 +184,11 @@ def _fill_kernel(params_ref, lens_ref,           # SMEM
     corner_p2 = jnp.sum(jnp.where(x == l1, p2_out, 0.0), axis=1,
                         keepdims=True)
     acc = corner_acc[...]
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
-    packed = jnp.where(lane128 == 0, corner_m,
-                       jnp.where(lane128 == 1, corner_p1,
-                                 jnp.where(lane128 == 2, corner_p2, 0.0)))
-
-    @pl.when(on_corner)
-    def _store_corner():
-        corner_acc[...] = packed
-
+    lane_acc = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+    packed = jnp.where(lane_acc == 0, corner_m,
+                       jnp.where(lane_acc == 1, corner_p1,
+                                 jnp.where(lane_acc == 2, corner_p2, 0.0)))
+    corner_acc[...] = jnp.where(on_corner, packed, acc)
     corner_ref[...] = corner_acc[...][:, None, :]
 
     # rotate carries
@@ -193,13 +201,15 @@ def _fill_kernel(params_ref, lens_ref,           # SMEM
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n1", "n2", "interpret"))
-def pallas_fill(refs, reads, ref_len: int, read_len: int, scoring_params,
-                *, n1: int, n2: int, interpret: bool = False):
-    """Fill via the Pallas kernel for a uniform-length batch.
+                   static_argnames=("n1", "n2", "special_mode", "interpret"))
+def pallas_fill(refs, reads, ref_lens, read_lens, scoring_params,
+                *, n1: int, n2: int, special_mode: str = "both",
+                interpret: bool = False):
+    """Fill via the Pallas kernel (per-element lengths, full band, global).
 
     refs [B, n1] uint8 pre-shifted so refs[:, x] = ref byte for DP row x
-    (i.e. ref[x-1], column 0 arbitrary); reads [B, n2pad] uint8.
+    (i.e. ref[x-1], column 0 arbitrary); reads [B, n2pad] uint8;
+    ref_lens/read_lens [B] i32 (or python ints, broadcast).
     Returns (tb [B, D, n1] uint8-compatible i32, corner [B, 3] f32).
     """
     B = refs.shape[0]
@@ -213,15 +223,19 @@ def pallas_fill(refs, reads, ref_len: int, read_len: int, scoring_params,
     rev_reads = jnp.pad(reads[:, ::-1], ((0, 0), (W - n2pad, 0)))
 
     params = scoring_params.astype(jnp.float32)
-    lens = jnp.array([ref_len, read_len, n2pad], dtype=jnp.int32)
+    ref_lens = jnp.broadcast_to(jnp.asarray(ref_lens, jnp.int32), (B,))
+    read_lens = jnp.broadcast_to(jnp.asarray(read_lens, jnp.int32), (B,))
+    lens = (jnp.zeros((B, 128), jnp.int32)
+            .at[:, 0].set(ref_lens).at[:, 1].set(read_lens))
 
     grid = (B // TILE_B, D)
     out_tb, out_corner = pl.pallas_call(
-        _fill_kernel,
+        functools.partial(_fill_kernel, special_mode=special_mode),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE_B, 128), lambda i, d: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_B, n1), lambda i, d: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_B, W), lambda i, d: (i, 0),

@@ -26,6 +26,7 @@ rm = reference alignment rate, as/rs = alignment score.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Dict, Iterable, List, Optional, Tuple
@@ -132,6 +133,9 @@ class BatchAligner:
         self.batch_size = batch_size
         self.quantum = length_quantum
         self.special_mode = special_mode
+        # CLIQUE_TPU_PALLAS=1 routes the fill through the fused Mosaic
+        # kernel (bit-identical; see tests/test_pallas_kernel.py)
+        self.use_pallas = os.environ.get("CLIQUE_TPU_PALLAS", "0") == "1"
         self.device_seconds = 0.0   # dispatch + sync time
         self.post_seconds = 0.0     # host-side expansion
         self.pairs_aligned = 0
@@ -242,7 +246,8 @@ class BatchAligner:
                          for a in args)
         res, _tb = dbatch.align_batch_device(
             *args, self.params,
-            n1=n1, n2=n2, special_mode=self.special_mode)
+            n1=n1, n2=n2, special_mode=self.special_mode,
+            use_pallas=self.use_pallas)
         return group, refs_arr, reads_arr, res
 
 

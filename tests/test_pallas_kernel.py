@@ -55,3 +55,46 @@ def test_pallas_fill_matches_xla(scoring):
                  np.where(corner[:, 1] >= corner[:, 0], 1, 0))
     score = corner[np.arange(B), z]
     np.testing.assert_array_equal(score, np.asarray(res.score))
+
+
+@pytest.mark.parametrize("special_mode", ["both", "ref_n_only"])
+def test_align_batch_device_use_pallas_varlen(special_mode):
+    """The integrated pallas path must reproduce the XLA path exactly on a
+    batch with per-element lengths and N/special bytes."""
+    B, n1, n2 = 16, 128, 128
+    refs = np.zeros((B, n1 - 1), dtype=np.uint8)
+    reads = np.zeros((B, n2 - 1), dtype=np.uint8)
+    ref_lens = np.zeros(B, dtype=np.int32)
+    read_lens = np.zeros(B, dtype=np.int32)
+    for i in range(B):
+        lr = int(RNG.integers(20, n1 - 1))
+        ld = int(RNG.integers(20, n2 - 1))
+        refs[i, :lr] = RNG.choice(BASES, lr)
+        reads[i, :ld] = RNG.choice(BASES, ld)
+        # sprinkle special bytes on both sides
+        for arr, ln in ((refs, lr), (reads, ld)):
+            mask = RNG.random(ln) < 0.05
+            arr[i, :ln][mask] = ord("N")
+        ref_lens[i] = lr
+        read_lens[i] = ld
+    bw = np.maximum(ref_lens, np.maximum(read_lens, 1))
+    params = scoring_to_params(AffineScoring.aligner_default())
+
+    res_x, tb_x = align_batch_device(
+        refs, reads, ref_lens, read_lens, bw, params, n1=n1, n2=n2,
+        special_mode=special_mode)
+    res_p, tb_p = align_batch_device(
+        refs, reads, ref_lens, read_lens, bw, params, n1=n1, n2=n2,
+        special_mode=special_mode, use_pallas=True)
+
+    np.testing.assert_array_equal(np.asarray(tb_p), np.asarray(tb_x))
+    np.testing.assert_array_equal(np.asarray(res_p.score),
+                                  np.asarray(res_x.score))
+    np.testing.assert_array_equal(np.asarray(res_p.start_z),
+                                  np.asarray(res_x.start_z))
+    np.testing.assert_array_equal(np.asarray(res_p.ops),
+                                  np.asarray(res_x.ops))
+    np.testing.assert_array_equal(np.asarray(res_p.n_ops),
+                                  np.asarray(res_x.n_ops))
+    np.testing.assert_array_equal(np.asarray(res_p.ops_packed),
+                                  np.asarray(res_x.ops_packed))
