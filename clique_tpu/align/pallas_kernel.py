@@ -200,6 +200,14 @@ def _fill_kernel(params_ref,                     # SMEM [6] f32
     pp2[...] = p2_out
 
 
+def _vmem_bytes(tile: int, n1: int, n2pad: int) -> int:
+    """Rough VMEM footprint of one grid step at a given batch-tile size."""
+    W = -(-(n1 + n2pad) // 128) * 128
+    scratch = 6 * tile * n1 * 4 + tile * W * 4 + tile * 128 * 4
+    blocks = tile * n1 * 4 + tile * W * 4 + tile * 8 * n1 * 4 + tile * 128 * 4
+    return scratch + blocks
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n1", "n2", "special_mode", "interpret"))
 def pallas_fill(refs, reads, ref_lens, read_lens, scoring_params,
@@ -213,7 +221,21 @@ def pallas_fill(refs, reads, ref_lens, read_lens, scoring_params,
     Returns (tb [B, D, n1] uint8-compatible i32, corner [B, 3] f32).
     """
     B = refs.shape[0]
-    assert B % TILE_B == 0
+    # Mosaic executes the grid sequentially, so small batch tiles serialize:
+    # grow the tile toward the whole diagonal's batch work per grid step
+    # (like the XLA scan), VMEM permitting. 8-row tiles measured ~1.5x
+    # slower end-to-end than the XLA scan at production shapes; wide-tile
+    # Mosaic compiles have timed out through the remote-compile relay, so
+    # the ceiling is tunable while that is investigated
+    # (CLIQUE_TPU_PALLAS_TILE, default 128).
+    import os
+
+    max_tile = int(os.environ.get("CLIQUE_TPU_PALLAS_TILE", "128"))
+    tile = TILE_B
+    while tile < max_tile and tile * 2 <= B and B % (tile * 2) == 0 and \
+            _vmem_bytes(tile * 2, n1, reads.shape[1]) < 12 * 2**20:
+        tile *= 2
+    assert B % tile == 0
     D = n1 + n2 - 1
     Dp = -(-D // 32) * 8           # packed words, padded to 8-word blocks
     n2pad = reads.shape[1]
@@ -228,23 +250,23 @@ def pallas_fill(refs, reads, ref_lens, read_lens, scoring_params,
     lens = (jnp.zeros((B, 128), jnp.int32)
             .at[:, 0].set(ref_lens).at[:, 1].set(read_lens))
 
-    grid = (B // TILE_B, D)
+    grid = (B // tile, D)
     out_tb, out_corner = pl.pallas_call(
         functools.partial(_fill_kernel, special_mode=special_mode),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE_B, 128), lambda i, d: (i, 0),
+            pl.BlockSpec((tile, 128), lambda i, d: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, n1), lambda i, d: (i, 0),
+            pl.BlockSpec((tile, n1), lambda i, d: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, W), lambda i, d: (i, 0),
+            pl.BlockSpec((tile, W), lambda i, d: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TILE_B, 8, n1), lambda i, d: (i, d // 32, 0),
+            pl.BlockSpec((tile, 8, n1), lambda i, d: (i, d // 32, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, 1, 128), lambda i, d: (i, 0, 0),
+            pl.BlockSpec((tile, 1, 128), lambda i, d: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -252,10 +274,10 @@ def pallas_fill(refs, reads, ref_lens, read_lens, scoring_params,
             jax.ShapeDtypeStruct((B, 1, 128), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((TILE_B, n1), jnp.float32) for _ in range(6)
+            pltpu.VMEM((tile, n1), jnp.float32) for _ in range(6)
         ] + [
-            pltpu.VMEM((TILE_B, W), jnp.int32),
-            pltpu.VMEM((TILE_B, 128), jnp.float32),
+            pltpu.VMEM((tile, W), jnp.int32),
+            pltpu.VMEM((tile, 128), jnp.float32),
         ],
         interpret=interpret,
     )(params, lens, refs.astype(jnp.int32), rev_reads)
