@@ -106,16 +106,22 @@ def edit_distance_pairs(seqs_a: Sequence[bytes], seqs_b: Sequence[bytes],
     while Ppad < P:
         Ppad *= 2
     pad_rows = Ppad - P
-    a = np.frombuffer(
-        b"".join(s.ljust(L, b"\x00") for s in seqs_a) + b"\x00" * (L * pad_rows),
-        dtype=np.uint8).reshape(Ppad, L)
-    b = np.frombuffer(
-        b"".join(s.ljust(L, b"\x00") for s in seqs_b) + b"\x00" * (L * pad_rows),
-        dtype=np.uint8).reshape(Ppad, L)
+
+    def marshal(seqs, lens):
+        if (lens[:P] == L).all():
+            # uniform-length fast path: one C-speed join, no per-string pad
+            flat = b"".join(seqs) + b"\x00" * (L * pad_rows)
+        else:
+            flat = (b"".join(s.ljust(L, b"\x00") for s in seqs)
+                    + b"\x00" * (L * pad_rows))
+        return np.frombuffer(flat, dtype=np.uint8).reshape(Ppad, L)
+
     la = np.zeros(Ppad, dtype=np.int32)
     lb = np.zeros(Ppad, dtype=np.int32)
-    la[:P] = [len(s) for s in seqs_a]
-    lb[:P] = [len(s) for s in seqs_b]
+    la[:P] = np.fromiter(map(len, seqs_a), np.int32, count=P)
+    lb[:P] = np.fromiter(map(len, seqs_b), np.int32, count=P)
+    a = marshal(seqs_a, la)
+    b = marshal(seqs_b, lb)
     return np.asarray(_edit_distance_kernel(a, b, la, lb, L1=L, L2=L))[:P]
 
 
