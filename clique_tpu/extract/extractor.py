@@ -144,13 +144,23 @@ def recover_aligned_sequences_fast(unaligned_read: bytes,
     if not cigar or any(op == "S" for _c, op in cigar):
         return None
     ref_pos = one_based_start - 1
-    ops = np.concatenate([
-        np.full(c, {"M": 0, "=": 0, "X": 0, "I": 1, "D": 2, "N": 2}.get(op, 3),
-                dtype=np.uint8)
-        for c, op in cigar]) if cigar else np.zeros(0, np.uint8)
-    core = ops[ops != 3]
     read_a = np.frombuffer(unaligned_read, dtype=np.uint8)
     ref_a = np.frombuffer(reference, dtype=np.uint8)
+
+    if all(op in "M=X" for _c, op in cigar):
+        # pure match/mismatch (the common case for substitution-only reads):
+        # the read sits verbatim under the reference, gaps on both flanks
+        n = sum(c for c, _op in cigar)
+        end = ref_pos + n
+        aligned_read = (b"-" * ref_pos + unaligned_read[:n]
+                        + b"-" * max(len(ref_a) - end, 0))
+        return aligned_read, reference
+
+    code = {"M": 0, "=": 0, "X": 0, "I": 1, "D": 2, "N": 2}
+    ops = np.repeat(
+        np.array([code.get(op, 3) for _c, op in cigar], dtype=np.uint8),
+        np.array([c for c, _op in cigar], dtype=np.int64))
+    core = ops[ops != 3]
 
     r_step = core != 1          # consumes reference
     d_step = core != 2          # consumes read
