@@ -196,7 +196,7 @@ def read_sorting_reads_from_bam(input_bam: str, reference_name: str,
                 stats.invalid_tags += 1
                 continue
 
-            read = SortingRead(
+            out.append(SortingRead(
                 read_name=rec.name,
                 reference_name=reference_name,
                 reference_aligned=aligned_ref,
@@ -206,13 +206,38 @@ def read_sorting_reads_from_bam(input_bam: str, reference_name: str,
                 reference_start=rec.pos,
                 score=0.0,
                 unsorted_keys=deque(ordered),
-            )
-            if alignment_check(read):
-                out.append(read)
-                stats.passing += 1
-            else:
-                stats.failed_filters += 1
-    return out
+            ))
+    keep = alignment_check_batch(out)
+    passing = [r for r, k in zip(out, keep) if k]
+    stats.passing += len(passing)
+    stats.failed_filters += len(out) - len(passing)
+    return passing
+
+
+def alignment_check_batch(reads: List[SortingRead],
+                          min_aligned_bases: int = 45,
+                          min_identical: float = 0.8) -> List[bool]:
+    """Vectorized alignment_check over a whole read set: one padded
+    [N, Lmax] comparison instead of per-read numpy round trips."""
+    import numpy as np
+
+    if not reads:
+        return []
+    lens = [min(len(r.read_aligned), len(r.reference_aligned)) for r in reads]
+    L = max(lens)
+    x = np.zeros((len(reads), L), dtype=np.uint8)
+    y = np.zeros((len(reads), L), dtype=np.uint8)
+    for i, r in enumerate(reads):
+        n = lens[i]
+        x[i, :n] = np.frombuffer(r.read_aligned[:n], dtype=np.uint8)
+        y[i, :n] = np.frombuffer(r.reference_aligned[:n], dtype=np.uint8)
+    mask = (y > 59) & (x > 59) & (y != FASTA_N)
+    alignable = mask.sum(axis=1)
+    matches = ((x == y) & mask).sum(axis=1)
+    safe = np.maximum(alignable, 1)
+    ok = (alignable > 0) & (matches / safe >= min_identical) & \
+        (alignable >= min_aligned_bases)
+    return ok.tolist()
 
 
 def load_known_lists(layout: SequenceLayout) -> Dict[str, List[bytes]]:

@@ -189,6 +189,10 @@ def stretch_sequence_to_alignment_fast(aligned_version: bytes,
     quirk)."""
     import numpy as np
 
+    if b"-" not in aligned_version:
+        # no gaps to re-inflate: the native (wildcard) sequence positionally
+        # covers the whole alignment
+        return native_version[:len(aligned_version)]
     av = np.frombuffer(aligned_version, dtype=np.uint8)
     nv = np.frombuffer(native_version, dtype=np.uint8)
     if len(nv) == 0:
