@@ -108,13 +108,22 @@ def edit_distance_pairs(seqs_a: Sequence[bytes], seqs_b: Sequence[bytes],
     pad_rows = Ppad - P
 
     def marshal(seqs, lens):
-        if (lens[:P] == L).all():
+        lens_p = lens[:P]
+        if (lens_p == L).all():
             # uniform-length fast path: one C-speed join, no per-string pad
             flat = b"".join(seqs) + b"\x00" * (L * pad_rows)
-        else:
-            flat = (b"".join(s.ljust(L, b"\x00") for s in seqs)
-                    + b"\x00" * (L * pad_rows))
-        return np.frombuffer(flat, dtype=np.uint8).reshape(Ppad, L)
+            return np.frombuffer(flat, dtype=np.uint8).reshape(Ppad, L)
+        # mixed lengths: one join + block assignment per distinct length
+        # (typically 2-3 distinct values) instead of a per-string ljust
+        arr = np.zeros((Ppad, L), dtype=np.uint8)
+        for g in np.unique(lens_p):
+            if g == 0:
+                continue
+            idx = np.flatnonzero(lens_p == g)
+            sub = np.frombuffer(b"".join([seqs[i] for i in idx]),
+                                dtype=np.uint8).reshape(len(idx), int(g))
+            arr[idx, :g] = sub
+        return arr
 
     la = np.zeros(Ppad, dtype=np.int32)
     lb = np.zeros(Ppad, dtype=np.int32)
