@@ -224,13 +224,14 @@ def pallas_fill(refs, reads, ref_lens, read_lens, scoring_params,
     # Mosaic executes the grid sequentially, so small batch tiles serialize:
     # grow the tile toward the whole diagonal's batch work per grid step
     # (like the XLA scan), VMEM permitting. 8-row tiles measured ~1.5x
-    # slower end-to-end than the XLA scan at production shapes; wide-tile
-    # Mosaic compiles have timed out through the remote-compile relay, so
-    # the ceiling is tunable while that is investigated
-    # (CLIQUE_TPU_PALLAS_TILE, default 128).
+    # slower end-to-end than the XLA scan at production shapes. Tiles up to
+    # 32 are compile-proven and bit-exact on real TPUs
+    # (tools/check_pallas_tpu.py); 64/128-row compiles have timed out
+    # through the remote-compile relay, so the default ceiling stays at the
+    # proven value and is tunable via CLIQUE_TPU_PALLAS_TILE.
     import os
 
-    max_tile = int(os.environ.get("CLIQUE_TPU_PALLAS_TILE", "128"))
+    max_tile = int(os.environ.get("CLIQUE_TPU_PALLAS_TILE", "32"))
     tile = TILE_B
     while tile < max_tile and tile * 2 <= B and B % (tile * 2) == 0 and \
             _vmem_bytes(tile * 2, n1, reads.shape[1]) < 12 * 2**20:

@@ -41,9 +41,9 @@ GAP = ord("-")
 def normalize_tag(tag: bytes, length: int) -> bytes:
     """Gap-strip then right-pad with '-' to `length` (longer tags keep their
     length), as correct_tags.rs:162-169."""
-    stripped = bytes(b for b in tag if b != GAP)
+    stripped = tag.replace(b"-", b"")
     if len(stripped) < length:
-        return stripped + b"-" * (length - len(stripped))
+        return stripped.ljust(length, b"-")
     return stripped
 
 
