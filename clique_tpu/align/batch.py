@@ -76,7 +76,8 @@ def _shift_down(arr):
 
 
 @functools.partial(jax.jit, static_argnames=("n1", "n2", "local",
-                                             "special_mode", "use_pallas"))
+                                             "special_mode", "use_pallas",
+                                             "return_traceback"))
 def align_batch_device(
     refs: jax.Array,
     reads: jax.Array,
@@ -90,6 +91,7 @@ def align_batch_device(
     local: bool = False,
     special_mode: str = "both",
     use_pallas: bool = False,
+    return_traceback: bool = True,
 ):
     """Full device alignment: fill + corner extraction + traceback walk.
 
@@ -124,16 +126,20 @@ def align_batch_device(
     if use_pallas:
         if local:
             raise ValueError("use_pallas supports global mode only")
-        from clique_tpu.align.pallas_kernel import pallas_fill
+        from clique_tpu.align.pallas_kernel import pallas_fill, unpack_words
 
-        tb_b, corner = pallas_fill(
+        words, corner = pallas_fill(
             rx_const, reads, ref_lens.astype(jnp.int32),
             read_lens.astype(jnp.int32), scoring_params,
-            n1=n1, n2=n2, special_mode=special_mode,
+            n1=n1, n2=n2, special_mode=special_mode, packed=True,
             interpret=jax.default_backend() != "tpu")
-        tb = jnp.transpose(tb_b, (1, 0, 2))        # [D, B, n1] for the walk
-        return _finish_from_traceback(
-            tb, tb_b, corner, ref_lens, read_lens, n1=n1, n2=n2)
+        # walk the packed words directly (word-major); the uint8 unpack is
+        # debug/test-only and skipped when return_traceback=False
+        res = _finish_from_packed_traceback(
+            jnp.transpose(words, (1, 0, 2)), corner, ref_lens, read_lens,
+            n1=n1, n2=n2)
+        tb_b = unpack_words(words, D) if return_traceback else None
+        return res, tb_b
 
     def step(carry, d):
         prev, prev2, corner, win = carry
@@ -229,8 +235,8 @@ def align_batch_device(
             jnp.zeros((B, 3), dtype=f32), jnp.zeros((B, n1), jnp.int32))
     (_, _, corner, _win), tb = jax.lax.scan(
         step, init, jnp.arange(D, dtype=jnp.int32))
-    # tb: [D, B, n1] -> [B, D, n1] for per-element gathers
-    tb_b = jnp.transpose(tb, (1, 0, 2))
+    # tb: [D, B, n1] -> [B, D, n1] batch-major view for tests/debug
+    tb_b = jnp.transpose(tb, (1, 0, 2)) if return_traceback else None
     return _finish_from_traceback(
         tb, tb_b, corner, ref_lens, read_lens, n1=n1, n2=n2)
 
@@ -240,14 +246,9 @@ def _finish_from_traceback(tb, tb_b, corner, ref_lens, read_lens,
     """Shared epilogue: starting plane + score from the corner, then the
     gather-free traceback walk and 2-bit op packing. tb is diagonal-major
     [D, B, n1]; tb_b the batch-major view returned for tests."""
-    B = tb_b.shape[0]
+    B = tb.shape[1]
     D = n1 + n2 - 1
-
-    # starting plane: argmax, later plane wins ties (Rust max_by keeps last)
-    z0 = jnp.where(
-        corner[:, 2] >= jnp.maximum(corner[:, 0], corner[:, 1]), 2,
-        jnp.where(corner[:, 1] >= corner[:, 0], 1, 0)).astype(jnp.int32)
-    score = jnp.take_along_axis(corner, z0[:, None], axis=1)[:, 0]
+    z0, score = _corner_to_z0_score(corner)
 
     # --- traceback walk (perform_3d_global_traceback, :941-1086) ----------
     # Gather-free diagonal-major walk: the walk visits strictly decreasing
@@ -287,6 +288,66 @@ def _finish_from_traceback(tb, tb_b, corner, ref_lens, read_lens,
     # so ops_desc[i] is the op taken on diagonal i - already forward order
     _, ops_desc = jax.lax.scan(walk_step, init_walk, tb, reverse=True)
     ops_d = jnp.transpose(ops_desc, (1, 0))            # [B, D], fwd order
+    return _ops_epilogue(ops_d, score, z0, n1=n1, n2=n2), tb_b
+
+
+def _corner_to_z0_score(corner):
+    # starting plane: argmax, later plane wins ties (Rust max_by keeps last)
+    z0 = jnp.where(
+        corner[:, 2] >= jnp.maximum(corner[:, 0], corner[:, 1]), 2,
+        jnp.where(corner[:, 1] >= corner[:, 0], 1, 0)).astype(jnp.int32)
+    score = jnp.take_along_axis(corner, z0[:, None], axis=1)[:, 0]
+    return z0, score
+
+
+def _finish_from_packed_traceback(words, corner, ref_lens, read_lens,
+                                  *, n1: int, n2: int):
+    """Traceback walk directly over the Pallas kernel's packed int32 words
+    (4 diagonals per word), skipping the [B, D, n1] uint8 unpack+transpose
+    that costs ~4x the packed array's HBM traffic. words is word-major
+    [Wd, B, n1] i32 where word w holds diagonals 4w..4w+3 at byte lanes
+    (shift 8*(d%4)). Diagonals >= D walk as inactive (x+y < d -> DONE)."""
+    Wd, B = words.shape[0], words.shape[1]
+    D4 = 4 * Wd
+    z0, score = _corner_to_z0_score(corner)
+    lane = jnp.arange(n1, dtype=jnp.int32)[None, :]
+
+    def walk_word(state, word):
+        ops = []
+        for k in (3, 2, 1, 0):          # diagonal 4w+k, descending
+            x, y, z, d = state
+            active = (x + y == d) & ((x > 0) | (y > 0))
+            in_core = (x > 0) & (y > 0)
+            op = jnp.where(
+                active & in_core, z.astype(jnp.uint8),
+                jnp.where(active & (x > 0), jnp.uint8(OP_DEL),
+                          jnp.where(active & (y > 0), jnp.uint8(OP_INS),
+                                    jnp.uint8(OP_DONE))))
+            wsel = jnp.sum(
+                jnp.where(lane == x[:, None], word, 0), axis=1)
+            direction = (wsel >> (8 * k + 2 * z)) & 3
+
+            step_core = active & in_core
+            dx = jnp.where(step_core, jnp.where(z == 2, 0, 1),
+                           jnp.where(active & (x > 0), 1, 0))
+            dy = jnp.where(step_core, jnp.where(z == 1, 0, 1),
+                           jnp.where(active & (x <= 0) & (y > 0), 1, 0))
+            new_z = jnp.where(step_core, direction, z)
+            state = (x - dx, y - dy, new_z, d - 1)
+            ops.append(op)
+        return state, jnp.stack(ops[::-1], axis=0)     # ascending diagonal
+
+    init_walk = (ref_lens.astype(jnp.int32), read_lens.astype(jnp.int32),
+                 z0, jnp.int32(D4 - 1))
+    _, ops_desc = jax.lax.scan(walk_word, init_walk, words, reverse=True)
+    # [Wd, 4, B] -> [D4, B] (ascending diagonals) -> [B, D4]
+    ops_d = jnp.transpose(ops_desc.reshape(D4, B), (1, 0))
+    return _ops_epilogue(ops_d, score, z0, n1=n1, n2=n2)
+
+
+def _ops_epilogue(ops_d, score, z0, *, n1: int, n2: int):
+    """Left-compact the walked ops and 2-bit pack them for transfer."""
+    B, Dw = ops_d.shape
     n_ops = jnp.sum(ops_d != OP_DONE, axis=1).astype(jnp.int32)
 
     # left-compact the non-DONE ops preserving order (stable argsort on the
@@ -295,8 +356,8 @@ def _finish_from_traceback(tb, tb_b, corner, ref_lens, read_lens,
     order = jnp.argsort((ops_d == OP_DONE).astype(jnp.int32), axis=1,
                         stable=True)
     ops_compact = jnp.take_along_axis(ops_d, order, axis=1)
-    if D < T:
-        ops_fwd = jnp.pad(ops_compact, ((0, 0), (0, T - D)),
+    if Dw < T:
+        ops_fwd = jnp.pad(ops_compact, ((0, 0), (0, T - Dw)),
                           constant_values=OP_DONE)
     else:
         ops_fwd = ops_compact[:, :T]
@@ -309,7 +370,7 @@ def _finish_from_traceback(tb, tb_b, corner, ref_lens, read_lens,
                   | (o[:, :, 3] << 6)).astype(jnp.uint8)
 
     return BatchAlignment(score=score, start_z=z0, ops=ops_fwd, n_ops=n_ops,
-                          ops_packed=ops_packed), tb_b
+                          ops_packed=ops_packed)
 
 
 def scoring_to_params(scoring: AffineScoring) -> jnp.ndarray:

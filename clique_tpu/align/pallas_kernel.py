@@ -209,16 +209,20 @@ def _vmem_bytes(tile: int, n1: int, n2pad: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n1", "n2", "special_mode", "interpret"))
+                   static_argnames=("n1", "n2", "special_mode", "packed",
+                                    "interpret"))
 def pallas_fill(refs, reads, ref_lens, read_lens, scoring_params,
                 *, n1: int, n2: int, special_mode: str = "both",
-                interpret: bool = False):
+                packed: bool = False, interpret: bool = False):
     """Fill via the Pallas kernel (per-element lengths, full band, global).
 
     refs [B, n1] uint8 pre-shifted so refs[:, x] = ref byte for DP row x
     (i.e. ref[x-1], column 0 arbitrary); reads [B, n2pad] uint8;
     ref_lens/read_lens [B] i32 (or python ints, broadcast).
-    Returns (tb [B, D, n1] uint8-compatible i32, corner [B, 3] f32).
+    Returns (tb [B, D, n1] uint8-compatible i32, corner [B, 3] f32), or with
+    packed=True the raw 4-diagonals-per-int32 words ([B, Dp, n1] i32, word
+    w = diagonals 4w..4w+3 at shift 8*(d%4)) for walk paths that consume
+    the packed layout directly (unpack_words recovers the uint8 view).
     """
     B = refs.shape[0]
     # Mosaic executes the grid sequentially, so small batch tiles serialize:
@@ -283,10 +287,15 @@ def pallas_fill(refs, reads, ref_lens, read_lens, scoring_params,
         interpret=interpret,
     )(params, lens, refs.astype(jnp.int32), rev_reads)
     corner = out_corner[:, 0, :3]
-    # unpack 4-diagonal words back to one uint8 per cell: [B, Dp, n1] i32
-    # -> [B, 4 * Dp, n1] u8 -> [:, :D]
+    if packed:
+        return out_tb, corner
+    return unpack_words(out_tb, D), corner
+
+
+def unpack_words(words, D: int):
+    """[B, Dp, n1] i32 packed words -> [B, D, n1] uint8 traceback bytes."""
+    B, Dp, n1 = words.shape
     shifts = jnp.array([0, 8, 16, 24], dtype=jnp.int32)
-    unpacked = ((out_tb[:, :, None, :] >> shifts[None, None, :, None])
+    unpacked = ((words[:, :, None, :] >> shifts[None, None, :, None])
                 & 0xFF).astype(jnp.uint8)
-    tb_u8 = unpacked.reshape(B, 4 * Dp, n1)[:, :D]
-    return tb_u8, corner
+    return unpacked.reshape(B, 4 * Dp, n1)[:, :D]

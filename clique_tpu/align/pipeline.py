@@ -247,7 +247,7 @@ class BatchAligner:
         res, _tb = dbatch.align_batch_device(
             *args, self.params,
             n1=n1, n2=n2, special_mode=self.special_mode,
-            use_pallas=self.use_pallas)
+            use_pallas=self.use_pallas, return_traceback=False)
         return group, refs_arr, reads_arr, res
 
 

@@ -98,3 +98,13 @@ def test_align_batch_device_use_pallas_varlen(special_mode):
                                   np.asarray(res_x.n_ops))
     np.testing.assert_array_equal(np.asarray(res_p.ops_packed),
                                   np.asarray(res_x.ops_packed))
+
+    # the production path skips the debug traceback entirely
+    res_n, tb_n = align_batch_device(
+        refs, reads, ref_lens, read_lens, bw, params, n1=n1, n2=n2,
+        special_mode=special_mode, use_pallas=True, return_traceback=False)
+    assert tb_n is None
+    np.testing.assert_array_equal(np.asarray(res_n.ops),
+                                  np.asarray(res_x.ops))
+    np.testing.assert_array_equal(np.asarray(res_n.score),
+                                  np.asarray(res_x.score))
