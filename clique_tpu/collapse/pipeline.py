@@ -162,7 +162,7 @@ def read_sorting_reads_from_bam(input_bam: str, reference_name: str,
     all_digits = all(s.isdigit() for s in symbols)
     out: List[SortingRead] = []
 
-    with BamReader(input_bam) as reader:
+    with BamReader(input_bam, parse_tags=False) as reader:
         for rec in reader:
             if rec.reference_name != reference_name:
                 continue

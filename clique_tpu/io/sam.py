@@ -322,9 +322,14 @@ class BamWriter:
 # --- BAM reader --------------------------------------------------------------
 
 class BamReader:
-    """Streaming BAM reader (gzip handles BGZF as multi-member gzip)."""
+    """Streaming BAM reader (gzip handles BGZF as multi-member gzip).
 
-    def __init__(self, path: str):
+    parse_tags=False skips the per-record tag walk (records get empty tag
+    dicts) - for consumers like collapse that re-derive everything from the
+    alignment itself."""
+
+    def __init__(self, path: str, parse_tags: bool = True):
+        self._parse_tags = parse_tags
         self._fh = gzip.open(path, "rb")
         magic = self._fh.read(4)
         assert magic == b"BAM\x01", f"not a BAM file: {path}"
@@ -374,7 +379,7 @@ class BamReader:
 
         tags: Dict[str, str] = {}
         typed: Dict[str, Tuple[str, object]] = {}
-        while off < len(body):
+        while self._parse_tags and off < len(body):
             tag = body[off:off + 2].decode()
             typ = chr(body[off + 2])
             off += 3
