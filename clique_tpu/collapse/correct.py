@@ -110,41 +110,52 @@ def correct_known_levenshtein(counts: Dict[bytes, int], allowlist: List[bytes],
 
 def degenerate_prepare(counts: Dict[bytes, int], max_distance: int,
                        length: int):
-    """Stage 1 of correct_degenerate: normalize tags and produce candidate
-    pairs. Returns (norm_counts, tags, pair_list) or a finished map for the
-    trivial cases (when pair_list is None)."""
+    """Stage 1 of correct_degenerate: normalize tags, build the padded tag
+    matrix and the candidate-pair index array. Returns
+    (norm_counts, tags, mat [T, max_len] u8, pairs [P, 2] i64, ready);
+    ready is the finished map for the trivial 0/1-tag cases."""
     if not counts:
-        return None, None, None, {}
+        return None, None, None, None, {}
     norm_counts: Counter = Counter()
     for tag, c in counts.items():
         norm_counts[normalize_tag(tag, length)] += c
     tags = list(norm_counts.keys())
     if len(tags) == 1:
-        return None, None, None, {tags[0]: tags[0]}
-    max_len = max(len(t) for t in tags)
-    padded = [t + b"-" * (max_len - len(t)) for t in tags]
-    if len(tags) <= 4096:
-        pairs = [(i, j) for i in range(len(tags))
-                 for j in range(i + 1, len(tags))]
+        return None, None, None, None, {tags[0]: tags[0]}
+    lens = np.fromiter(map(len, tags), np.int64, count=len(tags))
+    max_len = int(lens.max())
+    if (lens == max_len).all():
+        mat = np.frombuffer(b"".join(tags), dtype=np.uint8
+                            ).reshape(len(tags), max_len)
     else:
-        pairs = candidate_pairs(padded, max_distance)
-    return norm_counts, tags, [(padded[i], padded[j], i, j)
-                               for i, j in pairs], None
+        mat = np.full((len(tags), max_len), GAP, dtype=np.uint8)
+        for g in np.unique(lens):
+            idx = np.flatnonzero(lens == g)
+            mat[idx, :g] = np.frombuffer(
+                b"".join([tags[i] for i in idx]), dtype=np.uint8
+            ).reshape(len(idx), int(g))
+    if len(tags) <= 4096:
+        ii, jj = np.triu_indices(len(tags), 1)
+        pairs = np.stack([ii, jj], axis=1).astype(np.int64)
+    else:
+        padded = [t + b"-" * (max_len - len(t)) for t in tags]
+        pairs = np.array(candidate_pairs(padded, max_distance),
+                         dtype=np.int64).reshape(-1, 2)
+    return norm_counts, tags, mat, pairs, None
 
 
 def degenerate_finish(norm_counts, tags, pairs, dists, max_distance: int,
                       collapse_ratio: float) -> Dict[bytes, bytes]:
     """Stage 2: ratio absorption + transitive resolution given pair
-    distances."""
-    close_pairs = [(i, j) for (_a, _b, i, j), dd in zip(pairs, dists)
-                   if dd <= max_distance]
+    distances. pairs [P, 2] i64, dists [P]."""
+    close = pairs[np.asarray(dists) <= max_distance]
     parent = list(range(len(tags)))
 
     def better_absorber(a: int, cur: int) -> bool:
         ca, cc = norm_counts[tags[a]], norm_counts[tags[cur]]
         return ca > cc or (ca == cc and tags[a] < tags[cur])
 
-    for i, j in close_pairs:
+    for i, j in close.tolist():
         ci, cj = norm_counts[tags[i]], norm_counts[tags[j]]
         if ci == cj:
             continue
@@ -168,27 +179,44 @@ def correct_degenerate_groups(group_counts, max_distance: int, length: int,
                               collapse_ratio: float = 5.0):
     """Batched correct_degenerate over many groups: one device distance
     call for every group's candidate pairs combined (per-group device
-    dispatches dominate wall-clock on high-latency links)."""
+    dispatches dominate wall-clock on high-latency links). Pair sequences
+    are gathered by numpy row indexing - no per-pair python objects."""
+    from clique_tpu.collapse.distance import edit_distance_rows
+
     prepared = [degenerate_prepare(c, max_distance, length)
                 for c in group_counts]
-    all_a: List[bytes] = []
-    all_b: List[bytes] = []
-    spans = []
-    for norm_counts, tags, pairs, ready in prepared:
-        if ready is not None or not pairs:
+    L = max((p[2].shape[1] for p in prepared if p[2] is not None), default=0)
+    Lk = max(32, L)
+    blocks_a, blocks_b, blocks_len, spans = [], [], [], []
+    total = 0
+    for _nc, _tags, mat, pairs, ready in prepared:
+        if ready is not None or pairs is None or len(pairs) == 0:
             spans.append((0, 0))
             continue
-        start = len(all_a)
-        all_a.extend(p[0] for p in pairs)
-        all_b.extend(p[1] for p in pairs)
-        spans.append((start, len(all_a)))
-    dists = edit_distance_pairs(all_a, all_b) if all_a else []
+        a = mat[pairs[:, 0]]
+        b = mat[pairs[:, 1]]
+        if mat.shape[1] < Lk:
+            pad = ((0, 0), (0, Lk - mat.shape[1]))
+            a = np.pad(a, pad)
+            b = np.pad(b, pad)
+        blocks_a.append(a)
+        blocks_b.append(b)
+        blocks_len.append(np.full(len(pairs), mat.shape[1], np.int32))
+        spans.append((total, total + len(pairs)))
+        total += len(pairs)
+    if total:
+        la = np.concatenate(blocks_len)
+        dists = edit_distance_rows(np.concatenate(blocks_a),
+                                   np.concatenate(blocks_b), la, la)
+    else:
+        dists = np.zeros(0, np.uint8)
 
     out = []
-    for (norm_counts, tags, pairs, ready), (s, e) in zip(prepared, spans):
+    for (norm_counts, tags, _mat, pairs, ready), (s, e) in zip(prepared,
+                                                               spans):
         if ready is not None:
             out.append(ready)
-        elif not pairs:
+        elif pairs is None or len(pairs) == 0:
             out.append({t: t for t in tags} if tags else {})
         else:
             out.append(degenerate_finish(norm_counts, tags, pairs,

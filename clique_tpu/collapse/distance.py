@@ -134,6 +134,26 @@ def edit_distance_pairs(seqs_a: Sequence[bytes], seqs_b: Sequence[bytes],
     return np.asarray(_edit_distance_kernel(a, b, la, lb, L1=L, L2=L))[:P]
 
 
+def edit_distance_rows(a: np.ndarray, b: np.ndarray, la: np.ndarray,
+                       lb: np.ndarray) -> np.ndarray:
+    """Exact Levenshtein per row pair, already-marshalled inputs:
+    a/b [P, L] uint8 (content beyond la/lb ignored), la/lb [P] lengths.
+    Row count padded to powers of two (min 256) for shape reuse."""
+    P, L = a.shape
+    if P == 0:
+        return np.zeros(0, dtype=np.uint8)
+    Ppad = 256
+    while Ppad < P:
+        Ppad *= 2
+    if Ppad != P:
+        a = np.pad(a, ((0, Ppad - P), (0, 0)))
+        b = np.pad(b, ((0, Ppad - P), (0, 0)))
+        la = np.pad(la, (0, Ppad - P))
+        lb = np.pad(lb, (0, Ppad - P))
+    return np.asarray(_edit_distance_kernel(
+        a, b, la.astype(np.int32), lb.astype(np.int32), L1=L, L2=L))[:P]
+
+
 # --- Hamming vs allowlist on the MXU ----------------------------------------
 
 def _byte_classes(arrays: List[np.ndarray]) -> Tuple[np.ndarray, int]:
