@@ -187,27 +187,27 @@ def correct_degenerate_groups(group_counts, max_distance: int, length: int,
                 for c in group_counts]
     L = max((p[2].shape[1] for p in prepared if p[2] is not None), default=0)
     Lk = max(32, L)
-    blocks_a, blocks_b, blocks_len, spans = [], [], [], []
+    spans = []
     total = 0
     for _nc, _tags, mat, pairs, ready in prepared:
         if ready is not None or pairs is None or len(pairs) == 0:
             spans.append((0, 0))
             continue
-        a = mat[pairs[:, 0]]
-        b = mat[pairs[:, 1]]
-        if mat.shape[1] < Lk:
-            pad = ((0, 0), (0, Lk - mat.shape[1]))
-            a = np.pad(a, pad)
-            b = np.pad(b, pad)
-        blocks_a.append(a)
-        blocks_b.append(b)
-        blocks_len.append(np.full(len(pairs), mat.shape[1], np.int32))
         spans.append((total, total + len(pairs)))
         total += len(pairs)
     if total:
-        la = np.concatenate(blocks_len)
-        dists = edit_distance_rows(np.concatenate(blocks_a),
-                                   np.concatenate(blocks_b), la, la)
+        # gather straight into the padded device-call buffers
+        A = np.zeros((total, Lk), dtype=np.uint8)
+        B = np.zeros((total, Lk), dtype=np.uint8)
+        la = np.empty(total, dtype=np.int32)
+        for (_nc, _tags, mat, pairs, ready), (s, e) in zip(prepared, spans):
+            if e == s:
+                continue
+            w = mat.shape[1]
+            A[s:e, :w] = mat[pairs[:, 0]]
+            B[s:e, :w] = mat[pairs[:, 1]]
+            la[s:e] = w
+        dists = edit_distance_rows(A, B, la, la)
     else:
         dists = np.zeros(0, np.uint8)
 
