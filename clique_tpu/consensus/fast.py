@@ -28,6 +28,14 @@ for _i, _b in enumerate("ACGTN"):
     _ALLELE_INDEX[ord(_b)] = _i
     _ALLELE_INDEX[ord(_b.lower())] = _i
 
+# byte-indexed lookups for the per-base quality terms: quality bytes have
+# only 256 possible values, so the 10**, log2 transcendentals collapse to
+# table gathers (bit-identical - same expressions, evaluated once)
+with np.errstate(divide="ignore"):
+    _PERR_LUT = np.power(10.0, np.arange(256.0) / -10.0)
+    _LHIT_LUT = np.log2(1.0 - _PERR_LUT)
+    _LMISS_LUT = np.log2(_PERR_LUT / 3.0)
+
 
 def group_is_insertion_free(reference: bytes,
                             members_ref_aligned: List[bytes]) -> bool:
@@ -87,9 +95,8 @@ def consensus_fast_groups(reference: bytes,
     total = counts.sum(axis=1)                            # [G, L]
 
     # posterior log2 sums via weighted bincounts
-    p_err = np.power(10.0, quals / -10.0)
-    l_hit = np.log2(1.0 - p_err)
-    l_miss = np.log2(p_err / 3.0)
+    l_hit = _LHIT_LUT[quals]
+    l_miss = _LMISS_LUT[quals]
 
     miss_flat = (gid_l * L + cols)[valid]
     miss_sum = np.bincount(miss_flat, weights=l_miss[valid],
@@ -190,9 +197,8 @@ def consensus_fast(reference: bytes, read_aligned: List[bytes],
     total = counts.sum(axis=0)
 
     # Bayesian posterior per column (quality.py combine_qual_scores):
-    p_err = np.power(10.0, quals / -10.0)               # [G, L]
-    l_hit = np.log2(1.0 - p_err)
-    l_miss = np.log2(p_err / 3.0)
+    l_hit = _LHIT_LUT[quals]                            # [G, L]
+    l_miss = _LMISS_LUT[quals]
 
     ref_allele = _ALLELE_INDEX[ref]                     # [L]
     prior = np.full((5, L), np.log2((1.0 - reference_prob) / 4.0))
