@@ -239,6 +239,20 @@ def _emit_groups(inv: np.ndarray):
     return starts, ends, order
 
 
+def _piece_keys(a: np.ndarray):
+    """Globally comparable scalar keys for byte-block rows: pieces of <= 8
+    bytes pack into uint64 (much faster to sort/group than row-wise
+    np.unique); wider pieces return None and callers fall back to
+    np.unique(axis=0) ids."""
+    w = a.shape[1]
+    if w > 8:
+        return None
+    k = np.zeros(a.shape[0], dtype=np.uint64)
+    for c in range(w):
+        k = (k << np.uint64(8)) | a[:, c].astype(np.uint64)
+    return k
+
+
 def _candidate_pairs_np(tags: List[bytes], max_distance: int
                         ) -> List[Tuple[int, int]]:
     """Vectorized pigeonhole for equal-length tags: byte-block np.unique
@@ -256,8 +270,10 @@ def _candidate_pairs_np(tags: List[bytes], max_distance: int
         if hi <= lo:
             continue
         a0 = arr[:, lo:hi]
-        _u, inv0 = np.unique(a0, axis=0, return_inverse=True)
-        starts, ends, order = _emit_groups(inv0)
+        k0 = _piece_keys(a0)
+        if k0 is None:
+            _u, k0 = np.unique(a0, axis=0, return_inverse=True)
+        starts, ends, order = _emit_groups(k0)
         for s0, e0 in zip(starts, ends):
             if e0 - s0 > 1:
                 mem = order[s0:e0]
@@ -268,13 +284,18 @@ def _candidate_pairs_np(tags: List[bytes], max_distance: int
             if s == 0 or lo + s < 0 or hi + s > L:
                 continue
             a_s = arr[:, lo + s:hi + s]
-            _u, invb = np.unique(np.vstack([a0, a_s]), axis=0,
-                                 return_inverse=True)
-            i0, i_s = invb[:N], invb[N:]
+            k_s = _piece_keys(a_s)
+            if k_s is None:
+                _u, invb = np.unique(np.vstack([a0, a_s]), axis=0,
+                                     return_inverse=True)
+                joined = invb
+            else:
+                # same width as a0, so k0 holds packed (comparable) keys
+                joined = np.r_[k0, k_s]
             # group the concatenated (side, row) stream by key id
             side = np.r_[np.zeros(N, np.int8), np.ones(N, np.int8)]
             row = np.r_[np.arange(N), np.arange(N)]
-            starts, ends, order = _emit_groups(np.r_[i0, i_s])
+            starts, ends, order = _emit_groups(joined)
             for s0, e0 in zip(starts, ends):
                 g = order[s0:e0]
                 r0 = row[g[side[g] == 0]]
