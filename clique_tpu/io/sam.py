@@ -344,6 +344,12 @@ class BamReader:
             self.references.append((name, l_ref))
 
     def __iter__(self) -> Iterator[SamRecord]:
+        from clique_tpu.native import get_lib
+
+        lib = get_lib()
+        if lib is not None:
+            yield from self._iter_native(lib)
+            return
         while True:
             size_b = self._fh.read(4)
             if len(size_b) < 4:
@@ -351,6 +357,70 @@ class BamReader:
             (block_size,) = struct.unpack("<i", size_b)
             body = self._fh.read(block_size)
             yield self._parse(body)
+
+    def _iter_native(self, lib) -> Iterator[SamRecord]:
+        """Chunked iteration through the C batch decoder: one
+        decode_bam_records call parses every complete record in a ~4MB
+        decompressed chunk into columnar blobs (field layout identical to
+        _parse; the pure-python path remains the reference)."""
+        import ctypes
+
+        CHUNK = 4 << 20
+        MAXREC = 65536
+        remainder = b""
+        while True:
+            data = remainder + self._fh.read(CHUNK)
+            if not data:
+                return
+            cap = len(data)
+            meta = np.empty((MAXREC, 10), dtype=np.int64)
+            name_off = np.empty(MAXREC + 1, dtype=np.int64)
+            cigar_off = np.empty(MAXREC + 1, dtype=np.int64)
+            seq_off = np.empty(MAXREC + 1, dtype=np.int64)
+            name_blob = ctypes.create_string_buffer(cap)
+            cigar_blob = np.empty(cap // 4 + 1, dtype=np.uint32)
+            seq_blob = ctypes.create_string_buffer(2 * cap)
+            qual_blob = ctypes.create_string_buffer(2 * cap)
+            consumed = ctypes.c_int64(0)
+            n = lib.decode_bam_records(
+                data, len(data), MAXREC,
+                meta.ctypes.data,
+                name_off.ctypes.data, name_blob, cap,
+                cigar_off.ctypes.data, cigar_blob.ctypes.data, cap // 4 + 1,
+                seq_off.ctypes.data, seq_blob, 2 * cap,
+                qual_blob,
+                ctypes.byref(consumed))
+            if n == 0:
+                more = self._fh.read(CHUNK)
+                if not more:
+                    return          # exhausted (or truncated trailing bytes)
+                remainder = data + more
+                continue
+            names_b = name_blob.raw
+            seqs_b = seq_blob.raw
+            quals_b = qual_blob.raw
+            for i in range(n):
+                (ref_id, pos0, flag, mapq, n_cigar, l_seq, tag_abs, tag_len,
+                 qual_missing, _res) = meta[i]
+                name = names_b[name_off[i]:name_off[i + 1]].decode()
+                cw = cigar_blob[cigar_off[i]:cigar_off[i + 1]]
+                cigar = [(int(v) >> 4, CIGAR_OPS[int(v) & 0xF]) for v in cw]
+                s0, s1 = seq_off[i], seq_off[i + 1]
+                seq = seqs_b[s0:s1]
+                qual = b"*" if qual_missing or l_seq == 0 else quals_b[s0:s1]
+                tags: Dict[str, str] = {}
+                typed: Dict[str, Tuple[str, object]] = {}
+                if self._parse_tags and tag_len > 0:
+                    self._parse_tag_block(
+                        data[tag_abs:tag_abs + tag_len], tags, typed)
+                ref_name = self.references[ref_id][0] \
+                    if 0 <= ref_id < len(self.references) else None
+                yield SamRecord(
+                    name=name, flag=int(flag), reference_name=ref_name,
+                    pos=int(pos0) + 1 if pos0 >= 0 else 0, mapq=int(mapq),
+                    cigar=cigar, seq=seq, qual=qual, tags=tags,
+                    typed_tags=typed)
+            remainder = data[int(consumed.value):]
 
     def _parse(self, body: bytes) -> SamRecord:
         (ref_id, pos0, l_name, mapq, _bin, n_cigar, flag, l_seq,
@@ -379,7 +449,20 @@ class BamReader:
 
         tags: Dict[str, str] = {}
         typed: Dict[str, Tuple[str, object]] = {}
-        while self._parse_tags and off < len(body):
+        if self._parse_tags and off < len(body):
+            self._parse_tag_block(body[off:], tags, typed)
+
+        ref_name = self.references[ref_id][0] if 0 <= ref_id < len(self.references) else None
+        return SamRecord(
+            name=name, flag=flag, reference_name=ref_name,
+            pos=pos0 + 1 if pos0 >= 0 else 0, mapq=mapq, cigar=cigar,
+            seq=bytes(seq), qual=qual, tags=tags, typed_tags=typed)
+
+    @staticmethod
+    def _parse_tag_block(body: bytes, tags: Dict[str, str],
+                         typed: Dict[str, Tuple[str, object]]) -> None:
+        off = 0
+        while off < len(body):
             tag = body[off:off + 2].decode()
             typ = chr(body[off + 2])
             off += 3
@@ -407,12 +490,6 @@ class BamReader:
                 typed[tag] = ("B", None)
             else:
                 raise ValueError(f"unknown BAM tag type {typ}")
-
-        ref_name = self.references[ref_id][0] if 0 <= ref_id < len(self.references) else None
-        return SamRecord(
-            name=name, flag=flag, reference_name=ref_name,
-            pos=pos0 + 1 if pos0 >= 0 else 0, mapq=mapq, cigar=cigar,
-            seq=bytes(seq), qual=qual, tags=tags, typed_tags=typed)
 
     def close(self):
         self._fh.close()

@@ -65,5 +65,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_long,
     ]
+    lib.decode_bam_records.restype = ctypes.c_long
+    lib.decode_bam_records.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+        ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
     _LIB = lib
     return _LIB

@@ -190,3 +190,92 @@ long bgzf_compress(const char *data, long len, int level,
     }
     return w;
 }
+
+/* Batch BAM record decoder: parse as many complete records as fit from a
+ * decompressed record stream (repeated [i32 block_size][body]). Emits
+ * columnar outputs; tag regions are returned as offsets into `buf` so the
+ * caller can parse them lazily.
+ *
+ * meta: int64 [max_records][10]:
+ *   0 ref_id, 1 pos0, 2 flag, 3 mapq, 4 n_cigar, 5 l_seq,
+ *   6 tag_abs_off (into buf), 7 tag_len, 8 qual_missing, 9 reserved
+ * name_off/cigar_off/seq_off: int64 [max_records+1] (seq_off indexes both
+ * seq_blob and qual_blob). Returns record count; *consumed = bytes of buf
+ * used. Stops early when a blob or max_records would overflow. */
+long decode_bam_records(
+    const unsigned char *buf, long buflen, long max_records,
+    int64_t *meta,
+    int64_t *name_off, char *name_blob, long name_cap,
+    int64_t *cigar_off, uint32_t *cigar_blob, long cigar_cap,
+    int64_t *seq_off, char *seq_blob, long seq_cap,
+    char *qual_blob,
+    int64_t *consumed)
+{
+    static const char *alpha = "=ACMGRSVTWYHKDBN";
+    long n = 0, r = 0;
+    long nw = 0, cw = 0, sw = 0;
+    name_off[0] = 0; cigar_off[0] = 0; seq_off[0] = 0;
+    while (n < max_records && r + 4 <= buflen) {
+        int32_t block_size;
+        const unsigned char *b;
+        int32_t ref_id, pos0, l_seq;
+        uint32_t bmn, flag_nc;
+        long l_name, n_cigar, seq_bytes, off, j;
+        memcpy(&block_size, buf + r, 4);
+        if (block_size < 32 || r + 4 + block_size > buflen) break;
+        b = buf + r + 4;
+        memcpy(&ref_id, b, 4);
+        memcpy(&pos0, b + 4, 4);
+        memcpy(&bmn, b + 8, 4);      /* bin<<16 | mapq<<8 | l_read_name */
+        memcpy(&flag_nc, b + 12, 4); /* flag<<16 | n_cigar */
+        memcpy(&l_seq, b + 16, 4);
+        l_name = bmn & 0xFF;
+        n_cigar = flag_nc & 0xFFFF;
+        seq_bytes = (l_seq + 1) / 2;
+        if (nw + l_name > name_cap || cw + n_cigar > cigar_cap ||
+            sw + l_seq > seq_cap)
+            break;
+        off = 32;
+        memcpy(name_blob + nw, b + off, (size_t)(l_name - 1));
+        nw += l_name - 1;
+        off += l_name;
+        memcpy(cigar_blob + cw, b + off, (size_t)(4 * n_cigar));
+        cw += n_cigar;
+        off += 4 * n_cigar;
+        for (j = 0; j < l_seq; j++) {
+            unsigned char byte = b[off + (j >> 1)];
+            unsigned char nib = (j & 1) ? (byte & 0xF) : (byte >> 4);
+            seq_blob[sw + j] = alpha[nib];
+        }
+        off += seq_bytes;
+        {
+            int qual_missing = (l_seq == 0) ||
+                ((unsigned char)b[off] == 0xFF);
+            if (!qual_missing) {
+                for (j = 0; j < l_seq; j++)
+                    qual_blob[sw + j] = (char)(b[off + j] + 33);
+            } else {
+                memset(qual_blob + sw, 0, (size_t)l_seq);
+            }
+            meta[n * 10 + 8] = qual_missing;
+        }
+        sw += l_seq;
+        off += l_seq;
+        meta[n * 10 + 0] = ref_id;
+        meta[n * 10 + 1] = pos0;
+        meta[n * 10 + 2] = (flag_nc >> 16) & 0xFFFF;
+        meta[n * 10 + 3] = (bmn >> 8) & 0xFF;
+        meta[n * 10 + 4] = n_cigar;
+        meta[n * 10 + 5] = l_seq;
+        meta[n * 10 + 6] = r + 4 + off;
+        meta[n * 10 + 7] = block_size - off;
+        meta[n * 10 + 9] = 0;
+        n++;
+        name_off[n] = nw;
+        cigar_off[n] = cw;
+        seq_off[n] = sw;
+        r += 4 + block_size;
+    }
+    *consumed = r;
+    return n;
+}
