@@ -190,27 +190,25 @@ def consensus_fast(reference: bytes, read_aligned: List[bytes],
     valid = allele >= 0
     gap_mask = reads == GAP
 
-    counts = np.zeros((6, L), dtype=np.int64)           # A C G T N gap
-    for a in range(5):
-        counts[a] = (allele == a).sum(axis=0)
-    counts[5] = gap_mask.sum(axis=0)
-    total = counts.sum(axis=0)
-
     # Bayesian posterior per column (quality.py combine_qual_scores):
     l_hit = _LHIT_LUT[quals]                            # [G, L]
     l_miss = _LMISS_LUT[quals]
+    delta = l_hit - l_miss
 
     ref_allele = _ALLELE_INDEX[ref]                     # [L]
     prior = np.full((5, L), np.log2((1.0 - reference_prob) / 4.0))
     known = ref_allele >= 0
     prior[ref_allele[known], np.nonzero(known)[0]] = np.log2(reference_prob)
 
+    counts = np.zeros((6, L), dtype=np.int64)           # A C G T N gap
     props = prior.copy()
-    miss_sum = np.where(valid, l_miss, 0.0).sum(axis=0)  # [L]
-    props += miss_sum[None, :]
+    props += np.where(valid, l_miss, 0.0).sum(axis=0)[None, :]
     for a in range(5):
-        hit = (allele == a)
-        props[a] += np.where(hit, l_hit - l_miss, 0.0).sum(axis=0)
+        hit = (allele == a)                             # implies valid
+        counts[a] = hit.sum(axis=0)
+        props[a] += np.where(hit, delta, 0.0).sum(axis=0)
+    counts[5] = gap_mask.sum(axis=0)
+    total = counts.sum(axis=0)
 
     powed = np.power(2.0, props)
     tot = powed.sum(axis=0)
