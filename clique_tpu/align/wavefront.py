@@ -18,6 +18,16 @@ and HiFi verification paths need scores, not tracebacks - bit-compat
 traceback stays with align/batch.py). Greedy extension advances one
 character per inner iteration across all lanes, exiting as soon as no lane
 can extend, so the inner loop runs ~(longest current run) times.
+
+On WFA2-lib's remaining component set (SURVEY 2.9): the dual-affine
+("convex") penalty model is wfa_affine2p_batch below; the adaptive
+heuristics (wavefront_heuristic.o: band reduction, score cutoffs) are
+deliberately NOT ported - they prune diagonals to save scalar work, but a
+TPU batch advances all [B, K] lanes in fixed-shape vector ops, so masking
+lanes saves nothing (the win here is the O(s^2) score bound itself plus
+batching); and the bidirectional low-memory bialign variant targets
+single gigabase-scale alignments, whereas amplicon batches bound s by
+read length and fit comfortably in HBM.
 """
 
 from __future__ import annotations
