@@ -1,0 +1,103 @@
+"""Pigeonhole candidate generation: the vectorized packed-key build must
+produce exactly the dict build's pair set, and must stay a complete
+superset of all truly-close pairs (the pigeonhole guarantee)."""
+
+from collections import defaultdict
+
+import numpy as np
+import pytest
+
+from clique_tpu.collapse.distance import (
+    _candidate_pairs_np,
+    candidate_pairs,
+    edit_distance_rows,
+)
+
+RNG = np.random.default_rng(5)
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _dict_build(tags, d):
+    """The original python bucket build (kept as the specification)."""
+    n_pieces = d + 1
+    buckets = defaultdict(list)
+    for idx, t in enumerate(tags):
+        L = len(t)
+        bounds = [round(i * L / n_pieces) for i in range(n_pieces + 1)]
+        for p in range(n_pieces):
+            lo, hi = bounds[p], bounds[p + 1]
+            for sh in range(-d, d + 1):
+                s, e = lo + sh, hi + sh
+                if s < 0 or e > L:
+                    continue
+                buckets[(p, sh, t[s:e])].append(idx)
+    pairs = set()
+    for (p, sh, _pc), mem in buckets.items():
+        if sh:
+            continue
+        for i in mem:
+            pairs.update((min(i, j), max(i, j)) for j in mem if j != i)
+    unsh = defaultdict(list)
+    for (p, sh, pc), mem in buckets.items():
+        if sh == 0:
+            unsh[(p, pc)].extend(mem)
+    for (p, sh, pc), mem in buckets.items():
+        if sh == 0:
+            continue
+        base = unsh.get((p, pc))
+        if not base:
+            continue
+        for i in mem:
+            pairs.update((min(i, j), max(i, j)) for j in base if j != i)
+    return sorted(pairs)
+
+
+def _mutated_tags(n, L, d):
+    base = [RNG.choice(BASES, L).tobytes() for _ in range(max(2, n // 4))]
+    tags = list(base)
+    while len(tags) < n:
+        t = bytearray(base[int(RNG.integers(len(base)))])
+        for _ in range(int(RNG.integers(0, d + 1))):
+            t[int(RNG.integers(L))] = int(RNG.choice(BASES))
+        tags.append(bytes(t))
+    return tags
+
+
+@pytest.mark.parametrize("L,d", [(8, 1), (12, 2), (16, 2), (26, 3), (30, 3)])
+def test_np_build_matches_dict_build(L, d):
+    # L=26/30 with d=3 gives pieces wider than 8 bytes -> unique fallback
+    for _ in range(6):
+        tags = _mutated_tags(int(RNG.integers(2, 120)), L, d)
+        assert _candidate_pairs_np(tags, d) == _dict_build(tags, d)
+
+
+def test_completeness_all_close_pairs_present():
+    import itertools
+
+    tags = _mutated_tags(120, 16, 2)
+    got = set(candidate_pairs(tags, 2))
+    pairs = list(itertools.combinations(range(len(tags)), 2))
+    a = [tags[i] for i, _ in pairs]
+    b = [tags[j] for _, j in pairs]
+    A = np.frombuffer(b"".join(a), np.uint8).reshape(len(pairs), 16)
+    B = np.frombuffer(b"".join(b), np.uint8).reshape(len(pairs), 16)
+    ln = np.full(len(pairs), 16, np.int32)
+    dists = edit_distance_rows(np.pad(A, ((0, 0), (0, 16))),
+                               np.pad(B, ((0, 0), (0, 16))), ln, ln)
+    for (i, j), dd in zip(pairs, dists):
+        if dd <= 2:
+            assert (i, j) in got, (i, j, dd)
+
+
+def test_edit_distance_rows_mixed_lengths():
+    a = np.zeros((3, 32), np.uint8)
+    b = np.zeros((3, 32), np.uint8)
+    a[0, :4] = np.frombuffer(b"ACGT", np.uint8)
+    b[0, :4] = np.frombuffer(b"AGGT", np.uint8)       # 1 sub
+    a[1, :6] = np.frombuffer(b"ACGTAC", np.uint8)
+    b[1, :5] = np.frombuffer(b"ACGTA", np.uint8)      # 1 del
+    a[2, :3] = np.frombuffer(b"AAA", np.uint8)
+    b[2, :3] = np.frombuffer(b"TTT", np.uint8)        # 3 subs
+    la = np.array([4, 6, 3], np.int32)
+    lb = np.array([4, 5, 3], np.int32)
+    assert edit_distance_rows(a, b, la, lb).tolist() == [1, 1, 3]
