@@ -32,6 +32,7 @@ Semantics reproduced exactly (global mode):
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -237,6 +238,21 @@ def align_batch_device(
         step, init, jnp.arange(D, dtype=jnp.int32))
     # tb: [D, B, n1] -> [B, D, n1] batch-major view for tests/debug
     tb_b = jnp.transpose(tb, (1, 0, 2)) if return_traceback else None
+    if os.environ.get("CLIQUE_TPU_PACKED_WALK", "1") == "1":
+        # pack 4 diagonals per int32 word so the walk runs D/4 scan steps
+        # (amortizes per-step scan overhead; ops bit-identical - the packed
+        # walk is the pallas path's, tested equal; ~12% fewer device
+        # seconds in the on-chip A/B). CLIQUE_TPU_PACKED_WALK=0 restores
+        # the per-diagonal walk.
+        Dp4 = -(-D // 4)
+        tb_pad = jnp.pad(tb, ((0, 4 * Dp4 - D), (0, 0), (0, 0)),
+                         constant_values=_TB_FRESH).astype(jnp.int32)
+        w = tb_pad.reshape(Dp4, 4, B, n1)
+        words = (w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16)
+                 | (w[:, 3] << 24))
+        res = _finish_from_packed_traceback(
+            words, corner, ref_lens, read_lens, n1=n1, n2=n2)
+        return res, tb_b
     return _finish_from_traceback(
         tb, tb_b, corner, ref_lens, read_lens, n1=n1, n2=n2)
 
