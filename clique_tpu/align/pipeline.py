@@ -136,6 +136,7 @@ class BatchAligner:
         # CLIQUE_TPU_PALLAS=1 routes the fill through the fused Mosaic
         # kernel (bit-identical; see tests/test_pallas_kernel.py)
         self.use_pallas = os.environ.get("CLIQUE_TPU_PALLAS", "0") == "1"
+        self._compiled_b: Dict[Tuple[int, int], int] = {}
         self.device_seconds = 0.0   # dispatch + sync time
         self.post_seconds = 0.0     # host-side expansion
         self.pairs_aligned = 0
@@ -225,10 +226,19 @@ class BatchAligner:
         import jax
 
         # pad the batch dimension to a power of two (min 32) so each (B, n1,
-        # n2) kernel shape is compiled once and reused
+        # n2) kernel shape is compiled once and reused; once a bigger shape
+        # has compiled for this (n1, n2), pad smaller (remainder) batches up
+        # to it instead of compiling another variant - compiles through the
+        # TPU-tunnel relay cost minutes each
         B = 32
         while B < len(group):
             B *= 2
+        key = (n1, n2)
+        prev = self._compiled_b.get(key, 0)
+        if B < prev:
+            B = prev
+        else:
+            self._compiled_b[key] = B
         refs_arr = np.zeros((B, n1 - 1), dtype=np.uint8)
         reads_arr = np.zeros((B, n2 - 1), dtype=np.uint8)
         ref_lens = np.zeros(B, dtype=np.int32)
