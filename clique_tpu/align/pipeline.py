@@ -165,6 +165,11 @@ class BatchAligner:
             self._data_sharding = NamedSharding(self.mesh, P("data"))
             self._repl_sharding = NamedSharding(self.mesh, P())
             self.params = jax.device_put(self.params, self._repl_sharding)
+            if env_pallas != "1":
+                # XLA cannot partition a pallas_call over a mesh; keep the
+                # scan fill for data-parallel multi-chip until the kernel
+                # is wrapped in shard_map (round 2)
+                self.use_pallas = False
 
     def _bucket_len(self, n: int) -> int:
         q = self.quantum
