@@ -68,6 +68,9 @@ def main(argv=None) -> int:
     p_collapse.add_argument("--checkpoint", action="store_true",
                             help="persist each correction level under "
                                  "--temp-dir and resume interrupted runs")
+    p_collapse.add_argument("--out-of-core", action="store_true",
+                            help="stream reads through spill shards under "
+                                 "--temp-dir instead of holding them in RAM")
 
     p_call = sub.add_parser(
         "call", help="call editing events / lineage alleles from a tagged BAM")
@@ -115,6 +118,7 @@ def main(argv=None) -> int:
             temp_dir=None if args.temp_dir == "NONE" else args.temp_dir,
             correct_only=args.correct_only,
             checkpoint=args.checkpoint,
+            out_of_core=args.out_of_core,
         )
         return 0
 

@@ -149,10 +149,14 @@ class CollapseStats:
 
 def read_sorting_reads_from_bam(input_bam: str, reference_name: str,
                                 rm: ReferenceManager, layout: SequenceLayout,
-                                stats: CollapseStats) -> List[SortingRead]:
+                                stats: CollapseStats,
+                                spill=None) -> List[SortingRead]:
     """sort_reads_from_bam_file (collapse.rs:427-579): stream records for one
     reference, rebuild the gapped alignment (soft clips realigned), stretch
-    the wildcard-bearing reference back in, extract + validate tags, filter."""
+    the wildcard-bearing reference back in, extract + validate tags, filter.
+
+    With a ShardWriter in `spill`, passing reads stream to disk in filter
+    chunks (out-of-core mode) and the returned list is empty."""
     from clique_tpu.extract.extractor import extract_digit_tags_fast
 
     ref_id = rm.name_to_id[reference_name]
@@ -207,11 +211,29 @@ def read_sorting_reads_from_bam(input_bam: str, reference_name: str,
                 score=0.0,
                 unsorted_keys=deque(ordered),
             ))
+            if spill is not None and len(out) >= 8192:
+                _filter_chunk(out, stats, spill)
+    if spill is not None:
+        _filter_chunk(out, stats, spill)
+        return []
     keep = alignment_check_batch(out)
     passing = [r for r, k in zip(out, keep) if k]
     stats.passing += len(passing)
     stats.failed_filters += len(out) - len(passing)
     return passing
+
+
+def _filter_chunk(out: List[SortingRead], stats: CollapseStats,
+                  spill) -> None:
+    keep = alignment_check_batch(out)
+    n_pass = 0
+    for r, k in zip(out, keep):
+        if k:
+            spill.push(r.key_tuple(), r)
+            n_pass += 1
+    stats.passing += n_pass
+    stats.failed_filters += len(out) - n_pass
+    out.clear()
 
 
 def alignment_check_batch(reads: List[SortingRead],
@@ -313,6 +335,96 @@ def sort_level(reads: List[SortingRead], tag: UMIConfiguration,
              tag.symbol, tag.sort_type.value, len(groups), len(reads),
              len(out))
     return out
+
+
+def _gate_tag(read: SortingRead, tag: UMIConfiguration) -> Optional[bytes]:
+    """Phase-1 length gate: the gap-stripped next tag, or None if outside
+    length +- max_distance (push() gating, correct_tags.rs:50-120)."""
+    sym, raw = read.unsorted_keys[0]
+    assert sym == tag.symbol, f"tag order mismatch: {sym} vs {tag.symbol}"
+    gapless = raw.replace(b"-", b"")
+    if tag.length - tag.max_distance <= len(gapless) <= \
+            tag.length + tag.max_distance:
+        return gapless
+    return None
+
+
+def sort_level_spill(in_dir: str, tag: UMIConfiguration,
+                     known_lists: Dict[str, List[bytes]], out_dir: str,
+                     n_shards: int = 32) -> Tuple[int, int]:
+    """Out-of-core sort_level: two streaming passes over the input shards
+    (counts, then apply+respill); only per-group tag Counters and the
+    correction maps stay in RAM. Returns (reads_in, reads_out)."""
+    from clique_tpu.collapse.shards import ShardWriter, iter_sorted_groups
+
+    keys_order: List = []
+    counts_list: List[Counter] = []
+    n_in = 0
+    for key, group in iter_sorted_groups(in_dir):
+        counts: Counter = Counter()
+        for read in group:
+            n_in += 1
+            gapless = _gate_tag(read, tag)
+            if gapless is not None:
+                counts[gapless] += 1
+        keys_order.append(key)
+        counts_list.append(counts)
+
+    if tag.sort_type == UMISortType.DEGENERATE_TAG:
+        corrections = correct_degenerate_groups(
+            counts_list, tag.max_distance, tag.length,
+            tag.minimum_collapsing_difference or 5.0)
+    else:
+        corrections = [_known_correction(c, tag, known_lists)
+                       for c in counts_list]
+    corr_by_key = dict(zip(keys_order, corrections))
+
+    n_out = 0
+    with ShardWriter(out_dir, n_shards=n_shards) as out_writer:
+        for key, group in iter_sorted_groups(in_dir):
+            kept = [r for r in group if _gate_tag(r, tag) is not None]
+            for read in _apply_correction(kept, tag, corr_by_key[key]):
+                out_writer.push(read.key_tuple(), read)
+                n_out += 1
+    log.info("level %s (%s, out-of-core): %d groups, %d reads in, %d passed",
+             tag.symbol, tag.sort_type.value, len(keys_order), n_in, n_out)
+    return n_in, n_out
+
+
+def write_outputs_spill(directory: str, writer, rm: ReferenceManager,
+                        correct_only: bool, downsample_cap: int = 40,
+                        gap_call_threshold: float = 0.75) -> int:
+    """Streaming write_outputs over final spill shards. Group contents
+    match the in-RAM path; record ORDER follows shard order rather than a
+    global key sort (grouping, not order, is the contract)."""
+    from clique_tpu.collapse.shards import iter_sorted_groups
+
+    written = 0
+    records = []
+    for _key, group in iter_sorted_groups(directory):
+        units = [[r] for r in group] if correct_only else [group]
+        for g in units:
+            rec = _consensus_record(g, rm,
+                                    downsample_cap if not correct_only else 0,
+                                    gap_call_threshold, None)
+            if rec is not None:
+                records.append(rec)
+                written += 1
+        if len(records) >= 2048:
+            _write_records(writer, records)
+            records = []
+    _write_records(writer, records)
+    return written
+
+
+def _write_records(writer, records) -> None:
+    if not records:
+        return
+    if hasattr(writer, "write_batch"):
+        writer.write_batch(records)
+    else:
+        for rec in records:
+            writer.write(rec)
 
 
 def _known_correction(counts: Counter, tag: UMIConfiguration,
@@ -529,7 +641,8 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
              temp_dir: Optional[str] = None, correct_only: bool = False,
              downsample_cap: int = 40,
              metrics_path: Optional[str] = None,
-             checkpoint: bool = False) -> CollapseStats:
+             checkpoint: bool = False,
+             out_of_core: bool = False) -> CollapseStats:
     """The `clique collapse` equivalent (collapse.rs:70-141).
 
     Also emits collapse_metrics.json (the reference README promises this,
@@ -539,8 +652,17 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
     With checkpoint=True (requires temp_dir), each correction level's
     output is persisted and an interrupted run resumes from the last
     completed level - the explicit version of the reference's implicit
-    shardio temp files (SURVEY section 5 checkpoint/resume)."""
+    shardio temp files (SURVEY section 5 checkpoint/resume).
+
+    out_of_core=True streams reads through hash-partitioned spill shards
+    (collapse/shards.py) instead of RAM lists: only tag counters and
+    correction maps stay resident - the shardio-equivalent path for runs
+    that exceed memory (BASELINE config 5). Output records are identical
+    to the in-RAM path but ordered by shard rather than global key sort."""
     import json
+    import os
+    import shutil
+    import tempfile
     import time
 
     rm = ReferenceManager.from_layout(layout)
@@ -551,10 +673,48 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
     metrics = {"input_bam": input_bam, "references": {},
                "started": time.time()}
 
+    spill_root = None
+    if out_of_core:
+        spill_root = tempfile.mkdtemp(prefix="clique_spill.", dir=temp_dir)
+
     for ref in rm.references.values():
         log.info("processing reads from input BAM file: %s (reference %s)",
                  input_bam, ref.name)
         before = stats.passing
+        if out_of_core:
+            from clique_tpu.collapse.shards import ShardWriter
+
+            safe = "".join(c if c.isalnum() else "_" for c in ref.name)
+            level_dir = os.path.join(spill_root, f"{safe}.l0")
+            with ShardWriter(level_dir) as sw:
+                read_sorting_reads_from_bam(
+                    input_bam, ref.name, rm, layout, stats, spill=sw)
+            ref_metrics = {"passing_reads": stats.passing - before,
+                           "levels": []}
+            if stats.passing == before:
+                log.warning("No valid reads found for reference %s",
+                            ref.name)
+                metrics["references"][ref.name] = ref_metrics
+                continue
+            configs = layout.get_sorted_umi_configurations(ref.name)
+            n_in = stats.passing - before
+            for lvl, tag in enumerate(configs):
+                next_dir = os.path.join(spill_root, f"{safe}.l{lvl + 1}")
+                n_in, n_out = sort_level_spill(level_dir, tag, known_lists,
+                                               next_dir)
+                ref_metrics["levels"].append({
+                    "symbol": tag.symbol, "sort_type": tag.sort_type.value,
+                    "reads_in": n_in, "reads_out": n_out})
+                shutil.rmtree(level_dir)
+                level_dir = next_dir
+            written = write_outputs_spill(level_dir, writer, rm,
+                                          correct_only, downsample_cap)
+            shutil.rmtree(level_dir)
+            ref_metrics["output_records"] = written
+            metrics["references"][ref.name] = ref_metrics
+            log.info("reference %s: wrote %d records (out-of-core)",
+                     ref.name, written)
+            continue
         reads = read_sorting_reads_from_bam(
             input_bam, ref.name, rm, layout, stats)
         ref_metrics = {"passing_reads": stats.passing - before, "levels": []}
@@ -593,6 +753,8 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
         log.info("reference %s: wrote %d records", ref.name, written)
 
     writer.close()
+    if spill_root is not None:
+        shutil.rmtree(spill_root, ignore_errors=True)
     metrics["elapsed_s"] = round(time.time() - metrics["started"], 3)
     metrics["read_stats"] = {
         "total": stats.total_reads, "unmapped": stats.unmapped,
