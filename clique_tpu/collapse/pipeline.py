@@ -673,6 +673,19 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
     metrics = {"input_bam": input_bam, "references": {},
                "started": time.time()}
 
+    if not out_of_core:
+        try:
+            bam_bytes = os.path.getsize(input_bam)
+        except OSError:
+            bam_bytes = 0
+        if bam_bytes > 4 << 30:
+            # BGZF ~3-4x expands in RAM as SortingReads; beyond a few GB
+            # the spill path is the safe default (maximum_subsequences'
+            # intent: bound resident reads, spill the rest)
+            log.info("input BAM is %.1f GB; enabling out-of-core collapse",
+                     bam_bytes / 2**30)
+            out_of_core = True
+
     spill_root = None
     if out_of_core:
         spill_root = tempfile.mkdtemp(prefix="clique_spill.", dir=temp_dir)
