@@ -128,16 +128,30 @@ def shard_paths(directory: str) -> List[str]:
         if f.startswith("shard") and f.endswith(".cqs"))
 
 
-def iter_sorted_groups(directory: str
+def iter_sorted_groups(directory
                        ) -> Iterator[Tuple[Any, List[Any]]]:
     """Yield (key, items) groups across all shards. Keys group correctly
     because the hash partition sends equal keys to one shard; group order
     is per-shard sorted (collapse only needs grouping, not a global
-    order - matching sort_level's run-grouping contract)."""
-    for path in shard_paths(directory):
+    order - matching sort_level's run-grouping contract).
+
+    `directory` may be a list of directories written by INDEPENDENT
+    writers with the same n_shards (e.g. one per worker process): shard
+    files with the same id are read together, so equal keys still land in
+    one merged group - the merge step of the shard-parallel design."""
+    dirs = [directory] if isinstance(directory, str) else list(directory)
+    by_name: dict = {}
+    for d in dirs:
+        for path in shard_paths(d):
+            by_name.setdefault(os.path.basename(path), []).append(path)
+    for name in sorted(by_name):
+        items: List[Tuple[Any, Any]] = []
+        for path in by_name[name]:
+            items.extend(_read_shard(path))
+        items.sort(key=lambda kv: kv[0])
         current_key = None
         bucket: List[Any] = []
-        for key, item in ShardReader(path):
+        for key, item in items:
             if current_key is not None and key != current_key:
                 yield current_key, bucket
                 bucket = []

@@ -54,6 +54,30 @@ def test_global_merge_sorted(tmp_path):
     assert ks == sorted(ks)
 
 
+def test_multi_dir_merge(tmp_path):
+    """Independent writers (one per worker) with the same n_shards merge
+    into complete groups - equal keys never split across the union."""
+    dirs = [str(tmp_path / f"w{i}") for i in range(3)]
+    keys = [bytes(RNG.choice(list(b"ACGT"), 6)) for _ in range(20)]
+    truth = {}
+    writers = [ShardWriter(d, n_shards=8) for d in dirs]
+    for i in range(3000):
+        k = keys[int(RNG.integers(len(keys)))]
+        w = writers[int(RNG.integers(3))]
+        w.push(k, i)
+        truth.setdefault(k, []).append(i)
+    for w in writers:
+        w.close()
+
+    seen = {}
+    for key, items in iter_sorted_groups(dirs):
+        assert key not in seen, "group split across yields"
+        seen[key] = items
+    assert set(seen) == set(truth)
+    for k in truth:
+        assert sorted(seen[k]) == sorted(truth[k])
+
+
 def test_empty_dir(tmp_path):
     d = str(tmp_path / "spill")
     with ShardWriter(d, n_shards=2):
