@@ -147,7 +147,7 @@ def _supervised() -> None:
     killed; a fresh process after a cool-down recovers."""
     import subprocess
 
-    for attempt in range(3):
+    for attempt in range(4):
         env = dict(os.environ, BENCH_CHILD="1")
         # IMPORTANT: redirect to files, not pipes - a wedged TPU claim can
         # leave orphaned helper processes holding pipe ends open, which
@@ -161,9 +161,12 @@ def _supervised() -> None:
                     env=env, timeout=480, stdout=out_fh, stderr=err_fh)
                 rc = proc.returncode
             except subprocess.TimeoutExpired:
+                # a timed-out child was killed mid-claim: the tunnel wedge
+                # can take several minutes to clear after a device error,
+                # and a claimant arriving during the wedge hangs forever
                 print(f"[bench] attempt {attempt + 1} timed out; cooling "
                       f"down", file=sys.stderr, flush=True)
-                time.sleep(120)
+                time.sleep(180)
                 continue
         with open(out_path) as fh:
             lines = [l for l in fh if l.startswith("{")]
@@ -174,8 +177,8 @@ def _supervised() -> None:
             return
         print(f"[bench] attempt {attempt + 1} produced no result "
               f"(rc={rc}); retrying", file=sys.stderr, flush=True)
-        time.sleep(120)
-    raise SystemExit("bench failed after 3 attempts")
+        time.sleep(180)
+    raise SystemExit("bench failed after 4 attempts")
 
 
 if __name__ == "__main__":
