@@ -93,6 +93,7 @@ def align_batch_device(
     special_mode: str = "both",
     use_pallas: bool = False,
     return_traceback: bool = True,
+    band_centers: Optional[jax.Array] = None,
 ):
     """Full device alignment: fill + corner extraction + traceback walk.
 
@@ -123,6 +124,17 @@ def align_batch_device(
     # ry (read byte at y-1 = d-x-1) is a rolling window: shift down one
     # lane per diagonal and insert read[d-1] at lane 0 (systolic layout)
     rx_const = jnp.pad(refs_i[:, :n1 - 1], ((0, 0), (1, 0)))   # [B, n1]
+
+    # band centers are constant across diagonals - hoist them. The exact
+    # reference formula is f64 truncation int((x/(l1+1))*(l2+1))
+    # (alignment_matrix.rs:414), which rounds DOWN one at exact multiples;
+    # callers using partial bands must pass band_centers from
+    # band_centers_f64() for bit parity. The integer-division fallback
+    # only matters for full-band fills, where the band covers everything.
+    if band_centers is None:
+        centers_const = (xs[None, :] * (l2 + 1)) // jnp.maximum(l1 + 1, 1)
+    else:
+        centers_const = band_centers.astype(jnp.int32)
 
     if use_pallas:
         if local:
@@ -187,7 +199,7 @@ def align_batch_device(
             d_val, d_dir = _three_way_max(pp1_s + lge, pp2_s + x1, pm_s + x1)
             i_val, i_dir = _three_way_max(pp1 + x1, pp2 + lge, pm + x1)
 
-        c = (x * (l2 + 1)) // jnp.maximum(l1 + 1, 1)
+        c = centers_const
         lo = jnp.maximum(1, c - bw)
         hi = jnp.minimum(l2 + 1, c + bw)
         interior = (x >= 1) & (x <= l1) & (y >= lo) & (y < hi)
@@ -387,6 +399,23 @@ def _ops_epilogue(ops_d, score, z0, *, n1: int, n2: int):
 
     return BatchAlignment(score=score, start_z=z0, ops=ops_fwd, n_ops=n_ops,
                           ops_packed=ops_packed)
+
+
+def band_centers_f64(ref_lens: np.ndarray, read_lens: np.ndarray,
+                     n1: int) -> np.ndarray:
+    """Reference-exact band centers, computed on host in float64.
+
+    perform_affine_alignment_bandwidth derives the band center as
+    `((x as f64 / (len1+1) as f64) * (len2+1) as f64) as i64`
+    (alignment_matrix.rs:414): two f64 roundings that can land one BELOW
+    the exact integer quotient (e.g. x=1, len1=48, len2=146: exact 3,
+    f64 truncates to 2). Integer division inside the kernel cannot
+    reproduce that; partial-band callers pass this [B, n1] table as
+    align_batch_device's band_centers."""
+    x = np.arange(n1, dtype=np.float64)[None, :]
+    d1 = ref_lens.astype(np.float64)[:, None] + 1.0
+    d2 = read_lens.astype(np.float64)[:, None] + 1.0
+    return ((x / d1) * d2).astype(np.int32)
 
 
 def scoring_to_params(scoring: AffineScoring) -> jnp.ndarray:

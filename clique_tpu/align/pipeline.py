@@ -279,6 +279,7 @@ class AlignStats:
     total: int = 0
     aligned: int = 0
     dropped_length: int = 0
+    dropped_short: int = 0
     failed: int = 0
 
 
@@ -465,6 +466,16 @@ def align_reads(
                 rm.longest_ref)
             stats.dropped_length += 1
             return
+        if len(seq) < min_read_length:
+            # the reference parses --min-read-length (main.rs:183-185) but
+            # binds it `_min_read_length` and never gates on it
+            # (alignment_functions.rs:532) - we enforce the documented
+            # intent and drop short reads
+            log.warning(
+                "Dropped read %s as its length %d is below the minimum "
+                "read length %d", name, len(seq), min_read_length)
+            stats.dropped_short += 1
+            return
         if hmm_router is not None:
             route_pending.append((name, seq, quals))
             if len(route_pending) >= batch_size * 4:
@@ -543,6 +554,7 @@ def align_reads(
                 "total_reads": stats.total,
                 "aligned": stats.aligned,
                 "dropped_length": stats.dropped_length,
+                "dropped_short": stats.dropped_short,
                 "failed": stats.failed,
                 "elapsed_s": round(elapsed, 3),
                 "reads_per_s": round(stats.aligned / elapsed, 1)

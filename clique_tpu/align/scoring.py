@@ -71,9 +71,6 @@ class AffineScoring:
             return self.special_character_score
         return self.match_score if a == b else self.mismatch_score
 
-    def substitution_vector(self, ref_bytes: np.ndarray, read_byte_table=None) -> np.ndarray:
-        raise NotImplementedError
-
     def match_matrix(self) -> np.ndarray:
         """Dense 256x256 f64 substitution matrix implementing match_mismatch."""
         a = np.arange(256, dtype=np.uint8)

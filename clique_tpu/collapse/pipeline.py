@@ -429,6 +429,16 @@ def _write_records(writer, records) -> None:
 
 def _known_correction(counts: Counter, tag: UMIConfiguration,
                       known_lists: Dict[str, List[bytes]]):
+    """KnownTag correction dispatch (collapse.rs:926-941).
+
+    Deliberate deviation: the reference sends levenshtein_distance=None to
+    the HAMMING closer (collapse.rs:928 `None | Some(false)`), but its
+    lookup builder only made a trie for None (collapse.rs:779-818), so the
+    None case panics on the missing VP-tree - reference UB. We route None
+    to the Levenshtein/trie correction to match the lookup builder's
+    intent; _apply_correction's raw-gapless-key fallback condition mirrors
+    this choice (hamming-only when levenshtein_distance is explicitly
+    False)."""
     allow = known_lists.get(tag.file or "", [])
     if not allow:
         # KnownTag without an allowlist file: the reference engine

@@ -390,7 +390,8 @@ class BamReader:
                 seq_off.ctypes.data, seq_blob, 2 * cap,
                 qual_blob,
                 ctypes.byref(consumed))
-            if n == 0:
+            malformed = consumed.value == -1
+            if n == 0 and not malformed:
                 more = self._fh.read(CHUNK)
                 if not more:
                     return          # exhausted (or truncated trailing bytes)
@@ -420,6 +421,10 @@ class BamReader:
                     pos=int(pos0) + 1 if pos0 >= 0 else 0, mapq=int(mapq),
                     cigar=cigar, seq=seq, qual=qual, tags=tags,
                     typed_tags=typed)
+            if malformed:
+                raise ValueError(
+                    "malformed BAM record (header-claimed sizes inconsistent "
+                    "with block size)")
             remainder = data[int(consumed.value):]
 
     def _parse(self, body: bytes) -> SamRecord:

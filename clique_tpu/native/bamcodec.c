@@ -201,7 +201,11 @@ long bgzf_compress(const char *data, long len, int level,
  *   6 tag_abs_off (into buf), 7 tag_len, 8 qual_missing, 9 reserved
  * name_off/cigar_off/seq_off: int64 [max_records+1] (seq_off indexes both
  * seq_blob and qual_blob). Returns record count; *consumed = bytes of buf
- * used. Stops early when a blob or max_records would overflow. */
+ * used. Stops early when a blob or max_records would overflow. Records
+ * whose header-claimed sizes are inconsistent (l_name < 1, l_seq < 0, or
+ * claimed sections exceeding block_size) are treated as stream corruption:
+ * parsing stops and *consumed is set to -1 so the caller can raise instead
+ * of reading past the buffer. */
 long decode_bam_records(
     const unsigned char *buf, long buflen, long max_records,
     int64_t *meta,
@@ -232,6 +236,16 @@ long decode_bam_records(
         l_name = bmn & 0xFF;
         n_cigar = flag_nc & 0xFFFF;
         seq_bytes = (l_seq + 1) / 2;
+        /* Validate header-claimed sizes before any copy: a hostile or
+         * corrupt record must not drive negative copy lengths or reads
+         * past the block (user-supplied BAMs reach this path via
+         * collapse). */
+        if (l_name < 1 || l_seq < 0 ||
+            32 + l_name + 4 * n_cigar + seq_bytes + (long)l_seq
+                > (long)block_size) {
+            *consumed = -1;
+            return n;
+        }
         if (nw + l_name > name_cap || cw + n_cigar > cigar_cap ||
             sw + l_seq > seq_cap)
             break;

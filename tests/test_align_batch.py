@@ -45,14 +45,20 @@ def run_device(pairs, scoring, bandwidth=None, local=False):
     refs, reads = zip(*pairs)
     refs_arr, ref_lens = pad_batch(list(refs))
     reads_arr, read_lens = pad_batch(list(reads))
+    centers = None
     if bandwidth is None:
         bw = np.maximum(ref_lens, read_lens).astype(np.int32)
     else:
+        from clique_tpu.align.batch import band_centers_f64
+
         bw = np.full(len(pairs), bandwidth, dtype=np.int32)
+        centers = band_centers_f64(ref_lens, read_lens,
+                                   refs_arr.shape[1] + 1)
     result, _tb = align_batch_device(
         refs_arr, reads_arr, ref_lens, read_lens, bw,
         scoring_to_params(scoring),
-        n1=refs_arr.shape[1] + 1, n2=reads_arr.shape[1] + 1, local=local)
+        n1=refs_arr.shape[1] + 1, n2=reads_arr.shape[1] + 1, local=local,
+        band_centers=centers)
     return result
 
 
@@ -127,6 +133,20 @@ def test_parity_banded():
     ref = random_seq(80)
     read = mutate(ref, sub=0.05, indel=0.02)
     assert_parity([(ref, read)], scoring, bandwidth=20)
+
+
+def test_parity_banded_f64_center_truncation():
+    """len1=48, len2=146: the reference's f64 band center at x=1 truncates
+    to 2 although the exact quotient 147/49 is 3 (alignment_matrix.rs:414);
+    band_centers_f64 must reproduce that (advisor finding)."""
+    from clique_tpu.align.batch import band_centers_f64
+
+    centers = band_centers_f64(np.array([48]), np.array([146]), 49)
+    assert centers[0, 1] == 2        # f64 double-rounding, not exact 3
+    scoring = AffineScoring.aligner_default()
+    ref = random_seq(48)
+    read = random_seq(146)
+    assert_parity([(ref, read)], scoring, bandwidth=3)
 
 
 def test_parity_read_longer_than_ref():

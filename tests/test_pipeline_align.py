@@ -207,3 +207,28 @@ def test_cli_help_and_version_smoke():
     assert e.value.code == 0
     with _pytest.raises(SystemExit):
         main([])  # missing subcommand
+
+
+def test_align_min_read_length_drops_short_reads(tmp_path):
+    """--min-read-length gates short reads out before alignment. The
+    reference parses the flag (main.rs:183-185) but never applies it
+    (`_min_read_length`, alignment_functions.rs:532); we enforce the
+    documented intent."""
+    layout_path, fastq_path, truth = make_dataset(tmp_path, n_reads=6)
+    # append two short reads below the gate
+    with gzip.open(fastq_path, "at") as fh:
+        fh.write("@short1\nACGTACGT\n+\nIIIIIIII\n")
+        fh.write("@short2\nACGTACGTACGTACGTACGTACGT\n+\n"
+                 + "I" * 24 + "\n")
+    layout = SequenceLayout.from_yaml(layout_path)
+    rm = ReferenceManager.from_layout(layout)
+    out = tmp_path / "out.sam"
+    stats = align_reads(layout, rm, str(out), read1=fastq_path,
+                        batch_size=4, min_read_length=50)
+    assert stats.total == len(truth) + 2
+    assert stats.dropped_short == 2
+    assert stats.aligned == len(truth)
+    lines = [l for l in out.read_text().splitlines()
+             if not l.startswith("@")]
+    names = {l.split("\t")[0] for l in lines}
+    assert "short1" not in names and "short2" not in names
