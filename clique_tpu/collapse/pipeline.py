@@ -80,6 +80,19 @@ class SortingRead:
     def key_tuple(self) -> Tuple[bytes, ...]:
         return tuple(corrected for _s, _o, corrected in self.sorting_keys)
 
+    def spill_key(self) -> Tuple:
+        """Hash-partition / grouping key for the out-of-core shards:
+        (reference, corrected keys so far, gap-stripped NEXT uncorrected
+        tag). Including the next raw tag keeps level-0 spills partitioned
+        (every read's key_tuple() is empty there - without it the whole
+        dataset hashes to one shard) and bounds every later group to reads
+        sharing both the corrected prefix and the raw next tag. Grouping
+        by corrected prefix alone is recovered by ignoring the last
+        component - which the level passes do by streaming per-read."""
+        nxt = self.unsorted_keys[0][1].replace(b"-", b"") \
+            if self.unsorted_keys else b""
+        return (self.reference_name,) + self.key_tuple() + (nxt,)
+
 
 def alignment_check(read: SortingRead, min_aligned_bases: int = 45,
                     min_identical: float = 0.8) -> bool:
@@ -229,7 +242,7 @@ def _filter_chunk(out: List[SortingRead], stats: CollapseStats,
     n_pass = 0
     for r, k in zip(out, keep):
         if k:
-            spill.push(r.key_tuple(), r)
+            spill.push(r.spill_key(), r)
             n_pass += 1
     stats.passing += n_pass
     stats.failed_filters += len(out) - n_pass
@@ -349,45 +362,53 @@ def _gate_tag(read: SortingRead, tag: UMIConfiguration) -> Optional[bytes]:
     return None
 
 
-def sort_level_spill(in_dir: str, tag: UMIConfiguration,
+def sort_level_spill(in_dir, tag: UMIConfiguration,
                      known_lists: Dict[str, List[bytes]], out_dir: str,
                      n_shards: int = 32) -> Tuple[int, int]:
-    """Out-of-core sort_level: two streaming passes over the input shards
-    (counts, then apply+respill); only per-group tag Counters and the
-    correction maps stay in RAM. Returns (reads_in, reads_out)."""
-    from clique_tpu.collapse.shards import ShardWriter, iter_sorted_groups
+    """Out-of-core sort_level: two streaming passes over the input shards.
 
-    keys_order: List = []
-    counts_list: List[Counter] = []
+    Pass 1 streams reads frame-by-frame and accumulates one tag Counter
+    per correction bin (= prior corrected-key tuple); pass 2 streams
+    again, applies the precomputed correction maps per read, and respills.
+    Only tag counters and correction maps stay in RAM - the per-bin
+    resident read count is O(1), which strictly satisfies the reference's
+    `maximum_subsequences` buffer cap (collapse.rs:884-888 /
+    correct_tags.rs:50-120: cap the in-RAM bin buffer, spill the rest,
+    never drop). `in_dir` may be a list of directories (multi-worker
+    spills). Returns (reads_in, reads_out)."""
+    from clique_tpu.collapse.shards import ShardWriter, iter_items
+
+    counts_by_bin: Dict[Tuple, Counter] = {}
     n_in = 0
-    for key, group in iter_sorted_groups(in_dir):
-        counts: Counter = Counter()
-        for read in group:
-            n_in += 1
-            gapless = _gate_tag(read, tag)
-            if gapless is not None:
-                counts[gapless] += 1
-        keys_order.append(key)
-        counts_list.append(counts)
+    for _key, read in iter_items(in_dir):
+        n_in += 1
+        gapless = _gate_tag(read, tag)
+        if gapless is not None:
+            bin_key = (read.reference_name,) + read.key_tuple()
+            counts_by_bin.setdefault(bin_key, Counter())[gapless] += 1
 
+    bins = list(counts_by_bin)
     if tag.sort_type == UMISortType.DEGENERATE_TAG:
         corrections = correct_degenerate_groups(
-            counts_list, tag.max_distance, tag.length,
+            [counts_by_bin[b] for b in bins], tag.max_distance, tag.length,
             tag.minimum_collapsing_difference or 5.0)
     else:
-        corrections = [_known_correction(c, tag, known_lists)
-                       for c in counts_list]
-    corr_by_key = dict(zip(keys_order, corrections))
+        corrections = [_known_correction(counts_by_bin[b], tag, known_lists)
+                       for b in bins]
+    corr_by_bin = dict(zip(bins, corrections))
 
     n_out = 0
     with ShardWriter(out_dir, n_shards=n_shards) as out_writer:
-        for key, group in iter_sorted_groups(in_dir):
-            kept = [r for r in group if _gate_tag(r, tag) is not None]
-            for read in _apply_correction(kept, tag, corr_by_key[key]):
-                out_writer.push(read.key_tuple(), read)
+        for _key, read in iter_items(in_dir):
+            if _gate_tag(read, tag) is None:
+                continue
+            bin_key = (read.reference_name,) + read.key_tuple()
+            out = _apply_correction_one(read, tag, corr_by_bin[bin_key])
+            if out is not None:
+                out_writer.push(out.spill_key(), out)
                 n_out += 1
-    log.info("level %s (%s, out-of-core): %d groups, %d reads in, %d passed",
-             tag.symbol, tag.sort_type.value, len(keys_order), n_in, n_out)
+    log.info("level %s (%s, out-of-core): %d bins, %d reads in, %d passed",
+             tag.symbol, tag.sort_type.value, len(bins), n_in, n_out)
     return n_in, n_out
 
 
@@ -456,27 +477,36 @@ def _known_correction(counts: Counter, tag: UMIConfiguration,
         counts, allow, tag.max_distance, tag.length)
 
 
+def _apply_correction_one(read: SortingRead, tag: UMIConfiguration,
+                          correction) -> Optional[SortingRead]:
+    """Apply one bin's correction map to a single read (add_corrected,
+    correct_tags.rs:334-375). Returns None for dropped KnownTag misses."""
+    sym, raw = read.unsorted_keys.popleft()
+    key_norm = normalize_tag(raw, tag.length)
+    corrected = correction.get(key_norm)
+    if corrected is None and tag.sort_type == UMISortType.KNOWN_TAG and \
+            not (tag.levenshtein_distance is None or
+                 tag.levenshtein_distance):
+        # hamming path keys its map on the raw gapless tag
+        gapless = bytes(b for b in raw if b != GAP)
+        corrected = correction.get(gapless)
+    if corrected is None:
+        if tag.sort_type == UMISortType.DEGENERATE_TAG:
+            raise RuntimeError(
+                f"Unable to find match for key {key_norm!r} in corrected "
+                f"values")
+        return None  # KnownTag miss: dropped (correct_tags.rs:360)
+    read.sorting_keys.append((tag.symbol, key_norm, corrected))
+    return read
+
+
 def _apply_correction(kept: List[SortingRead], tag: UMIConfiguration,
                       correction) -> List[SortingRead]:
     out: List[SortingRead] = []
     for read in kept:
-        sym, raw = read.unsorted_keys.popleft()
-        key_norm = normalize_tag(raw, tag.length)
-        corrected = correction.get(key_norm)
-        if corrected is None and tag.sort_type == UMISortType.KNOWN_TAG and \
-                not (tag.levenshtein_distance is None or
-                     tag.levenshtein_distance):
-            # hamming path keys its map on the raw gapless tag
-            gapless = bytes(b for b in raw if b != GAP)
-            corrected = correction.get(gapless)
-        if corrected is None:
-            if tag.sort_type == UMISortType.DEGENERATE_TAG:
-                raise RuntimeError(
-                    f"Unable to find match for key {key_norm!r} in corrected "
-                    f"values")
-            continue  # KnownTag miss: dropped (correct_tags.rs:360)
-        read.sorting_keys.append((tag.symbol, key_norm, corrected))
-        out.append(read)
+        applied = _apply_correction_one(read, tag, correction)
+        if applied is not None:
+            out.append(applied)
     return out
 
 
@@ -683,22 +713,37 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
     metrics = {"input_bam": input_bam, "references": {},
                "started": time.time()}
 
+    try:
+        bam_bytes = os.path.getsize(input_bam)
+    except OSError:
+        bam_bytes = 0
     if not out_of_core:
-        try:
-            bam_bytes = os.path.getsize(input_bam)
-        except OSError:
-            bam_bytes = 0
         if bam_bytes > 4 << 30:
             # BGZF ~3-4x expands in RAM as SortingReads; beyond a few GB
-            # the spill path is the safe default (maximum_subsequences'
-            # intent: bound resident reads, spill the rest)
+            # the spill path is the safe default
             log.info("input BAM is %.1f GB; enabling out-of-core collapse",
                      bam_bytes / 2**30)
             out_of_core = True
+        elif any(cfg.maximum_subsequences is not None
+                 for ref in layout.references.values()
+                 for cfg in ref.umi_configurations.values()):
+            # maximum_subsequences caps per-bin RESIDENT reads (the
+            # reference spills past the cap, never drops -
+            # collapse.rs:884-888); the in-RAM path keeps everything
+            # resident by construction, so honoring the cap means running
+            # the streaming path, whose per-bin residency is O(1)
+            log.info("maximum_subsequences set; enabling out-of-core "
+                     "collapse to honor the per-bin resident cap")
+            out_of_core = True
 
     spill_root = None
+    n_shards = 32
     if out_of_core:
         spill_root = tempfile.mkdtemp(prefix="clique_spill.", dir=temp_dir)
+        # final consensus grouping materializes one shard at a time
+        # (iter_sorted_groups); size shards so ~4x-expanded records stay
+        # around <=256MB resident per shard
+        n_shards = max(32, int(4 * bam_bytes / (256 << 20)) + 1)
 
     for ref in rm.references.values():
         log.info("processing reads from input BAM file: %s (reference %s)",
@@ -709,7 +754,7 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
 
             safe = "".join(c if c.isalnum() else "_" for c in ref.name)
             level_dir = os.path.join(spill_root, f"{safe}.l0")
-            with ShardWriter(level_dir) as sw:
+            with ShardWriter(level_dir, n_shards=n_shards) as sw:
                 read_sorting_reads_from_bam(
                     input_bam, ref.name, rm, layout, stats, spill=sw)
             ref_metrics = {"passing_reads": stats.passing - before,
@@ -724,7 +769,7 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
             for lvl, tag in enumerate(configs):
                 next_dir = os.path.join(spill_root, f"{safe}.l{lvl + 1}")
                 n_in, n_out = sort_level_spill(level_dir, tag, known_lists,
-                                               next_dir)
+                                               next_dir, n_shards=n_shards)
                 ref_metrics["levels"].append({
                     "symbol": tag.symbol, "sort_type": tag.sort_type.value,
                     "reads_in": n_in, "reads_out": n_out})

@@ -95,8 +95,9 @@ class ShardWriter:
         self.close()
 
 
-def _read_shard(path: str) -> List[Tuple[Any, Any]]:
-    items: List[Tuple[Any, Any]] = []
+def _iter_frames(path: str) -> Iterator[List[Tuple[Any, Any]]]:
+    """Stream a shard file's frames one at a time (each <= _FRAME_ITEMS
+    items resident)."""
     with open(path, "rb") as fh:
         magic = fh.read(len(_MAGIC))
         if magic != _MAGIC:
@@ -106,8 +107,27 @@ def _read_shard(path: str) -> List[Tuple[Any, Any]]:
             if len(head) < 4:
                 break
             (n,) = struct.unpack("<I", head)
-            items.extend(pickle.loads(zlib.decompress(fh.read(n))))
+            yield pickle.loads(zlib.decompress(fh.read(n)))
+
+
+def _read_shard(path: str) -> List[Tuple[Any, Any]]:
+    items: List[Tuple[Any, Any]] = []
+    for frame in _iter_frames(path):
+        items.extend(frame)
     return items
+
+
+def iter_items(directory) -> Iterator[Tuple[Any, Any]]:
+    """Stream every (key, item) pair frame-by-frame in file order - no
+    sort, no full-shard materialization. This is the memory-bounded scan
+    for passes that only need per-item access (collapse's level passes:
+    counting and correction application are per-read once the correction
+    maps are in RAM). `directory` may be a list of directories."""
+    dirs = [directory] if isinstance(directory, str) else list(directory)
+    for d in dirs:
+        for path in shard_paths(d):
+            for frame in _iter_frames(path):
+                yield from frame
 
 
 class ShardReader:

@@ -234,3 +234,81 @@ def test_flanking_degenerate_base_filter():
     bad2 = b"GGGGG" + b"TTTTTTTTTTTT"
     assert flanking_degenerate_base_filter(mk(ok2, ref2)) is True
     assert flanking_degenerate_base_filter(mk(bad2, ref2)) is False
+
+
+def test_level0_spill_partitions_across_shards(tmp_path):
+    """Level-0 spill keys include the next raw tag, so reads spread over
+    shards instead of all hashing to the empty key tuple (advisor finding:
+    a single-shard level 0 defeats the out-of-core memory bound)."""
+    import os
+
+    from clique_tpu.collapse.pipeline import SortingRead
+    from clique_tpu.collapse.shards import ShardWriter, shard_paths
+    from collections import deque
+
+    d = str(tmp_path / "spill")
+    with ShardWriter(d, n_shards=8) as sw:
+        for i in range(256):
+            r = SortingRead(
+                read_name=f"r{i}", reference_name="amp",
+                reference_aligned=b"ACGT", read_aligned=b"ACGT",
+                read_quals=None, cigar=[], reference_start=1, score=0.0,
+                unsorted_keys=deque([("0", rand_seq(16).encode())]))
+            assert r.key_tuple() == ()       # level 0: no corrected keys yet
+            sw.push(r.spill_key(), r)
+    nonempty = [p for p in shard_paths(d) if os.path.getsize(p) > 16]
+    assert len(nonempty) >= 6, f"level-0 reads all hashed to {nonempty}"
+
+
+def test_collapse_maximum_subsequences_cap(tmp_path):
+    """maximum_subsequences caps per-bin RESIDENT reads (the reference
+    spills past the cap and never drops, collapse.rs:884-888). Setting it
+    must auto-route collapse through the streaming out-of-core path and
+    leave the output identical to the unbounded in-RAM run."""
+    cells = [rand_seq(16) for _ in range(2)]
+    umis = [rand_seq(12) for _ in range(2)]
+    layout_path = build_layout(tmp_path)
+    # add the cap to both umi configurations
+    text = open(layout_path).read().replace(
+        "max_distance: 2", "max_distance: 2\n        maximum_subsequences: 2")
+    open(layout_path, "w").write(text)
+    fq = tmp_path / "reads.fastq.gz"
+    idx = 0
+    with gzip.open(fq, "wt") as fh:
+        for cell in cells:
+            for umi in umis:
+                for _ in range(7):   # 7 reads per bin, far above the cap
+                    read = A5 + cell + umi + TARGET + A3
+                    fh.write(f"@m{idx}\n{read}\n+\n{'I' * len(read)}\n")
+                    idx += 1
+
+    layout = SequenceLayout.from_yaml(layout_path)
+    cfgs = layout.get_sorted_umi_configurations("amp1")
+    assert all(c.maximum_subsequences == 2 for c in cfgs)
+    rm = ReferenceManager.from_layout(layout)
+    aligned_bam = tmp_path / "aligned.bam"
+    align_reads(layout, rm, str(aligned_bam), read1=str(fq), batch_size=8)
+
+    capped_bam = tmp_path / "capped.bam"
+    stats = collapse(str(capped_bam), layout, str(aligned_bam),
+                     temp_dir=str(tmp_path))
+
+    # uncapped, in-RAM run for comparison
+    layout2 = SequenceLayout.from_yaml(build_layout(tmp_path))
+    ram_bam = tmp_path / "ram.bam"
+    stats2 = collapse(str(ram_bam), layout2, str(aligned_bam))
+    assert stats.passing == stats2.passing == 28
+
+    def snapshot(path):
+        with BamReader(str(path)) as reader:
+            return sorted(
+                (r.name, r.seq, r.cigar_string,
+                 tuple(sorted(r.tags.items())))
+                for r in reader)
+
+    cap_records = snapshot(capped_bam)
+    assert cap_records == snapshot(ram_bam)
+    # nothing dropped: every bin keeps all 7 reads (cap bounds residency,
+    # not data)
+    with BamReader(str(capped_bam)) as reader:
+        assert all(r.tags["rc"] == "7" for r in reader)
