@@ -160,84 +160,113 @@ class CollapseStats:
     passing: int = 0
 
 
-def read_sorting_reads_from_bam(input_bam: str, reference_name: str,
-                                rm: ReferenceManager, layout: SequenceLayout,
-                                stats: CollapseStats,
-                                spill=None) -> List[SortingRead]:
-    """sort_reads_from_bam_file (collapse.rs:427-579): stream records for one
-    reference, rebuild the gapped alignment (soft clips realigned), stretch
-    the wildcard-bearing reference back in, extract + validate tags, filter.
+class _RefIngest:
+    """Per-reference ingestion state for the single-pass BAM scan."""
 
-    With a ShardWriter in `spill`, passing reads stream to disk in filter
-    chunks (out-of-core mode) and the returned list is empty."""
-    from clique_tpu.extract.extractor import extract_digit_tags_fast
+    def __init__(self, reference_name: str, rm: ReferenceManager,
+                 layout: SequenceLayout, spill=None):
+        ref_id = rm.name_to_id[reference_name]
+        self.name = reference_name
+        self.sequence = rm.references[ref_id].sequence
+        self.cfg = layout.references[reference_name]
+        self.symbols = [u.symbol for u in self.cfg.umi_configurations.values()]
+        self.all_digits = all(s.isdigit() for s in self.symbols)
+        self.spill = spill
+        self.out: List[SortingRead] = []
+        self.n_passing = 0
 
-    ref_id = rm.name_to_id[reference_name]
-    reference_sequence = rm.references[ref_id].sequence
-    ref_cfg = layout.references[reference_name]
-    symbols = [u.symbol for u in ref_cfg.umi_configurations.values()]
-    all_digits = all(s.isdigit() for s in symbols)
-    out: List[SortingRead] = []
+    def ingest(self, rec: SamRecord, stats: "CollapseStats") -> None:
+        from clique_tpu.extract.extractor import extract_digit_tags_fast
 
+        fast = recover_aligned_sequences_fast(
+            rec.seq, rec.pos, rec.cigar, self.sequence)
+        if fast is not None:
+            aligned_read, aligned_ref = fast
+            stretched = stretch_sequence_to_alignment_fast(
+                aligned_ref, self.sequence)
+        else:
+            aligned_read, aligned_ref = recover_aligned_sequences(
+                rec.seq, rec.pos, rec.cigar, self.sequence,
+                soft_clip="Realign")
+            stretched = stretch_sequence_to_alignment(
+                aligned_ref, self.sequence)
+        if self.all_digits:
+            tags = {ord(s): v for s, v in extract_digit_tags_fast(
+                aligned_read, stretched, self.symbols).items()}
+        else:
+            tags = extract_tagged_sequences(aligned_read, stretched)
+        invalid, ordered = extract_tag_sequences(self.cfg, tags)
+        if invalid:
+            stats.invalid_tags += 1
+            return
+
+        self.out.append(SortingRead(
+            read_name=rec.name,
+            reference_name=self.name,
+            reference_aligned=aligned_ref,
+            read_aligned=aligned_read,
+            read_quals=rec.qual if rec.qual != b"*" else None,
+            cigar=list(rec.cigar),
+            reference_start=rec.pos,
+            score=0.0,
+            unsorted_keys=deque(ordered),
+        ))
+        if self.spill is not None and len(self.out) >= 8192:
+            self.n_passing += _filter_chunk(self.out, stats, self.spill)
+
+    def finish(self, stats: "CollapseStats") -> List[SortingRead]:
+        if self.spill is not None:
+            self.n_passing += _filter_chunk(self.out, stats, self.spill)
+            return []
+        keep = alignment_check_batch(self.out)
+        passing = [r for r, k in zip(self.out, keep) if k]
+        stats.passing += len(passing)
+        stats.failed_filters += len(self.out) - len(passing)
+        self.n_passing += len(passing)
+        self.out = []
+        return passing
+
+
+def ingest_bam_single_pass(input_bam: str, ingests: Dict[str, "_RefIngest"],
+                           stats: CollapseStats) -> Dict[str, List[SortingRead]]:
+    """ONE streaming scan over the BAM routing records to per-reference
+    ingestion states. The reference re-queries the indexed BAM once per
+    reference region (collapse.rs:437-491) - on a 180-guide panel that is
+    180 range scans of one file; a single pass with per-reference routing
+    reads the input exactly once."""
     with BamReader(input_bam, parse_tags=False) as reader:
         for rec in reader:
-            if rec.reference_name != reference_name:
+            ing = ingests.get(rec.reference_name or "")
+            if ing is None:
                 continue
             stats.total_reads += 1
             if rec.flag & 0x100:
                 stats.secondary += 1
                 continue
-            if rec.flag & 0x4 or rec.reference_name is None:
+            if rec.flag & 0x4:
                 stats.unmapped += 1
                 continue
+            ing.ingest(rec, stats)
+    return {name: ing.finish(stats) for name, ing in ingests.items()}
 
-            fast = recover_aligned_sequences_fast(
-                rec.seq, rec.pos, rec.cigar, reference_sequence)
-            if fast is not None:
-                aligned_read, aligned_ref = fast
-                stretched = stretch_sequence_to_alignment_fast(
-                    aligned_ref, reference_sequence)
-            else:
-                aligned_read, aligned_ref = recover_aligned_sequences(
-                    rec.seq, rec.pos, rec.cigar, reference_sequence,
-                    soft_clip="Realign")
-                stretched = stretch_sequence_to_alignment(
-                    aligned_ref, reference_sequence)
-            if all_digits:
-                tags = {ord(s): v for s, v in extract_digit_tags_fast(
-                    aligned_read, stretched, symbols).items()}
-            else:
-                tags = extract_tagged_sequences(aligned_read, stretched)
-            invalid, ordered = extract_tag_sequences(ref_cfg, tags)
-            if invalid:
-                stats.invalid_tags += 1
-                continue
 
-            out.append(SortingRead(
-                read_name=rec.name,
-                reference_name=reference_name,
-                reference_aligned=aligned_ref,
-                read_aligned=aligned_read,
-                read_quals=rec.qual if rec.qual != b"*" else None,
-                cigar=list(rec.cigar),
-                reference_start=rec.pos,
-                score=0.0,
-                unsorted_keys=deque(ordered),
-            ))
-            if spill is not None and len(out) >= 8192:
-                _filter_chunk(out, stats, spill)
-    if spill is not None:
-        _filter_chunk(out, stats, spill)
-        return []
-    keep = alignment_check_batch(out)
-    passing = [r for r, k in zip(out, keep) if k]
-    stats.passing += len(passing)
-    stats.failed_filters += len(out) - len(passing)
-    return passing
+def read_sorting_reads_from_bam(input_bam: str, reference_name: str,
+                                rm: ReferenceManager, layout: SequenceLayout,
+                                stats: CollapseStats,
+                                spill=None) -> List[SortingRead]:
+    """sort_reads_from_bam_file (collapse.rs:427-579) for ONE reference:
+    stream its records, rebuild the gapped alignment (soft clips
+    realigned), stretch the wildcard-bearing reference back in, extract +
+    validate tags, filter. Kept for single-reference callers/tests; the
+    collapse pipeline ingests every reference in one pass via
+    ingest_bam_single_pass."""
+    ing = _RefIngest(reference_name, rm, layout, spill=spill)
+    return ingest_bam_single_pass(input_bam, {reference_name: ing},
+                                  stats)[reference_name]
 
 
 def _filter_chunk(out: List[SortingRead], stats: CollapseStats,
-                  spill) -> None:
+                  spill) -> int:
     keep = alignment_check_batch(out)
     n_pass = 0
     for r, k in zip(out, keep):
@@ -247,6 +276,7 @@ def _filter_chunk(out: List[SortingRead], stats: CollapseStats,
     stats.passing += n_pass
     stats.failed_filters += len(out) - n_pass
     out.clear()
+    return n_pass
 
 
 def alignment_check_batch(reads: List[SortingRead],
@@ -745,27 +775,41 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
         # around <=256MB resident per shard
         n_shards = max(32, int(4 * bam_bytes / (256 << 20)) + 1)
 
-    for ref in rm.references.values():
-        log.info("processing reads from input BAM file: %s (reference %s)",
-                 input_bam, ref.name)
-        before = stats.passing
-        if out_of_core:
-            from clique_tpu.collapse.shards import ShardWriter
+    # ONE streaming pass over the input BAM routes every record to its
+    # reference's ingestion state (the reference re-queries the indexed
+    # BAM per reference, collapse.rs:437-491 - O(refs x filesize))
+    from clique_tpu.collapse.shards import ShardWriter
 
+    ingests: Dict[str, _RefIngest] = {}
+    spill_dirs: Dict[str, str] = {}
+    spill_writers: List[ShardWriter] = []
+    for ref in rm.references.values():
+        sw = None
+        if out_of_core:
             safe = "".join(c if c.isalnum() else "_" for c in ref.name)
             level_dir = os.path.join(spill_root, f"{safe}.l0")
-            with ShardWriter(level_dir, n_shards=n_shards) as sw:
-                read_sorting_reads_from_bam(
-                    input_bam, ref.name, rm, layout, stats, spill=sw)
-            ref_metrics = {"passing_reads": stats.passing - before,
-                           "levels": []}
-            if stats.passing == before:
+            sw = ShardWriter(level_dir, n_shards=n_shards)
+            spill_dirs[ref.name] = level_dir
+            spill_writers.append(sw)
+        ingests[ref.name] = _RefIngest(ref.name, rm, layout, spill=sw)
+    log.info("processing reads from input BAM file: %s "
+             "(%d references, single pass)", input_bam, len(ingests))
+    reads_by_ref = ingest_bam_single_pass(input_bam, ingests, stats)
+    for sw in spill_writers:
+        sw.close()
+
+    for ref in rm.references.values():
+        ing = ingests[ref.name]
+        if out_of_core:
+            safe = "".join(c if c.isalnum() else "_" for c in ref.name)
+            level_dir = spill_dirs[ref.name]
+            ref_metrics = {"passing_reads": ing.n_passing, "levels": []}
+            if ing.n_passing == 0:
                 log.warning("No valid reads found for reference %s",
                             ref.name)
                 metrics["references"][ref.name] = ref_metrics
                 continue
             configs = layout.get_sorted_umi_configurations(ref.name)
-            n_in = stats.passing - before
             for lvl, tag in enumerate(configs):
                 next_dir = os.path.join(spill_root, f"{safe}.l{lvl + 1}")
                 n_in, n_out = sort_level_spill(level_dir, tag, known_lists,
@@ -783,9 +827,8 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
             log.info("reference %s: wrote %d records (out-of-core)",
                      ref.name, written)
             continue
-        reads = read_sorting_reads_from_bam(
-            input_bam, ref.name, rm, layout, stats)
-        ref_metrics = {"passing_reads": stats.passing - before, "levels": []}
+        reads = reads_by_ref[ref.name]
+        ref_metrics = {"passing_reads": ing.n_passing, "levels": []}
         if not reads:
             log.warning("No valid reads found for reference %s", ref.name)
             metrics["references"][ref.name] = ref_metrics

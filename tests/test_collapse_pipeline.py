@@ -312,3 +312,70 @@ def test_collapse_maximum_subsequences_cap(tmp_path):
     # not data)
     with BamReader(str(capped_bam)) as reader:
         assert all(r.tags["rc"] == "7" for r in reader)
+
+
+def test_collapse_multi_reference_single_pass(tmp_path, monkeypatch):
+    """A multi-reference panel must be ingested in ONE streaming pass (the
+    reference re-queries the indexed BAM per reference,
+    collapse.rs:437-491 - O(refs x filesize))."""
+    import clique_tpu.collapse.pipeline as cp
+
+    n_refs = 5
+    refs = {}
+    cells = {}
+    for i in range(n_refs):
+        body = rand_seq(40)
+        refs[f"amp{i}"] = (A5 + "0" * 12 + body + A3, body)
+    lines = ["known_strand: true", "reads:", "  - !Read1",
+             "    orientation: Forward", "references:"]
+    for name, (seq, _b) in refs.items():
+        lines += [
+            f"  {name}:",
+            f'    sequence: "{seq}"',
+            "    umi_configurations:",
+            "      umi:",
+            "        symbol: '0'",
+            '        sort_type: "DegenerateTag"',
+            "        length: 12",
+            "        order: 0",
+            "        max_distance: 2",
+        ]
+    layout_path = tmp_path / "panel.yaml"
+    layout_path.write_text("\n".join(lines) + "\n")
+
+    fq = tmp_path / "reads.fastq.gz"
+    with gzip.open(fq, "wt") as fh:
+        idx = 0
+        for name, (seq, body) in refs.items():
+            cells[name] = rand_seq(12)
+            for _ in range(4):
+                read = A5 + cells[name] + body + A3
+                fh.write(f"@p{idx}\n{read}\n+\n{'I' * len(read)}\n")
+                idx += 1
+
+    layout = SequenceLayout.from_yaml(str(layout_path))
+    rm = ReferenceManager.from_layout(layout)
+    aligned_bam = tmp_path / "aligned.bam"
+    align_reads(layout, rm, str(aligned_bam), read1=str(fq), batch_size=8)
+
+    opens = []
+    orig_init = cp.BamReader.__init__
+
+    def counting_init(self, path, *a, **k):
+        opens.append(path)
+        return orig_init(self, path, *a, **k)
+
+    monkeypatch.setattr(cp.BamReader, "__init__", counting_init)
+    out_bam = tmp_path / "collapsed.bam"
+    collapse(str(out_bam), layout, str(aligned_bam))
+    assert len(opens) == 1, f"BAM opened {len(opens)} times for {n_refs} refs"
+
+    with BamReader(str(out_bam)) as reader:
+        records = list(reader)
+    by_ref = {}
+    for rec in records:
+        by_ref.setdefault(rec.reference_name, []).append(rec)
+    assert set(by_ref) == set(refs)
+    for name, recs in by_ref.items():
+        assert len(recs) == 1 and recs[0].tags["rc"] == "4"
+        assert recs[0].tags["e0"] == cells[name]
