@@ -125,6 +125,14 @@ references:
         collapse_dt = time.time() - t0
         dt = align_dt + collapse_dt
         log(f"collapse done in {collapse_dt:.1f}s; chain {dt:.1f}s")
+        try:
+            with open(os.path.join(tmp, "collapsed.bam"
+                                   ".collapse_metrics.json")) as fh:
+                m = json.load(fh)
+            log(f"collapse breakdown: ingest {m.get('ingest_s')}s, "
+                f"levels {m.get('levels_s')}s, outputs {m.get('outputs_s')}s")
+        except OSError:
+            pass
 
     reads_per_s = stats.aligned / dt
     ref_len = len(ref_seq)

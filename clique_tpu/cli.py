@@ -119,6 +119,7 @@ def main(argv=None) -> int:
             correct_only=args.correct_only,
             checkpoint=args.checkpoint,
             out_of_core=args.out_of_core,
+            n_workers=args.threads,
         )
         return 0
 

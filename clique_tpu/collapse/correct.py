@@ -109,11 +109,17 @@ def correct_known_levenshtein(counts: Dict[bytes, int], allowlist: List[bytes],
 
 
 def degenerate_prepare(counts: Dict[bytes, int], max_distance: int,
-                       length: int):
+                       length: int, collapse_ratio: float = 5.0):
     """Stage 1 of correct_degenerate: normalize tags, build the padded tag
     matrix and the candidate-pair index array. Returns
     (norm_counts, tags, mat [T, max_len] u8, pairs [P, 2] i64, ready);
-    ready is the finished map for the trivial 0/1-tag cases."""
+    ready is the finished map for the trivial 0/1-tag cases.
+
+    Pairs are pre-filtered by the absorption rule BEFORE any distance is
+    computed: a pair can only matter when the counts differ and the ratio
+    reaches collapse_ratio (degenerate_finish skips everything else), so
+    the dominant count-1-vs-count-1 error-tag pairs never reach the device
+    kernel - exact, and cuts the level-0 distance batch ~10x."""
     if not counts:
         return None, None, None, None, {}
     norm_counts: Counter = Counter()
@@ -141,6 +147,12 @@ def degenerate_prepare(counts: Dict[bytes, int], max_distance: int,
         padded = [t + b"-" * (max_len - len(t)) for t in tags]
         pairs = np.array(candidate_pairs(padded, max_distance),
                          dtype=np.int64).reshape(-1, 2)
+    cnt = np.fromiter((norm_counts[t] for t in tags), np.int64,
+                      count=len(tags))
+    ci, cj = cnt[pairs[:, 0]], cnt[pairs[:, 1]]
+    hi = np.maximum(ci, cj)
+    lo = np.minimum(ci, cj)
+    pairs = pairs[(ci != cj) & (hi >= collapse_ratio * lo)]
     return norm_counts, tags, mat, pairs, None
 
 
@@ -183,7 +195,7 @@ def correct_degenerate_groups(group_counts, max_distance: int, length: int,
     are gathered by numpy row indexing - no per-pair python objects."""
     from clique_tpu.collapse.distance import edit_distance_rows
 
-    prepared = [degenerate_prepare(c, max_distance, length)
+    prepared = [degenerate_prepare(c, max_distance, length, collapse_ratio)
                 for c in group_counts]
     L = max((p[2].shape[1] for p in prepared if p[2] is not None), default=0)
     Lk = max(32, L)
@@ -253,6 +265,13 @@ def correct_degenerate(counts: Dict[bytes, int], max_distance: int,
         pairs = [(i, j) for i in range(len(tags)) for j in range(i + 1, len(tags))]
     else:
         pairs = candidate_pairs(padded, max_distance)
+    # absorption needs differing counts at ratio >= collapse_ratio; drop
+    # the rest before computing distances (exact - see degenerate_prepare)
+    pairs = [(i, j) for i, j in pairs
+             if norm_counts[tags[i]] != norm_counts[tags[j]]
+             and (max(norm_counts[tags[i]], norm_counts[tags[j]])
+                  >= collapse_ratio
+                  * min(norm_counts[tags[i]], norm_counts[tags[j]]))]
     if pairs:
         d = edit_distance_pairs([padded[i] for i, _j in pairs],
                                 [padded[j] for _i, j in pairs])

@@ -31,13 +31,11 @@ from collections import Counter, deque
 from dataclasses import dataclass, field
 from typing import Deque, Dict, List, Optional, Tuple
 
-from clique_tpu.collapse.correct import (
-    correct_degenerate,
-    correct_degenerate_groups,
-    correct_known_hamming,
-    correct_known_levenshtein,
-    normalize_tag,
-)
+# NOTE: clique_tpu.collapse.correct (-> distance -> jax) is imported
+# lazily inside the level functions so this module stays importable by the
+# jax-free worker processes of the host-parallel collapse
+# (collapse/workers.py); workers pickle SortingRead by reference to this
+# module and run ingestion/consensus only.
 from clique_tpu.config.layout import (
     SequenceLayout,
     UMIConfiguration,
@@ -76,6 +74,13 @@ class SortingRead:
     sorting_keys: List[Tuple[str, bytes, bytes]] = field(default_factory=list)
     # [(symbol, raw bytes)] not yet corrected
     unsorted_keys: Deque[Tuple[str, bytes]] = field(default_factory=deque)
+    # heavy-payload pointer for the host-parallel path: (blob_path, offset,
+    # size) of a pickled (reference_aligned, read_aligned, read_quals,
+    # cigar) tuple written by the ingest worker. When set, those four
+    # fields may be empty placeholders — correction levels never touch
+    # them, and consensus workers rehydrate from the blob file
+    # (collapse/workers.py) instead of shipping ~1.5KB/read over pipes.
+    blob: Optional[Tuple[str, int, int]] = None
 
     def key_tuple(self) -> Tuple[bytes, ...]:
         return tuple(corrected for _s, _o, corrected in self.sorting_keys)
@@ -361,6 +366,8 @@ def sort_level(reads: List[SortingRead], tag: UMIConfiguration,
 
     # phase 2: corrections - degenerate levels batch every group's pair
     # distances into one device call
+    from clique_tpu.collapse.correct import correct_degenerate_groups
+
     if tag.sort_type == UMISortType.DEGENERATE_TAG:
         corrections = correct_degenerate_groups(
             group_counts, tag.max_distance, tag.length,
@@ -418,6 +425,8 @@ def sort_level_spill(in_dir, tag: UMIConfiguration,
             counts_by_bin.setdefault(bin_key, Counter())[gapless] += 1
 
     bins = list(counts_by_bin)
+    from clique_tpu.collapse.correct import correct_degenerate_groups
+
     if tag.sort_type == UMISortType.DEGENERATE_TAG:
         corrections = correct_degenerate_groups(
             [counts_by_bin[b] for b in bins], tag.max_distance, tag.length,
@@ -450,12 +459,13 @@ def write_outputs_spill(directory: str, writer, rm: ReferenceManager,
     global key sort (grouping, not order, is the contract)."""
     from clique_tpu.collapse.shards import iter_sorted_groups
 
+    ref_seqs = ref_seq_map(rm)
     written = 0
     records = []
     for _key, group in iter_sorted_groups(directory):
         units = [[r] for r in group] if correct_only else [group]
         for g in units:
-            rec = _consensus_record(g, rm,
+            rec = _consensus_record(g, ref_seqs,
                                     downsample_cap if not correct_only else 0,
                                     gap_call_threshold, None)
             if rec is not None:
@@ -490,6 +500,12 @@ def _known_correction(counts: Counter, tag: UMIConfiguration,
     intent; _apply_correction's raw-gapless-key fallback condition mirrors
     this choice (hamming-only when levenshtein_distance is explicitly
     False)."""
+    from clique_tpu.collapse.correct import (
+        correct_known_hamming,
+        correct_known_levenshtein,
+        normalize_tag,
+    )
+
     allow = known_lists.get(tag.file or "", [])
     if not allow:
         # KnownTag without an allowlist file: the reference engine
@@ -511,6 +527,8 @@ def _apply_correction_one(read: SortingRead, tag: UMIConfiguration,
                           correction) -> Optional[SortingRead]:
     """Apply one bin's correction map to a single read (add_corrected,
     correct_tags.rs:334-375). Returns None for dropped KnownTag misses."""
+    from clique_tpu.collapse.correct import normalize_tag
+
     sym, raw = read.unsorted_keys.popleft()
     key_norm = normalize_tag(raw, tag.length)
     corrected = correction.get(key_norm)
@@ -545,6 +563,7 @@ def write_outputs(reads: List[SortingRead], writer, rm: ReferenceManager,
                   gap_call_threshold: float = 0.75) -> int:
     """write_consensus_reads / write_corrected_reads
     (consensus_builders.rs:34-165)."""
+    ref_seqs = ref_seq_map(rm)
     reads_sorted = sorted(reads, key=lambda r: (r.reference_name,
                                                 r.key_tuple()))
     groups: List[List[SortingRead]] = []
@@ -572,7 +591,8 @@ def write_outputs(reads: List[SortingRead], writer, rm: ReferenceManager,
     written = 0
     records = []
     for gi, group in enumerate(groups):
-        rec = _consensus_record(group, rm, downsample_cap if not correct_only
+        rec = _consensus_record(group, ref_seqs,
+                                downsample_cap if not correct_only
                                 else 0, gap_call_threshold,
                                 precomputed.get(gi))
         if rec is not None:
@@ -586,7 +606,13 @@ def write_outputs(reads: List[SortingRead], writer, rm: ReferenceManager,
     return written
 
 
-def _consensus_record(group: List[SortingRead], rm: ReferenceManager,
+def ref_seq_map(rm: ReferenceManager) -> Dict[str, bytes]:
+    """Plain {name: sequence} view of a ReferenceManager - the picklable
+    payload worker processes need for consensus building."""
+    return {r.name: r.sequence for r in rm.references.values()}
+
+
+def _consensus_record(group: List[SortingRead], ref_seqs: Dict[str, bytes],
                       downsample_cap: int, gap_call_threshold: float,
                       precomputed=None) -> Optional[SamRecord]:
     """create_consensus_sam_read (consensus_builders.rs:174-286) +
@@ -598,7 +624,7 @@ def _consensus_record(group: List[SortingRead], rm: ReferenceManager,
     if len(group) > 1:
         ref_name = Counter(
             r.reference_name for r in group).most_common(1)[0][0]
-        ref_seq = rm.references[rm.name_to_id[ref_name]].sequence
+        ref_seq = ref_seqs[ref_name]
         from clique_tpu.consensus.fast import (
             consensus_fast,
             group_is_insertion_free,
@@ -712,8 +738,16 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
              downsample_cap: int = 40,
              metrics_path: Optional[str] = None,
              checkpoint: bool = False,
-             out_of_core: bool = False) -> CollapseStats:
+             out_of_core: bool = False,
+             n_workers: int = 1) -> CollapseStats:
     """The `clique collapse` equivalent (collapse.rs:70-141).
+
+    n_workers > 1 runs the host-parallel in-RAM path (collapse/workers.py):
+    spawned jax-free processes handle BAM decode/ingestion and consensus
+    building while this process runs the device correction kernels — the
+    TPU answer to the reference's rayon `--threads` fanout
+    (alignment_functions.rs:90-93). Incompatible with checkpoint/
+    out_of_core (those fall back to the single-process paths here).
 
     Also emits collapse_metrics.json (the reference README promises this,
     README.md:66-69, but never writes it): per-reference read accounting,
@@ -734,6 +768,25 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
     import shutil
     import tempfile
     import time
+
+    if n_workers and n_workers > 1 and not checkpoint and not out_of_core:
+        try:
+            big = os.path.getsize(input_bam) > 4 << 30
+        except OSError:
+            big = False
+        caps = any(cfg.maximum_subsequences is not None
+                   for ref in layout.references.values()
+                   for cfg in ref.umi_configurations.values())
+        if not big and not caps:
+            from clique_tpu.collapse.workers import collapse_parallel
+
+            return collapse_parallel(
+                output_path, layout, input_bam, temp_dir=temp_dir,
+                correct_only=correct_only, downsample_cap=downsample_cap,
+                metrics_path=metrics_path, n_workers=n_workers)
+        log.info("n_workers=%d requested but the out-of-core path is "
+                 "required; running single-process", n_workers)
+        out_of_core = True
 
     rm = ReferenceManager.from_layout(layout)
     known_lists = load_known_lists(layout)
@@ -794,9 +847,13 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
         ingests[ref.name] = _RefIngest(ref.name, rm, layout, spill=sw)
     log.info("processing reads from input BAM file: %s "
              "(%d references, single pass)", input_bam, len(ingests))
+    t_ingest = time.time()
     reads_by_ref = ingest_bam_single_pass(input_bam, ingests, stats)
     for sw in spill_writers:
         sw.close()
+    metrics["ingest_s"] = round(time.time() - t_ingest, 3)
+    t_levels = time.time()
+    outputs_seconds = [0.0]
 
     for ref in rm.references.values():
         ing = ingests[ref.name]
@@ -819,8 +876,10 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
                     "reads_in": n_in, "reads_out": n_out})
                 shutil.rmtree(level_dir)
                 level_dir = next_dir
+            t_out = time.time()
             written = write_outputs_spill(level_dir, writer, rm,
                                           correct_only, downsample_cap)
+            outputs_seconds[0] += time.time() - t_out
             shutil.rmtree(level_dir)
             ref_metrics["output_records"] = written
             metrics["references"][ref.name] = ref_metrics
@@ -857,8 +916,10 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
             if checkpoint and temp_dir:
                 _save_checkpoint(
                     _checkpoint_path(temp_dir, ref.name, lvl + 1), reads)
+        t_out = time.time()
         written = write_outputs(reads, writer, rm, correct_only,
                                 downsample_cap)
+        outputs_seconds[0] += time.time() - t_out
         ref_metrics["output_records"] = written
         metrics["references"][ref.name] = ref_metrics
         log.info("reference %s: wrote %d records", ref.name, written)
@@ -866,6 +927,9 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
     writer.close()
     if spill_root is not None:
         shutil.rmtree(spill_root, ignore_errors=True)
+    metrics["levels_s"] = round(
+        time.time() - t_levels - outputs_seconds[0], 3)
+    metrics["outputs_s"] = round(outputs_seconds[0], 3)
     metrics["elapsed_s"] = round(time.time() - metrics["started"], 3)
     metrics["read_stats"] = {
         "total": stats.total_reads, "unmapped": stats.unmapped,

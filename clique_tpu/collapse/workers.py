@@ -1,0 +1,525 @@
+"""Host-parallel collapse: jax-free worker processes around the single
+device process.
+
+The reference engine gets its host parallelism from a rayon thread pool
+(/root/reference/rust_cmd/src/alignment_functions.rs:90-93,
+consensus_builders.rs:91-96). Python threads cannot parallelize the
+record-building work (GIL), so the TPU build uses spawned processes that
+NEVER import jax (they would contend for the single TPU claim - see
+CLAUDE.md); the device process keeps the correction kernels.
+
+Pipeline shape (mirrors the shardio boundary of collapse.rs:468-469):
+- ingest: the main process splits the decompressed BAM record stream into
+  complete-record chunks; each worker task decodes its chunk, rebuilds
+  alignments, extracts + validates tags, filters, and spills passing reads
+  into its OWN hash-partitioned ShardWriter directory (same n_shards
+  everywhere, so equal keys land in the same shard id across directories).
+- levels: the main process streams the union of worker directories
+  (iter_items accepts directory lists) and runs the device corrections.
+- outputs: shard ids are dealt to workers; each worker groups its shard's
+  reads, builds consensus records, and returns BGZF-compressed BAM blocks
+  (BGZF blocks are independent, so the main process just appends bytes).
+
+Workers are spawned (never forked: a fork would inherit the parent's TPU
+client) with PYTHONPATH cleared so the axon sitecustomize cannot attach
+device hooks.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+import struct
+from typing import Dict, Iterator, List, Optional, Tuple
+
+log = logging.getLogger(__name__)
+
+_CHUNK_READ = 4 << 20
+
+# ~1MB decompressed per ingest task: small enough that a 10-20MB input
+# still fans out over every worker (2 chunks of 4MB measured as a 2-way
+# bottleneck), large enough that per-task setup (layout unpickle +
+# ReferenceManager build, ~10ms) stays <5% of task time
+_CHUNK_TARGET = 1 << 20
+
+
+def iter_record_chunks(input_bam: str, chunk_target: int = _CHUNK_TARGET
+                       ) -> Tuple[List[Tuple[str, int]], Iterator[bytes]]:
+    """Open a BAM and return (references, iterator of decompressed
+    record-stream chunks split at record boundaries)."""
+    from clique_tpu.io.sam import BamReader
+
+    reader = BamReader(input_bam, parse_tags=False)
+
+    def chunks() -> Iterator[bytes]:
+        buf = b""
+        complete = 0          # bytes of buf forming complete records
+        while True:
+            data = reader._fh.read(_CHUNK_READ)
+            if not data and not buf:
+                break
+            buf += data
+            # advance the complete-record watermark
+            while complete + 4 <= len(buf):
+                (block_size,) = struct.unpack_from("<i", buf, complete)
+                if complete + 4 + block_size > len(buf):
+                    break
+                complete += 4 + block_size
+            if complete >= chunk_target or (not data and complete):
+                yield buf[:complete]
+                buf = buf[complete:]
+                complete = 0
+            if not data:
+                if buf:
+                    log.warning("%d trailing bytes after the last complete "
+                                "BAM record", len(buf))
+                break
+        reader.close()
+
+    return reader.references, chunks()
+
+
+# --- worker tasks (top-level: picklable for the spawn context) ---------------
+
+def ingest_chunk_task(args) -> Tuple[str, Dict[str, int], Tuple[int, ...]]:
+    """Decode + ingest one record chunk into a task-private shard dir.
+    Returns (shard_dir, per-ref passing counts, stats tuple)."""
+    (chunk, references, layout_blob, spill_dir, n_shards) = args
+    from clique_tpu.collapse.pipeline import CollapseStats, _RefIngest
+    from clique_tpu.collapse.shards import ShardWriter
+    from clique_tpu.io.sam import decode_record_stream
+    from clique_tpu.reference.manager import ReferenceManager
+
+    layout = pickle.loads(layout_blob)
+    rm = ReferenceManager.from_layout(layout)
+    stats = CollapseStats()
+    with ShardWriter(spill_dir, n_shards=n_shards) as sw:
+        ingests = {name: _RefIngest(name, rm, layout, spill=sw)
+                   for name in layout.references}
+        for rec in decode_record_stream(chunk, references,
+                                        parse_tags=False):
+            ing = ingests.get(rec.reference_name or "")
+            if ing is None:
+                continue
+            stats.total_reads += 1
+            if rec.flag & 0x100:
+                stats.secondary += 1
+                continue
+            if rec.flag & 0x4:
+                stats.unmapped += 1
+                continue
+            ing.ingest(rec, stats)
+        for ing in ingests.values():
+            ing.finish(stats)
+    per_ref = {name: ing.n_passing for name, ing in ingests.items()}
+    return spill_dir, per_ref, (stats.total_reads, stats.unmapped,
+                                stats.secondary, stats.failed_filters,
+                                stats.invalid_tags, stats.passing)
+
+
+def ingest_chunk_reads_task(args) -> Tuple[bytes, Tuple[int, ...]]:
+    """Decode + ingest one record chunk for the in-RAM parallel path.
+
+    The heavy per-read payload (aligned strings, quals, cigar — ~1.5KB)
+    is appended to a task-private blob file; the returned reads are LIGHT
+    (name, tags, blob pointer), so the pipe back to the main process
+    carries ~10x less. Correction levels only need the light fields;
+    consensus workers rehydrate from the blob files."""
+    (chunk, references, layout_blob, blob_path) = args
+    from clique_tpu.collapse.pipeline import CollapseStats, _RefIngest
+    from clique_tpu.io.sam import decode_record_stream
+    from clique_tpu.reference.manager import ReferenceManager
+
+    layout = pickle.loads(layout_blob)
+    rm = ReferenceManager.from_layout(layout)
+    stats = CollapseStats()
+    ingests = {name: _RefIngest(name, rm, layout)
+               for name in layout.references}
+    for rec in decode_record_stream(chunk, references, parse_tags=False):
+        ing = ingests.get(rec.reference_name or "")
+        if ing is None:
+            continue
+        stats.total_reads += 1
+        if rec.flag & 0x100:
+            stats.secondary += 1
+            continue
+        if rec.flag & 0x4:
+            stats.unmapped += 1
+            continue
+        ing.ingest(rec, stats)
+    reads = {name: ing.finish(stats) for name, ing in ingests.items()}
+    with open(blob_path, "wb") as fh:
+        off = 0
+        for passing in reads.values():
+            for r in passing:
+                payload = pickle.dumps(
+                    (r.reference_aligned, r.read_aligned, r.read_quals,
+                     r.cigar), protocol=4)
+                fh.write(payload)
+                r.blob = (blob_path, off, len(payload))
+                off += len(payload)
+                r.reference_aligned = b""
+                r.read_aligned = b""
+                r.read_quals = None
+                r.cigar = []
+    return (pickle.dumps(reads, protocol=4),
+            (stats.total_reads, stats.unmapped, stats.secondary,
+             stats.failed_filters, stats.invalid_tags, stats.passing))
+
+
+def rehydrate_reads(reads) -> None:
+    """Load heavy payloads back into light SortingReads from their blob
+    files (grouped by file, sequential-ish preads)."""
+    by_path: Dict[str, List] = {}
+    for r in reads:
+        if r.blob is not None:
+            by_path.setdefault(r.blob[0], []).append(r)
+    for path, rs in by_path.items():
+        rs.sort(key=lambda r: r.blob[1])
+        with open(path, "rb") as fh:
+            for r in rs:
+                _p, off, size = r.blob
+                fh.seek(off)
+                (r.reference_aligned, r.read_aligned, r.read_quals,
+                 r.cigar) = pickle.loads(fh.read(size))
+                r.blob = None
+
+
+def consensus_groups_task(args) -> Tuple[int, bytes, int]:
+    """Build consensus records for a batch of already-grouped reads and
+    return (batch_index, payload, count). Payload is BGZF-compressed BAM
+    blocks when want_bgzf and the C codec are available, else pickled
+    SamRecords for the main process to encode."""
+    (batch_idx, groups_blob, ref_seqs, ref_ids_map, correct_only,
+     downsample_cap, gap_call_threshold, want_bgzf) = args
+    from clique_tpu.collapse.pipeline import _consensus_record
+    from clique_tpu.io.sam import encode_records_bytes
+
+    groups = pickle.loads(groups_blob)
+    rehydrate_reads([r for g in groups for r in g])
+    records = []
+    for group in groups:
+        units = [[r] for r in group] if correct_only else [group]
+        for g in units:
+            rec = _consensus_record(
+                g, ref_seqs, downsample_cap if not correct_only else 0,
+                gap_call_threshold)
+            if rec is not None:
+                records.append(rec)
+    if want_bgzf:
+        encoded = encode_records_bytes(records, ref_ids_map)
+        if encoded is not None:
+            return batch_idx, _bgzf_compress_bytes(encoded), len(records)
+    return batch_idx, pickle.dumps(records, protocol=4), len(records)
+
+
+def consensus_shard_task(args) -> Tuple[int, bytes, int]:
+    """Group one shard id's reads (across directories), build consensus
+    records, and return (shard_index, bgzf-compressed BAM blocks, count)."""
+    (shard_idx, paths, ref_seqs, ref_ids_map, correct_only,
+     downsample_cap, gap_call_threshold) = args
+    from clique_tpu.collapse.pipeline import _consensus_record
+    from clique_tpu.collapse.shards import _read_shard
+    from clique_tpu.io.sam import encode_records_bytes
+
+    items: List = []
+    for p in paths:
+        items.extend(_read_shard(p))
+    items.sort(key=lambda kv: kv[0])
+
+    records = []
+    i = 0
+    while i < len(items):
+        j = i
+        key = items[i][0]
+        while j < len(items) and items[j][0] == key:
+            j += 1
+        group = [it for _k, it in items[i:j]]
+        i = j
+        units = [[r] for r in group] if correct_only else [group]
+        for g in units:
+            rec = _consensus_record(
+                g, ref_seqs, downsample_cap if not correct_only else 0,
+                gap_call_threshold)
+            if rec is not None:
+                records.append(rec)
+
+    encoded = encode_records_bytes(records, ref_ids_map)
+    if encoded is None:
+        # no C codec (or empty batch): ship the records back for the main
+        # process to encode
+        return shard_idx, pickle.dumps(records, protocol=4), len(records)
+    return shard_idx, _bgzf_compress_bytes(encoded), len(records)
+
+
+def _bgzf_compress_bytes(data: bytes) -> bytes:
+    """Compress raw bytes into self-contained BGZF blocks (no EOF marker).
+    Uses the native codec when available, else the python BgzfWriter."""
+    from clique_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is not None and data:
+        import ctypes
+
+        cap = len(data) + (len(data) // 0xFF00 + 2) * 1024 + 1024
+        out = ctypes.create_string_buffer(cap)
+        written = lib.bgzf_compress(data, len(data), 6,
+                                    ctypes.addressof(out), cap)
+        if written > 0:
+            return out.raw[:written]
+    import io as _io
+
+    from clique_tpu.io.sam import BgzfWriter
+
+    sink = _io.BytesIO()
+    w = BgzfWriter(sink)
+    w.write(data)
+    if w._buf:
+        w._flush_block(bytes(w._buf))
+        w._buf.clear()
+    return sink.getvalue()
+
+
+# --- pool management ----------------------------------------------------------
+
+def warmup_task(_i) -> None:
+    """Import the worker-side modules so the first real task doesn't pay
+    the import latency; submitted async right after pool creation so the
+    imports overlap the main process's BAM streaming."""
+    import clique_tpu.collapse.pipeline  # noqa: F401
+    import clique_tpu.io.sam  # noqa: F401
+
+
+def make_pool(n_workers: int):
+    """Spawn a jax-free worker pool: spawn context (never fork a process
+    that may hold a TPU client) with PYTHONPATH cleared so site hooks that
+    attach device plugins don't run in workers."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    saved = os.environ.get("PYTHONPATH")
+    os.environ["PYTHONPATH"] = ""
+    try:
+        pool = ctx.Pool(n_workers)
+    finally:
+        if saved is None:
+            os.environ.pop("PYTHONPATH", None)
+        else:
+            os.environ["PYTHONPATH"] = saved
+    return pool
+
+
+def parallel_ingest(pool, input_bam: str, layout, spill_root: str,
+                    n_shards: int, stats) -> Tuple[List[str], Dict[str, int]]:
+    """Fan the BAM's record chunks over the pool. Returns (list of worker
+    shard dirs, per-reference passing counts); stats is updated in place."""
+    references, chunks = iter_record_chunks(input_bam)
+    layout_blob = pickle.dumps(layout, protocol=4)
+
+    def tasks():
+        for i, chunk in enumerate(chunks):
+            yield (chunk, references, layout_blob,
+                   os.path.join(spill_root, f"ing{i:04d}"), n_shards)
+
+    dirs: List[str] = []
+    per_ref: Dict[str, int] = {}
+    for spill_dir, ref_counts, st in pool.imap_unordered(ingest_chunk_task,
+                                                         tasks()):
+        dirs.append(spill_dir)
+        for name, c in ref_counts.items():
+            per_ref[name] = per_ref.get(name, 0) + c
+        stats.total_reads += st[0]
+        stats.unmapped += st[1]
+        stats.secondary += st[2]
+        stats.failed_filters += st[3]
+        stats.invalid_tags += st[4]
+        stats.passing += st[5]
+    return dirs, per_ref
+
+
+def parallel_ingest_inram(pool, input_bam: str, layout, blob_dir: str,
+                          stats) -> Dict[str, List]:
+    """Fan the BAM's record chunks over the pool; merge the returned
+    per-reference passing reads (light records whose heavy payloads live
+    in per-task blob files under blob_dir). stats is updated in place."""
+    references, chunks = iter_record_chunks(input_bam)
+    layout_blob = pickle.dumps(layout, protocol=4)
+
+    def tasks():
+        for i, chunk in enumerate(chunks):
+            yield (chunk, references, layout_blob,
+                   os.path.join(blob_dir, f"ingest{i:04d}.blob"))
+
+    reads_by_ref: Dict[str, List] = {name: [] for name in layout.references}
+    for blob, st in pool.imap_unordered(ingest_chunk_reads_task, tasks()):
+        for name, reads in pickle.loads(blob).items():
+            reads_by_ref[name].extend(reads)
+        stats.total_reads += st[0]
+        stats.unmapped += st[1]
+        stats.secondary += st[2]
+        stats.failed_filters += st[3]
+        stats.invalid_tags += st[4]
+        stats.passing += st[5]
+    return reads_by_ref
+
+
+def parallel_outputs_groups(pool, groups: List[List], writer, ref_seqs,
+                            correct_only: bool, downsample_cap: int,
+                            gap_call_threshold: float = 0.75,
+                            batch_groups: int = 256) -> int:
+    """Deal batches of read groups to workers for consensus building;
+    append their BGZF blocks (or encode returned records) in batch order.
+    Returns records written."""
+    want_bgzf = hasattr(writer, "write_bgzf_blocks")
+    ref_ids_map = getattr(writer, "_ref_ids", {})
+
+    def job_args():
+        for bi in range(0, len(groups), batch_groups):
+            yield (bi, pickle.dumps(groups[bi:bi + batch_groups],
+                                    protocol=4),
+                   ref_seqs, ref_ids_map, correct_only, downsample_cap,
+                   gap_call_threshold, want_bgzf)
+
+    written = 0
+    for _idx, payload, count in pool.imap(consensus_groups_task, job_args()):
+        if payload[:2] == b"\x1f\x8b":           # BGZF blocks
+            writer.write_bgzf_blocks(payload)
+        elif count:
+            for rec in pickle.loads(payload):
+                writer.write(rec)
+        written += count
+    return written
+
+
+def collapse_parallel(output_path: str, layout, input_bam: str,
+                      temp_dir: Optional[str] = None,
+                      correct_only: bool = False,
+                      downsample_cap: int = 40,
+                      metrics_path: Optional[str] = None,
+                      n_workers: Optional[int] = None):
+    """Host-parallel in-RAM collapse: jax-free workers handle ingestion
+    (BAM decode + alignment recovery + tag extraction + filters) and
+    consensus/encoding; the main process keeps the device correction
+    kernels. The TPU answer to the reference's rayon fanout
+    (alignment_functions.rs:90-93, consensus_builders.rs:91-96).
+
+    Output record multiset is identical to collapse(); record order
+    follows (reference, key) group order like the single-process path."""
+    import json
+    import time
+
+    from clique_tpu.collapse.pipeline import (
+        CollapseStats,
+        load_known_lists,
+        ref_seq_map,
+        sort_level,
+    )
+    from clique_tpu.io.sam import open_alignment_writer
+    from clique_tpu.reference.manager import ReferenceManager
+
+    n_workers = n_workers or max(1, (os.cpu_count() or 2) - 1)
+    rm = ReferenceManager.from_layout(layout)
+    known_lists = load_known_lists(layout)
+    references = [(r.name, len(r.sequence)) for r in rm.references.values()]
+    writer = open_alignment_writer(output_path, references)
+    stats = CollapseStats()
+    metrics = {"input_bam": input_bam, "references": {},
+               "n_workers": n_workers, "started": time.time()}
+    ref_seqs = ref_seq_map(rm)
+
+    import shutil
+    import tempfile
+
+    blob_dir = tempfile.mkdtemp(prefix="clique_blobs.", dir=temp_dir)
+    pool = make_pool(n_workers)
+    pool.map_async(warmup_task, range(n_workers), chunksize=1)
+    try:
+        log.info("processing reads from input BAM file: %s "
+                 "(%d references, %d workers)", input_bam,
+                 len(rm.references), n_workers)
+        t0 = time.time()
+        reads_by_ref = parallel_ingest_inram(pool, input_bam, layout,
+                                             blob_dir, stats)
+        metrics["ingest_s"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        all_groups: List[List] = []
+        for ref in rm.references.values():
+            reads = reads_by_ref.get(ref.name, [])
+            ref_metrics = {"passing_reads": len(reads), "levels": []}
+            if not reads:
+                log.warning("No valid reads found for reference %s",
+                            ref.name)
+                metrics["references"][ref.name] = ref_metrics
+                continue
+            for tag in layout.get_sorted_umi_configurations(ref.name):
+                n_in = len(reads)
+                reads = sort_level(reads, tag, known_lists)
+                ref_metrics["levels"].append({
+                    "symbol": tag.symbol, "sort_type": tag.sort_type.value,
+                    "reads_in": n_in, "reads_out": len(reads)})
+            reads.sort(key=lambda r: (r.reference_name, r.key_tuple()))
+            i = 0
+            n_groups0 = len(all_groups)
+            while i < len(reads):
+                j = i
+                key = reads[i].key_tuple()
+                while j < len(reads) and reads[j].key_tuple() == key:
+                    j += 1
+                all_groups.append(reads[i:j])
+                i = j
+            ref_metrics["groups"] = len(all_groups) - n_groups0
+            metrics["references"][ref.name] = ref_metrics
+        metrics["levels_s"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        written = parallel_outputs_groups(
+            pool, all_groups, writer, ref_seqs, correct_only,
+            downsample_cap)
+        metrics["outputs_s"] = round(time.time() - t0, 3)
+        metrics["output_records"] = written
+        log.info("wrote %d records (%d workers)", written, n_workers)
+    finally:
+        pool.close()
+        pool.join()
+        shutil.rmtree(blob_dir, ignore_errors=True)
+
+    writer.close()
+    metrics["elapsed_s"] = round(time.time() - metrics["started"], 3)
+    metrics["read_stats"] = {
+        "total": stats.total_reads, "unmapped": stats.unmapped,
+        "secondary": stats.secondary, "failed_filters": stats.failed_filters,
+        "invalid_tags": stats.invalid_tags, "passing": stats.passing}
+    mpath = metrics_path or (str(output_path) + ".collapse_metrics.json")
+    with open(mpath, "w") as fh:
+        json.dump(metrics, fh, indent=2)
+    return stats
+
+
+def parallel_outputs(pool, level_dirs: List[str], writer, ref_seqs,
+                     correct_only: bool, downsample_cap: int,
+                     gap_call_threshold: float = 0.75) -> int:
+    """Deal final-level shard ids to workers; append their BGZF blocks in
+    shard order. Returns records written."""
+    from clique_tpu.collapse.shards import shard_paths
+
+    by_name: Dict[str, List[str]] = {}
+    for d in level_dirs:
+        for p in shard_paths(d):
+            by_name.setdefault(os.path.basename(p), []).append(p)
+    ref_ids_map = writer._ref_ids
+
+    job_args = [
+        (i, paths, ref_seqs, ref_ids_map, correct_only, downsample_cap,
+         gap_call_threshold)
+        for i, (_name, paths) in enumerate(sorted(by_name.items()))]
+    written = 0
+    for _idx, payload, count in pool.imap(consensus_shard_task, job_args):
+        if payload[:2] == b"\x1f\x8b":           # BGZF blocks
+            writer.write_bgzf_blocks(payload)
+        elif count:
+            for rec in pickle.loads(payload):
+                writer.write(rec)
+        written += count
+    return written

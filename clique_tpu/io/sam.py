@@ -136,10 +136,15 @@ class BgzfWriter:
         self._fh.write(struct.pack("<II", zlib.crc32(bytes(data)) & 0xFFFFFFFF,
                                    len(data)))
 
-    def close(self) -> None:
+    def flush_pending(self) -> None:
+        """Flush any buffered partial block so raw pre-compressed BGZF
+        blocks can be appended after it (blocks are independent)."""
         if self._buf:
             self._flush_block(bytes(self._buf))
             self._buf.clear()
+
+    def close(self) -> None:
+        self.flush_pending()
         self._fh.write(_BGZF_EOF)
         self._fh.flush()
 
@@ -227,86 +232,24 @@ class BamWriter:
         """Encode a whole batch of records through the native C codec
         (clique_tpu/native/bamcodec.c) in one call; falls back to per-record
         python encoding when no C compiler is available."""
-        from clique_tpu.native import get_lib
-
-        lib = get_lib()
-        if lib is None or not records:
+        encoded = encode_records_bytes(records, self._ref_ids)
+        if encoded is None:
             for rec in records:
                 self.write(rec)
             return
+        self._bgzf.write(encoded)
 
-        import ctypes
+    def write_encoded(self, encoded: bytes) -> None:
+        """Append a pre-encoded raw record stream (from
+        encode_records_bytes, e.g. produced in a worker process)."""
+        self._bgzf.write(encoded)
 
-        n = len(records)
-        ref_ids = np.empty(n, dtype=np.int32)
-        pos0 = np.empty(n, dtype=np.int32)
-        mapq = np.empty(n, dtype=np.uint8)
-        flags = np.empty(n, dtype=np.uint16)
-        names = []
-        cigars = []
-        seqs = []
-        quals = []
-        tags = []
-        for i, rec in enumerate(records):
-            ref_ids[i] = self._ref_ids.get(rec.reference_name, -1) \
-                if rec.reference_name else -1
-            pos0[i] = rec.pos - 1 if rec.pos > 0 else -1
-            mapq[i] = rec.mapq
-            flags[i] = rec.flag
-            names.append(rec.name.encode())
-            cigars.append(np.array(
-                [(c << 4) | _CIGAR_CODE[op] for c, op in rec.cigar
-                 if op in _CIGAR_CODE], dtype=np.uint32))
-            seqs.append(rec.seq)
-            if rec.qual and rec.qual != b"*" and len(rec.qual) == len(rec.seq):
-                quals.append((np.frombuffer(rec.qual, dtype=np.uint8) - 33
-                              ).tobytes())
-            else:
-                quals.append(b"")
-            tag_b = bytearray()
-            for k, v in rec.tags.items():
-                tag_b += k.encode() + b"Z" + v.encode() + b"\x00"
-            for k, (t, v) in rec.typed_tags.items():
-                if t == "i":
-                    tag_b += k.encode() + b"i" + struct.pack("<i", int(v))
-                elif t == "f":
-                    tag_b += k.encode() + b"f" + struct.pack("<f", float(v))
-                else:
-                    tag_b += k.encode() + b"Z" + str(v).encode() + b"\x00"
-            tags.append(bytes(tag_b))
-
-        def blob(parts):
-            off = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum([len(p) for p in parts], out=off[1:])
-            return b"".join(parts), off
-
-        name_blob, name_off = blob(names)
-        cigar_cat = np.concatenate(cigars) if cigars else \
-            np.zeros(0, dtype=np.uint32)
-        cigar_off = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum([len(c) for c in cigars], out=cigar_off[1:])
-        seq_blob, seq_off = blob(seqs)
-        qual_blob, qual_off = blob(quals)
-        tag_blob, tag_off = blob(tags)
-
-        cap = (36 + 256) * n + len(name_blob) + 4 * len(cigar_cat) + \
-            len(seq_blob) + len(seq_blob) + len(qual_blob) + len(tag_blob)
-        out = ctypes.create_string_buffer(cap)
-        written = lib.encode_bam_records(
-            n,
-            ref_ids.ctypes.data, pos0.ctypes.data, mapq.ctypes.data,
-            flags.ctypes.data,
-            name_blob, name_off.ctypes.data,
-            cigar_cat.ctypes.data, cigar_off.ctypes.data,
-            seq_blob, seq_off.ctypes.data,
-            qual_blob, qual_off.ctypes.data,
-            tag_blob, tag_off.ctypes.data,
-            ctypes.addressof(out), cap)
-        if written < 0:
-            for rec in records:
-                self.write(rec)
-            return
-        self._bgzf.write(out.raw[:written])
+    def write_bgzf_blocks(self, blocks: bytes) -> None:
+        """Append pre-compressed BGZF blocks (e.g. compressed in a worker
+        process): flush the pending partial block, then write raw bytes -
+        BGZF blocks are self-contained."""
+        self._bgzf.flush_pending()
+        self._raw.write(blocks)
 
     def close(self) -> None:
         self._bgzf.close()
@@ -317,6 +260,182 @@ class BamWriter:
 
     def __exit__(self, *a):
         self.close()
+
+
+def encode_records_bytes(records: List[SamRecord],
+                         ref_ids_map: Dict[str, int]) -> Optional[bytes]:
+    """Encode records into raw (uncompressed) BAM record-stream bytes via
+    the native C codec; None when the codec is unavailable or the batch is
+    empty. Safe to call in jax-free worker processes - the main process
+    appends the result with BamWriter.write_encoded."""
+    from clique_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None or not records:
+        return None
+
+    import ctypes
+
+    n = len(records)
+    ref_ids = np.empty(n, dtype=np.int32)
+    pos0 = np.empty(n, dtype=np.int32)
+    mapq = np.empty(n, dtype=np.uint8)
+    flags = np.empty(n, dtype=np.uint16)
+    names = []
+    cigars = []
+    seqs = []
+    quals = []
+    tags = []
+    for i, rec in enumerate(records):
+        ref_ids[i] = ref_ids_map.get(rec.reference_name, -1) \
+            if rec.reference_name else -1
+        pos0[i] = rec.pos - 1 if rec.pos > 0 else -1
+        mapq[i] = rec.mapq
+        flags[i] = rec.flag
+        names.append(rec.name.encode())
+        cigars.append(np.array(
+            [(c << 4) | _CIGAR_CODE[op] for c, op in rec.cigar
+             if op in _CIGAR_CODE], dtype=np.uint32))
+        seqs.append(rec.seq)
+        if rec.qual and rec.qual != b"*" and len(rec.qual) == len(rec.seq):
+            quals.append((np.frombuffer(rec.qual, dtype=np.uint8) - 33
+                          ).tobytes())
+        else:
+            quals.append(b"")
+        tag_b = bytearray()
+        for k, v in rec.tags.items():
+            tag_b += k.encode() + b"Z" + v.encode() + b"\x00"
+        for k, (t, v) in rec.typed_tags.items():
+            if t == "i":
+                tag_b += k.encode() + b"i" + struct.pack("<i", int(v))
+            elif t == "f":
+                tag_b += k.encode() + b"f" + struct.pack("<f", float(v))
+            else:
+                tag_b += k.encode() + b"Z" + str(v).encode() + b"\x00"
+        tags.append(bytes(tag_b))
+
+    def blob(parts):
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(p) for p in parts], out=off[1:])
+        return b"".join(parts), off
+
+    name_blob, name_off = blob(names)
+    cigar_cat = np.concatenate(cigars) if cigars else \
+        np.zeros(0, dtype=np.uint32)
+    cigar_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(c) for c in cigars], out=cigar_off[1:])
+    seq_blob, seq_off = blob(seqs)
+    qual_blob, qual_off = blob(quals)
+    tag_blob, tag_off = blob(tags)
+
+    cap = (36 + 256) * n + len(name_blob) + 4 * len(cigar_cat) + \
+        len(seq_blob) + len(seq_blob) + len(qual_blob) + len(tag_blob)
+    out = ctypes.create_string_buffer(cap)
+    written = lib.encode_bam_records(
+        n,
+        ref_ids.ctypes.data, pos0.ctypes.data, mapq.ctypes.data,
+        flags.ctypes.data,
+        name_blob, name_off.ctypes.data,
+        cigar_cat.ctypes.data, cigar_off.ctypes.data,
+        seq_blob, seq_off.ctypes.data,
+        qual_blob, qual_off.ctypes.data,
+        tag_blob, tag_off.ctypes.data,
+        ctypes.addressof(out), cap)
+    if written < 0:
+        return None
+    return out.raw[:written]
+
+
+
+def _decode_chunk_native(lib, data: bytes, references,
+                         parse_tags: bool):
+    """One decode_bam_records call over `data`; returns
+    (records, consumed, malformed)."""
+    import ctypes
+
+    MAXREC = 65536
+    cap = len(data)
+    meta = np.empty((MAXREC, 10), dtype=np.int64)
+    name_off = np.empty(MAXREC + 1, dtype=np.int64)
+    cigar_off = np.empty(MAXREC + 1, dtype=np.int64)
+    seq_off = np.empty(MAXREC + 1, dtype=np.int64)
+    name_blob = ctypes.create_string_buffer(cap)
+    cigar_blob = np.empty(cap // 4 + 1, dtype=np.uint32)
+    seq_blob = ctypes.create_string_buffer(2 * cap)
+    qual_blob = ctypes.create_string_buffer(2 * cap)
+    consumed = ctypes.c_int64(0)
+    n = lib.decode_bam_records(
+        data, len(data), MAXREC,
+        meta.ctypes.data,
+        name_off.ctypes.data, name_blob, cap,
+        cigar_off.ctypes.data, cigar_blob.ctypes.data, cap // 4 + 1,
+        seq_off.ctypes.data, seq_blob, 2 * cap,
+        qual_blob,
+        ctypes.byref(consumed))
+    malformed = consumed.value == -1
+    records = []
+    names_b = name_blob.raw
+    seqs_b = seq_blob.raw
+    quals_b = qual_blob.raw
+    for i in range(n):
+        (ref_id, pos0, flag, mapq, n_cigar, l_seq, tag_abs, tag_len,
+         qual_missing, _res) = meta[i]
+        name = names_b[name_off[i]:name_off[i + 1]].decode()
+        cw = cigar_blob[cigar_off[i]:cigar_off[i + 1]]
+        cigar = [(int(v) >> 4, CIGAR_OPS[int(v) & 0xF]) for v in cw]
+        s0, s1 = seq_off[i], seq_off[i + 1]
+        seq = seqs_b[s0:s1]
+        qual = b"*" if qual_missing or l_seq == 0 else quals_b[s0:s1]
+        tags: Dict[str, str] = {}
+        typed: Dict[str, Tuple[str, object]] = {}
+        if parse_tags and tag_len > 0:
+            BamReader._parse_tag_block(
+                data[tag_abs:tag_abs + tag_len], tags, typed)
+        ref_name = references[ref_id][0] \
+            if 0 <= ref_id < len(references) else None
+        records.append(SamRecord(
+            name=name, flag=int(flag), reference_name=ref_name,
+            pos=int(pos0) + 1 if pos0 >= 0 else 0, mapq=int(mapq),
+            cigar=cigar, seq=seq, qual=qual, tags=tags,
+            typed_tags=typed))
+    return records, int(consumed.value) if not malformed else -1, malformed
+
+
+def decode_record_stream(data: bytes, references,
+                         parse_tags: bool = True) -> List[SamRecord]:
+    """Decode a raw decompressed BAM record stream that contains only
+    COMPLETE records (e.g. a worker's chunk split at record boundaries by
+    iter_record_chunks). Uses the native batch decoder when available,
+    falling back to pure-python parsing. Raises ValueError on malformed
+    records or a trailing partial record."""
+    from clique_tpu.native import get_lib
+
+    lib = get_lib()
+    out: List[SamRecord] = []
+    r = 0
+    if lib is not None:
+        while r < len(data):
+            recs, consumed, malformed = _decode_chunk_native(
+                lib, data[r:], references, parse_tags)
+            out.extend(recs)
+            if malformed:
+                raise ValueError(
+                    "malformed BAM record (header-claimed sizes "
+                    "inconsistent with block size)")
+            if consumed == 0:
+                raise ValueError("truncated BAM record stream chunk")
+            r += consumed
+        return out
+    while r + 4 <= len(data):
+        (block_size,) = struct.unpack_from("<i", data, r)
+        body = data[r + 4:r + 4 + block_size]
+        if len(body) < block_size:
+            raise ValueError("truncated BAM record stream chunk")
+        out.append(BamReader._parse_body(body, references, parse_tags))
+        r += 4 + block_size
+    if r != len(data):
+        raise ValueError("truncated BAM record stream chunk")
+    return out
 
 
 # --- BAM reader --------------------------------------------------------------
@@ -363,71 +482,32 @@ class BamReader:
         decode_bam_records call parses every complete record in a ~4MB
         decompressed chunk into columnar blobs (field layout identical to
         _parse; the pure-python path remains the reference)."""
-        import ctypes
-
         CHUNK = 4 << 20
-        MAXREC = 65536
         remainder = b""
         while True:
             data = remainder + self._fh.read(CHUNK)
             if not data:
                 return
-            cap = len(data)
-            meta = np.empty((MAXREC, 10), dtype=np.int64)
-            name_off = np.empty(MAXREC + 1, dtype=np.int64)
-            cigar_off = np.empty(MAXREC + 1, dtype=np.int64)
-            seq_off = np.empty(MAXREC + 1, dtype=np.int64)
-            name_blob = ctypes.create_string_buffer(cap)
-            cigar_blob = np.empty(cap // 4 + 1, dtype=np.uint32)
-            seq_blob = ctypes.create_string_buffer(2 * cap)
-            qual_blob = ctypes.create_string_buffer(2 * cap)
-            consumed = ctypes.c_int64(0)
-            n = lib.decode_bam_records(
-                data, len(data), MAXREC,
-                meta.ctypes.data,
-                name_off.ctypes.data, name_blob, cap,
-                cigar_off.ctypes.data, cigar_blob.ctypes.data, cap // 4 + 1,
-                seq_off.ctypes.data, seq_blob, 2 * cap,
-                qual_blob,
-                ctypes.byref(consumed))
-            malformed = consumed.value == -1
-            if n == 0 and not malformed:
+            records, consumed, malformed = _decode_chunk_native(
+                lib, data, self.references, self._parse_tags)
+            if not records and not malformed:
                 more = self._fh.read(CHUNK)
                 if not more:
                     return          # exhausted (or truncated trailing bytes)
                 remainder = data + more
                 continue
-            names_b = name_blob.raw
-            seqs_b = seq_blob.raw
-            quals_b = qual_blob.raw
-            for i in range(n):
-                (ref_id, pos0, flag, mapq, n_cigar, l_seq, tag_abs, tag_len,
-                 qual_missing, _res) = meta[i]
-                name = names_b[name_off[i]:name_off[i + 1]].decode()
-                cw = cigar_blob[cigar_off[i]:cigar_off[i + 1]]
-                cigar = [(int(v) >> 4, CIGAR_OPS[int(v) & 0xF]) for v in cw]
-                s0, s1 = seq_off[i], seq_off[i + 1]
-                seq = seqs_b[s0:s1]
-                qual = b"*" if qual_missing or l_seq == 0 else quals_b[s0:s1]
-                tags: Dict[str, str] = {}
-                typed: Dict[str, Tuple[str, object]] = {}
-                if self._parse_tags and tag_len > 0:
-                    self._parse_tag_block(
-                        data[tag_abs:tag_abs + tag_len], tags, typed)
-                ref_name = self.references[ref_id][0] \
-                    if 0 <= ref_id < len(self.references) else None
-                yield SamRecord(
-                    name=name, flag=int(flag), reference_name=ref_name,
-                    pos=int(pos0) + 1 if pos0 >= 0 else 0, mapq=int(mapq),
-                    cigar=cigar, seq=seq, qual=qual, tags=tags,
-                    typed_tags=typed)
+            yield from records
             if malformed:
                 raise ValueError(
                     "malformed BAM record (header-claimed sizes inconsistent "
                     "with block size)")
-            remainder = data[int(consumed.value):]
+            remainder = data[consumed:]
 
     def _parse(self, body: bytes) -> SamRecord:
+        return self._parse_body(body, self.references, self._parse_tags)
+
+    @staticmethod
+    def _parse_body(body: bytes, references, parse_tags: bool) -> SamRecord:
         (ref_id, pos0, l_name, mapq, _bin, n_cigar, flag, l_seq,
          _next_ref, _next_pos, _tlen) = struct.unpack("<iiBBHHHiiii", body[:32])
         off = 32
@@ -454,10 +534,11 @@ class BamReader:
 
         tags: Dict[str, str] = {}
         typed: Dict[str, Tuple[str, object]] = {}
-        if self._parse_tags and off < len(body):
-            self._parse_tag_block(body[off:], tags, typed)
+        if parse_tags and off < len(body):
+            BamReader._parse_tag_block(body[off:], tags, typed)
 
-        ref_name = self.references[ref_id][0] if 0 <= ref_id < len(self.references) else None
+        ref_name = references[ref_id][0] \
+            if 0 <= ref_id < len(references) else None
         return SamRecord(
             name=name, flag=flag, reference_name=ref_name,
             pos=pos0 + 1 if pos0 >= 0 else 0, mapq=mapq, cigar=cigar,

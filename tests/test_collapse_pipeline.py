@@ -144,6 +144,55 @@ def test_collapse_out_of_core_equivalent(tmp_path):
     assert snapshot(ram_bam) == snapshot(ooc_bam)
 
 
+def test_collapse_parallel_equivalent(tmp_path):
+    """The host-parallel path (spawned jax-free workers for ingest +
+    consensus, collapse/workers.py) must produce the same record multiset
+    as the single-process in-RAM path."""
+    cells = [rand_seq(16) for _ in range(3)]
+    umis = [rand_seq(12) for _ in range(3)]
+    layout_path = build_layout(tmp_path)
+    fq = tmp_path / "reads.fastq.gz"
+    idx = 0
+    with gzip.open(fq, "wt") as fh:
+        for cell in cells:
+            for umi in umis:
+                for k in range(5):
+                    u = umi
+                    if k == 4:
+                        u = ("A" if umi[0] != "A" else "C") + umi[1:]
+                    read = A5 + cell + u + TARGET + A3
+                    fh.write(f"@r{idx}\n{read}\n+\n{'I' * len(read)}\n")
+                    idx += 1
+
+    layout = SequenceLayout.from_yaml(layout_path)
+    rm = ReferenceManager.from_layout(layout)
+    aligned_bam = tmp_path / "aligned.bam"
+    align_reads(layout, rm, str(aligned_bam), read1=str(fq), batch_size=8)
+
+    ram_bam = tmp_path / "ram.bam"
+    par_bam = tmp_path / "par.bam"
+    s1 = collapse(str(ram_bam), layout, str(aligned_bam))
+    s2 = collapse(str(par_bam), layout, str(aligned_bam),
+                  temp_dir=str(tmp_path), n_workers=2)
+    assert s1.passing == s2.passing
+
+    def snapshot(path):
+        with BamReader(str(path)) as reader:
+            return sorted(
+                (r.name, r.seq, r.qual, r.cigar_string,
+                 tuple(sorted(r.tags.items())))
+                for r in reader)
+
+    assert snapshot(ram_bam) == snapshot(par_bam)
+
+    import json
+
+    with open(str(par_bam) + ".collapse_metrics.json") as fh:
+        m = json.load(fh)
+    assert m["n_workers"] == 2
+    assert m["read_stats"]["passing"] == s1.passing
+
+
 def test_collapse_correct_only(tmp_path):
     layout_path = build_layout(tmp_path)
     fq = tmp_path / "reads.fastq.gz"
