@@ -120,8 +120,9 @@ references:
         align_dt = time.time() - t0
         log(f"align done in {align_dt:.1f}s")
         t0 = time.time()
+        n_workers = max(1, (os.cpu_count() or 2) - 1)
         collapse(os.path.join(tmp, "collapsed.bam"), layout,
-                 os.path.join(tmp, "out.bam"))
+                 os.path.join(tmp, "out.bam"), n_workers=n_workers)
         collapse_dt = time.time() - t0
         dt = align_dt + collapse_dt
         log(f"collapse done in {collapse_dt:.1f}s; chain {dt:.1f}s")
