@@ -317,6 +317,382 @@ def wfa_affine2p_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
     return jnp.where(result < 0, smax + 1, result)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("n1", "n2", "smax", "x", "o", "e",
+                                    "wildcards"))
+def wfa_affine_tb_batch(refs, reads, ref_lens, read_lens, *, n1: int,
+                        n2: int, smax: int, x: int = 4, o: int = 6,
+                        e: int = 2, wildcards: bool = False):
+    """Gap-affine WFA with traceback: alongside the penalty, records a
+    packed op-choice byte per (score step, lane, diagonal) — the TPU
+    answer to WFA2-lib's pcigar/backtrace blocks (wavefront_backtrace.o,
+    wavefront_pcigar.o, SURVEY 2.9). The op store is [smax+1, B, K] u8
+    (bits 0-1: M source 1=mismatch/2=I/3=D; bit 2: I came from extend;
+    bit 3: D came from extend), K = 2*smax+1 diagonals — a 5%-divergent
+    256x512bp batch stores ~13MB, transferred once; the host walks the op
+    skeleton and REPLAYS greedy extension to rebuild full CIGARs exactly
+    (extension is deterministic), so offsets never need to be stored.
+
+    wildcards=True makes capture wildcards match-anything during
+    extension: either byte < 58 (digit zones) or 'N'
+    (scoring_functions.rs:100-102's special-character rule, as a 0-cost
+    match approximation).
+
+    Returns (penalty [B] i32 (smax+1 censored), ops [smax+1, B, K] u8).
+    """
+    B = refs.shape[0]
+    Kmax = min(n1 + n2, smax)
+    K = 2 * Kmax + 1
+    ks = jnp.arange(K, dtype=jnp.int32) - Kmax
+    hist = max(x, o + e, e) + 1
+
+    refs_i = refs.astype(jnp.int32)
+    reads_i = reads.astype(jnp.int32)
+    l1 = ref_lens[:, None].astype(jnp.int32)
+    l2 = read_lens[:, None].astype(jnp.int32)
+    k_target = (l1 - l2)[:, 0]
+    target_ok = jnp.abs(k_target) <= Kmax
+    k_target_c = jnp.clip(k_target, -Kmax, Kmax)
+
+    def is_wild(c):
+        return (c < 58) | (c == 78)
+
+    def _extend_w(offsets, valid):
+        def can_extend(off):
+            h = off
+            v = off - ks[None, :]
+            ok = valid & (off > NEG) & (h < l1) & (v < l2) & (v >= 0) & \
+                (h >= 0)
+            rh = jnp.take_along_axis(refs_i, jnp.clip(h, 0, n1 - 1), axis=1)
+            rv = jnp.take_along_axis(reads_i, jnp.clip(v, 0, n2 - 1), axis=1)
+            eq = rh == rv
+            if wildcards:
+                eq = eq | is_wild(rh) | is_wild(rv)
+            return ok & eq
+
+        def cond(state):
+            _off, any_ext = state
+            return any_ext
+
+        def body(state):
+            off, _ = state
+            ext = can_extend(off)
+            off = jnp.where(ext, off + 1, off)
+            return off, jnp.any(can_extend(off))
+
+        off, _ = jax.lax.while_loop(
+            cond, body, (offsets, jnp.any(can_extend(offsets))))
+        return off
+
+    def clamp(offs):
+        v = offs - ks[None, :]
+        return jnp.where((offs <= l1) & (v <= l2) & (v >= 0) &
+                         (ks[None, :] >= -l2) & (ks[None, :] <= l1),
+                         offs, NEG)
+
+    def diag_valid(s):
+        return (jnp.abs(ks)[None, :] <= s) & \
+            (ks[None, :] >= -l2) & (ks[None, :] <= l1)
+
+    neg_wf = jnp.full((B, K), NEG, jnp.int32)
+    m0 = jnp.where((ks == 0)[None, :] & jnp.ones((B, 1), bool), 0, NEG)
+    m0 = _extend_w(m0, diag_valid(0))
+
+    M = jnp.full((hist, B, K), NEG, jnp.int32).at[0].set(m0)
+    I = jnp.full((hist, B, K), NEG, jnp.int32)
+    D = jnp.full((hist, B, K), NEG, jnp.int32)
+    ops = jnp.zeros((smax + 1, B, K), jnp.uint8)
+
+    def get(buf, s, back):
+        idx = (s - back) % hist
+        ok = s - back >= 0
+        return jnp.where(ok, buf[idx], neg_wf)
+
+    def done(m):
+        tgt = jnp.take_along_axis(
+            m, (k_target_c + Kmax)[:, None], axis=1)[:, 0]
+        return target_ok & (tgt >= l1[:, 0])
+
+    def cond(state):
+        s, M, I, D, ops, result = state
+        return (s < smax) & jnp.logical_not(jnp.all(result >= 0))
+
+    def body(state):
+        s, M, I, D, ops, result = state
+        s1 = s + 1
+
+        def sr(w):  # deletion direction: W[k-1], h+1
+            return jnp.pad(w[:, :-1], ((0, 0), (1, 0)), constant_values=NEG)
+
+        def sl(w):  # insertion direction: W[k+1], h unchanged
+            return jnp.pad(w[:, 1:], ((0, 0), (0, 1)), constant_values=NEG)
+
+        m_oe = get(M, s1, o + e)
+        i_e = get(I, s1, e)
+        d_e = get(D, s1, e)
+        m_x = get(M, s1, x)
+
+        d_open = sr(m_oe)
+        d_ext = sr(d_e)
+        new_d = jnp.maximum(d_open, d_ext)
+        d_from_ext = d_ext > d_open          # tie -> open (fresh gap)
+        new_d = jnp.where(new_d > NEG, new_d + 1, NEG)
+        i_open = sl(m_oe)
+        i_ext = sl(i_e)
+        new_i = jnp.maximum(i_open, i_ext)
+        i_from_ext = i_ext > i_open
+        mism = jnp.where(m_x > NEG, m_x + 1, NEG)
+        new_m = jnp.maximum(mism, jnp.maximum(new_i, new_d))
+        # tie order mismatch > I > D (any choice yields an optimal path)
+        m_src = jnp.where(
+            new_m <= NEG, 0,
+            jnp.where(mism == new_m, 1, jnp.where(new_i == new_m, 2, 3)))
+        vld = diag_valid(s1)
+        new_m = clamp(jnp.where(vld, new_m, NEG))
+        new_i = clamp(jnp.where(vld, new_i, NEG))
+        new_d = clamp(jnp.where(vld, new_d, NEG))
+        new_m = _extend_w(new_m, vld)
+
+        op_byte = (m_src.astype(jnp.uint8)
+                   | (i_from_ext.astype(jnp.uint8) << 2)
+                   | (d_from_ext.astype(jnp.uint8) << 3))
+        ops = ops.at[s1].set(op_byte)
+
+        idx = s1 % hist
+        M = M.at[idx].set(new_m)
+        I = I.at[idx].set(new_i)
+        D = D.at[idx].set(new_d)
+        result = jnp.where((result < 0) & done(new_m), s1, result)
+        return s1, M, I, D, ops, result
+
+    init_result = jnp.where(done(m0), 0, -1)
+    s, M, I, D, ops, result = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), M, I, D, ops, init_result))
+    return jnp.where(result < 0, smax + 1, result), ops
+
+
+def wfa_backtrace_ops(ops: np.ndarray, scores: np.ndarray,
+                      k_targets: np.ndarray, *, x: int, o: int,
+                      e: int) -> list:
+    """Host lockstep backtrace over the packed op store: walk every lane's
+    op skeleton (non-match ops only; matches are re-derived by replay).
+    ops is [S+1, B, K] u8 from wfa_affine_tb_batch, scores the returned
+    penalties, k_targets = l1 - l2. Returns per-lane lists of ops in
+    FORWARD order from {'X','I','D'} (None for censored lanes)."""
+    S1, B, K = ops.shape
+    smax = (K - 1) // 2
+    alive = (scores >= 0) & (scores < S1)  # censored lanes excluded
+    s = np.where(alive, scores, 0).astype(np.int64)
+    k = np.where(alive, k_targets, 0).astype(np.int64)
+    state = np.zeros(B, dtype=np.int8)  # 0=M 1=I 2=D
+    done = ~alive
+    rev_ops: list = [[] for _ in range(B)]
+    guard = 0
+    while not done.all():
+        guard += 1
+        if guard > 4 * S1 + 8:
+            raise RuntimeError("wfa backtrace failed to converge")
+        byte = ops[s, np.arange(B), k + smax]
+        m_src = byte & 3
+        i_ext = (byte >> 2) & 1
+        d_ext = (byte >> 3) & 1
+
+        in_m = (state == 0) & ~done
+        finish = in_m & (s == 0)
+        done |= finish
+        act_m = in_m & ~finish
+        # M from mismatch
+        mm = act_m & (m_src == 1)
+        for idx in np.nonzero(mm)[0]:
+            rev_ops[idx].append("X")
+        s = np.where(mm, s - x, s)
+        state = np.where(act_m & (m_src == 2), 1, state)
+        state = np.where(act_m & (m_src == 3), 2, state)
+
+        # lanes that JUST switched to I/D this iteration (in_m) wait for
+        # the next pass: their byte was read at the same (s, k), and the
+        # re-read is correct
+        in_i = (state == 1) & ~done & ~in_m
+        for idx in np.nonzero(in_i)[0]:
+            # lowercase = gap-extend step, uppercase = gap OPEN (the first
+            # op of the gap in forward order) — replay only runs greedy
+            # match extension at M states, i.e. before X/I/D, never
+            # before i/d
+            rev_ops[idx].append("i" if i_ext[idx] else "I")
+        i_to_m = in_i & (i_ext == 0)
+        s = np.where(in_i, s - np.where(i_ext == 1, e, o + e), s)
+        k = np.where(in_i, k + 1, k)
+        state = np.where(i_to_m, 0, state)
+
+        in_d = (state == 2) & ~done & ~in_m & ~in_i
+        for idx in np.nonzero(in_d)[0]:
+            rev_ops[idx].append("d" if d_ext[idx] else "D")
+        d_to_m = in_d & (d_ext == 0)
+        s = np.where(in_d, s - np.where(d_ext == 1, e, o + e), s)
+        k = np.where(in_d, k - 1, k)
+        state = np.where(d_to_m, 0, state)
+    return [list(reversed(r)) if a else None
+            for r, a in zip(rev_ops, alive)]
+
+
+def _wild(c: int) -> bool:
+    return c < 58 or c == 78
+
+
+def wfa_replay_cigar(a: bytes, b: bytes, skeleton,
+                     wildcards: bool = False):
+    """Rebuild the full CIGAR from an op skeleton by replaying greedy
+    match extension (deterministic, identical to the kernel's _extend).
+    Returns [(count, op)] with 'M' covering matches+mismatches."""
+    h = v = 0
+    l1, l2 = len(a), len(b)
+
+    def matches(h, v):
+        if a[h] == b[v]:
+            return True
+        return wildcards and (_wild(a[h]) or _wild(b[v]))
+
+    raw: list = []
+
+    def emit(op, n=1):
+        if n <= 0:
+            return
+        if raw and raw[-1][1] == op:
+            raw[-1] = (raw[-1][0] + n, op)
+        else:
+            raw.append((n, op))
+
+    for op in skeleton:
+        if op in ("X", "I", "D"):
+            # M state: greedy extension happened before this op in the
+            # forward pass (lowercase gap-extends have no matches before
+            # them — they continue an open gap)
+            run = 0
+            while h < l1 and v < l2 and matches(h, v):
+                h += 1
+                v += 1
+                run += 1
+            emit("M", run)
+        if op == "X":
+            emit("M", 1)
+            h += 1
+            v += 1
+        elif op in ("I", "i"):
+            emit("I", 1)
+            v += 1
+        elif op in ("D", "d"):
+            emit("D", 1)
+            h += 1
+    run = 0
+    while h < l1 and v < l2 and matches(h, v):
+        h += 1
+        v += 1
+        run += 1
+    emit("M", run)
+    if h != l1 or v != l2:
+        raise ValueError(
+            f"wfa replay did not consume both sequences: ({h},{v}) vs "
+            f"({l1},{l2})")
+    return raw
+
+
+def cigar_penalty(cigar, a: bytes, b: bytes, *, x: int, o: int, e: int,
+                  wildcards: bool = False) -> int:
+    """Affine penalty of a CIGAR over a pair (match 0, mismatch x, gap
+    o + n*e) — the checkable invariant for traceback tests."""
+    h = v = 0
+    p = 0
+    for n, op in cigar:
+        if op == "M":
+            for _ in range(n):
+                if not (a[h] == b[v] or
+                        (wildcards and (_wild(a[h]) or _wild(b[v])))):
+                    p += x
+                h += 1
+                v += 1
+        elif op == "I":
+            p += o + n * e
+            v += n
+        elif op == "D":
+            p += o + n * e
+            h += n
+    return p
+
+
+def wfa_affine_align_pairs(pairs_a, pairs_b, *, x: int = 4, o: int = 6,
+                           e: int = 2, smax=None, wildcards: bool = False,
+                           pad_to: int = 64):
+    """Host wrapper: batched gap-affine WFA WITH traceback. Returns a list
+    of (penalty, cigar) per pair; cigar is None when the pair was censored
+    at smax (penalty = smax + 1)."""
+    if not pairs_a:
+        return []
+    L = max(pad_to, max(max(len(a) for a in pairs_a),
+                        max(len(b) for b in pairs_b)))
+    P = len(pairs_a)
+    Ppad = 32
+    while Ppad < P:
+        Ppad *= 2
+    a = np.zeros((Ppad, L), dtype=np.uint8)
+    b = np.zeros((Ppad, L), dtype=np.uint8)
+    la = np.zeros(Ppad, dtype=np.int32)
+    lb = np.zeros(Ppad, dtype=np.int32)
+    for i, (s, t) in enumerate(zip(pairs_a, pairs_b)):
+        a[i, :len(s)] = np.frombuffer(s, dtype=np.uint8)
+        b[i, :len(t)] = np.frombuffer(t, dtype=np.uint8)
+        la[i], lb[i] = len(s), len(t)
+    if smax is None:
+        smax = x + o + e * L  # worst case bound: all-gap then mismatches
+    scores, ops = wfa_affine_tb_batch(a, b, la, lb, n1=L, n2=L, smax=smax,
+                                      x=x, o=o, e=e, wildcards=wildcards)
+    scores = np.asarray(scores)[:P]
+    ops = np.asarray(ops)[:, :P]
+    skeletons = wfa_backtrace_ops(ops, scores, (la - lb)[:P],
+                                  x=x, o=o, e=e)
+    out = []
+    for i in range(P):
+        if skeletons[i] is None:
+            out.append((int(scores[i]), None))
+            continue
+        cig = wfa_replay_cigar(pairs_a[i], pairs_b[i], skeletons[i],
+                               wildcards=wildcards)
+        out.append((int(scores[i]), cig))
+    return out
+
+
+def affine_penalty_golden(a: bytes, b: bytes, *, x: int, o: int,
+                          e: int, wildcards: bool = False) -> int:
+    """O(nm) min-penalty gap-affine DP (numpy, host): the independent
+    golden for the WFA kernels (match 0 / mismatch x / gap o + n*e,
+    Gotoh three-plane)."""
+    n1, n2 = len(a), len(b)
+    INF = 1 << 29
+    av = np.frombuffer(a, dtype=np.uint8).astype(np.int32)
+    bv = np.frombuffer(b, dtype=np.uint8).astype(np.int32)
+    sub = (av[:, None] != bv[None, :]).astype(np.int64) * x
+    if wildcards:
+        wild = ((av[:, None] < 58) | (av[:, None] == 78) |
+                (bv[None, :] < 58) | (bv[None, :] == 78))
+        sub = np.where(wild, 0, sub)
+    M = np.full((n1 + 1, n2 + 1), INF, dtype=np.int64)
+    I = np.full((n1 + 1, n2 + 1), INF, dtype=np.int64)
+    D = np.full((n1 + 1, n2 + 1), INF, dtype=np.int64)
+    M[0, 0] = 0
+    for j in range(1, n2 + 1):
+        I[0, j] = o + j * e
+        M[0, j] = I[0, j]
+    for i in range(1, n1 + 1):
+        D[i, 0] = o + i * e
+        M[i, 0] = D[i, 0]
+    for i in range(1, n1 + 1):
+        for j in range(1, n2 + 1):
+            I[i, j] = min(M[i, j - 1] + o + e, I[i, j - 1] + e)
+            D[i, j] = min(M[i - 1, j] + o + e, D[i - 1, j] + e)
+            M[i, j] = min(M[i - 1, j - 1] + sub[i - 1, j - 1],
+                          I[i, j], D[i, j])
+    return int(M[n1, n2])
+
+
 # --- host helpers ------------------------------------------------------------
 
 def wfa_edit_distances(pairs_a, pairs_b, smax=None, pad_to: int = 64):

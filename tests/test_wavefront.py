@@ -168,3 +168,83 @@ def test_wfa_affine2p_long_gap_cheaper():
     for i, (aa, bb) in enumerate(pairs):
         expect = _affine2p_penalty(aa, bb, x, o1, e1, o2, e2)
         assert out[i] == expect, (i, int(out[i]), expect)
+
+
+# --- traceback ----------------------------------------------------------------
+
+def test_wfa_traceback_random_pairs():
+    """wfa_affine_tb_batch + backtrace + replay: the CIGAR must be a valid
+    alignment whose affine penalty equals the kernel's returned penalty,
+    which must equal the O(nm) golden (wavefront_backtrace.o /
+    wavefront_pcigar.o parity, SURVEY 2.9)."""
+    from clique_tpu.align.wavefront import (
+        cigar_penalty,
+        wfa_affine_align_pairs,
+    )
+
+    x, o, e = 4, 6, 2
+    pairs = []
+    for i in range(24):
+        L = int(RNG.integers(8, 48))
+        a = RNG.choice(BASES, L).tobytes()
+        b = mutate(a, sub=0.08, indel=0.05)
+        pairs.append((a, b))
+    out = wfa_affine_align_pairs([p[0] for p in pairs],
+                                 [p[1] for p in pairs], x=x, o=o, e=e)
+    for (a, b), (pen, cig) in zip(pairs, out):
+        expect = _affine_penalty(a, b, x, o, e)
+        assert pen == expect, (a, b, pen, expect)
+        assert cig is not None
+        assert cigar_penalty(cig, a, b, x=x, o=o, e=e) == pen
+        # cigar consumes both sequences exactly
+        assert sum(n for n, op in cig if op in "MD") == len(a)
+        assert sum(n for n, op in cig if op in "MI") == len(b)
+
+
+def test_wfa_traceback_pure_match_and_single_ops():
+    from clique_tpu.align.wavefront import wfa_affine_align_pairs
+
+    a = b"ACGTACGTACGT"
+    cases = [
+        (a, a, []),                       # all matches
+        (a, a[:4] + b"T" + a[5:], None),  # one substitution
+        (a, a[:6] + a[8:], None),         # 2bp deletion in read
+        (a[:6] + a[8:], a, None),         # 2bp insertion in read
+    ]
+    out = wfa_affine_align_pairs([c[0] for c in cases],
+                                 [c[1] for c in cases])
+    pen0, cig0 = out[0]
+    assert pen0 == 0 and cig0 == [(len(a), "M")]
+    pen1, cig1 = out[1]
+    assert pen1 == 4 and cig1 == [(len(a), "M")]
+    pen2, cig2 = out[2]
+    assert pen2 == 6 + 2 * 2
+    assert [(n, op) for n, op in cig2 if op != "M"] == [(2, "D")]
+    pen3, cig3 = out[3]
+    assert pen3 == 6 + 2 * 2
+    assert [(n, op) for n, op in cig3 if op != "M"] == [(2, "I")]
+
+
+def test_wfa_traceback_wildcards():
+    """Capture wildcards (digits, N) extend as matches when wildcards=True
+    (scoring_functions.rs:100-102 special-character approximation)."""
+    from clique_tpu.align.wavefront import wfa_affine_align_pairs
+
+    ref = b"ACGTACGT" + b"0" * 8 + b"TTGGCCAA"
+    read = b"ACGTACGT" + b"GATCGATC" + b"TTGGCCAA"
+    (pen, cig), = wfa_affine_align_pairs([ref], [read], wildcards=True)
+    assert pen == 0
+    assert cig == [(len(ref), "M")]
+    # without wildcards the digit zone costs 8 mismatches
+    (pen2, _cig2), = wfa_affine_align_pairs([ref], [read], wildcards=False)
+    assert pen2 == 8 * 4
+
+
+def test_wfa_traceback_censoring():
+    from clique_tpu.align.wavefront import wfa_affine_align_pairs
+
+    a = RNG.choice(BASES, 40).tobytes()
+    b = RNG.choice(BASES, 40).tobytes()
+    out = wfa_affine_align_pairs([a], [b], smax=6)
+    pen, cig = out[0]
+    assert pen == 7 and cig is None
