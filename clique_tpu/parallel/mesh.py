@@ -36,32 +36,24 @@ def make_mesh(n_devices: int = None) -> Mesh:
 
 
 def sharded_align_step(mesh: Mesh, refs, reads, ref_lens, read_lens, params,
-                       *, n1: int, n2: int, n_refs: int):
-    """One data-parallel align step over the mesh.
-
-    Returns (scores [B], ops [B,T], n_ops [B], histogram [n_refs]) where the
-    histogram of reference assignments is psum-merged across chips (the
-    collective pattern the collapse stage uses for cross-host tag groupby).
-    """
+                       *, n1: int, n2: int):
+    """One data-parallel align step over the mesh: batches sharded over
+    'data', scoring params replicated. Returns (scores [B], ops [B,T],
+    n_ops [B]) with the batch axis still sharded. The collapse stage's
+    cross-chip aggregation (per-tag bucket histograms) runs as a separate
+    collective over the same mesh - parallel/groupby.bucket_histogram."""
     data = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
 
     @functools.partial(
         jax.jit,
         in_shardings=(data, data, data, data, repl),
-        out_shardings=(data, data, data, repl),
+        out_shardings=(data, data, data),
     )
     def step(refs, reads, ref_lens, read_lens, params):
         bw = jnp.maximum(ref_lens, read_lens)
         result, _tb = align_batch_device(
             refs, reads, ref_lens, read_lens, bw, params, n1=n1, n2=n2)
-        # toy per-reference assignment histogram: bucket by score sign/step,
-        # stands in for the collapse stage's tag-hash histograms. jnp.bincount
-        # needs static size; use one-hot sum (XLA turns this into a psum
-        # across the sharded batch axis at the out_shardings boundary).
-        bucket = jnp.clip(result.n_ops % n_refs, 0, n_refs - 1)
-        hist = jnp.sum(
-            jax.nn.one_hot(bucket, n_refs, dtype=jnp.int32), axis=0)
-        return result.score, result.ops, result.n_ops, hist
+        return result.score, result.ops, result.n_ops
 
     return step(refs, reads, ref_lens, read_lens, params)

@@ -24,9 +24,9 @@ def test_sharded_align_step_matches_single_device():
     params = scoring_to_params(AffineScoring.aligner_default())
 
     mesh = make_mesh(8)
-    scores, ops, n_ops, hist = sharded_align_step(
+    scores, ops, n_ops = sharded_align_step(
         mesh, refs, reads, ref_lens, read_lens, params,
-        n1=LR + 1, n2=LD + 1, n_refs=4)
+        n1=LR + 1, n2=LD + 1)
 
     bw = np.maximum(ref_lens, read_lens)
     single, _ = align_batch_device(
@@ -35,7 +35,6 @@ def test_sharded_align_step_matches_single_device():
     np.testing.assert_array_equal(np.asarray(scores), np.asarray(single.score))
     np.testing.assert_array_equal(np.asarray(n_ops), np.asarray(single.n_ops))
     np.testing.assert_array_equal(np.asarray(ops), np.asarray(single.ops))
-    assert int(np.asarray(hist).sum()) == B
 
 
 def test_graft_entry_single_chip():
