@@ -299,6 +299,7 @@ def align_reads(
     quick_match_threshold: float = 0.90,
     mode: str = "ont",
     router: str = "kmer",
+    engine: Optional[str] = None,
     metrics_path: Optional[str] = None,
     pipeline_threads: bool = True,
     profile_dir: Optional[str] = None,
@@ -308,7 +309,19 @@ def align_reads(
     mode: "ont" (reference-compatible scoring) or "hifi" (PacBio low-error
     preset, BASELINE config 2). router: "kmer" (unique-kmer vote, the
     reference's quick_alignment_search) or "hmm" (pair-HMM forward routing,
-    the north-star multi-amplicon router)."""
+    the north-star multi-amplicon router).
+
+    engine: "dp" (exact 3-plane affine DP - reference-parity default) or
+    "wfa" (wavefront engine with traceback, align/wavefront.py). The
+    reference parses --aligner=wfa but never uses it (main.rs:127-133,
+    alignment_functions.rs:74); we honor the intent: WFA is the default
+    engine for HiFi mode (low divergence = small wavefront score = O(ns)
+    work) and opt-in elsewhere; scores on the WFA path are negated
+    penalties, and the multi-reference exhaustive search ranks candidates
+    by minimal penalty (last-minimum tie order, matching the last-maximum
+    Rust max_by quirk)."""
+    if engine is None:
+        engine = "wfa" if mode == "hifi" else "dp"
     if scoring is None:
         scoring = AffineScoring.hifi_default() if mode == "hifi" \
             else AffineScoring.aligner_default()
@@ -321,13 +334,17 @@ def align_reads(
     max_read_size = (rm.longest_ref + 1) * max_reference_multiplier
     single_ref = len(rm.references) == 1
 
-    if single_ref and not single_ref_native:
+    if single_ref and not single_ref_native and engine != "wfa":
         aligner = BatchAligner(RUST_BIO_COMPAT, batch_size,
                                special_mode="ref_n_only")
         report_zero_score = True   # the reference reports 0.0 here (:579)
     else:
         aligner = BatchAligner(scoring, batch_size)
         report_zero_score = False
+    if engine == "wfa":
+        from clique_tpu.align.wavefront import WfaAligner
+
+        aligner = WfaAligner(batch_size=batch_size, dp_fallback=aligner)
     merge_aligner = BatchAligner(MERGE_SCORING, batch_size)
 
     profiler_cm = None
@@ -414,7 +431,14 @@ def align_reads(
         """Batched exhaustive search: every (candidate ref, read) pair of every
         queued read goes through ONE align_pairs call; per read the best score
         wins, Rust max_by keeping the LAST maximum on ties
-        (exhaustive_alignment_search)."""
+        (exhaustive_alignment_search).
+
+        On the WFA engine, candidates are first SCREENED with the score-only
+        wavefront kernel (O(ns) per pair, no traceback/backtrace cost) and
+        only each read's winner gets the full traceback alignment (with its
+        own adaptive score ceiling + exact-DP fallback, so highly-divergent
+        reads still align; if every candidate censors at the screen ceiling
+        the tie order picks the last candidate)."""
         if not exh_pending:
             return
         refs: List[bytes] = []
@@ -424,6 +448,42 @@ def align_reads(
             spans.append((len(refs), len(cands)))
             refs.extend(rm.references[i].sequence for i in cands)
             reads.extend([seq] * len(cands))
+
+        from clique_tpu.align.wavefront import WfaAligner
+
+        if isinstance(aligner, WfaAligner):
+            from clique_tpu.align.wavefront import wfa_screen_candidates
+
+            pens = wfa_screen_candidates(
+                refs, reads, x=aligner.x, o=aligner.o, e=aligner.e)
+            winner_refs: List[bytes] = []
+            winner_reads: List[bytes] = []
+            winner_best: List[int] = []
+            for (name, seq, quals, cands), (start, count) in zip(
+                    exh_pending, spans):
+                best = 0
+                for i in range(count):
+                    if pens[start + i] <= pens[start + best]:
+                        best = i  # last-minimum = last-maximum of -penalty
+                winner_best.append(best)
+                winner_refs.append(refs[start + best])
+                winner_reads.append(seq)
+            outs_w = aligner.align_pairs(winner_refs, winner_reads)
+            batch_records = []
+            for (name, seq, quals, cands), best, out in zip(
+                    exh_pending, winner_best, outs_w):
+                a1, a2, cigar, score = out
+                aligned = AlignedRead(
+                    read_name=name,
+                    reference_name=rm.references[cands[best]].name,
+                    reference_aligned=a1, read_aligned=a2,
+                    quals=quals, cigar=cigar, score=score)
+                batch_records.append(_make_record(aligned, layout))
+            emit_records(batch_records)
+            stats.aligned += len(exh_pending)
+            exh_pending.clear()
+            return
+
         outs = aligner.align_pairs(refs, reads)
         batch_records = []
         for (name, seq, quals, cands), (start, count) in zip(
@@ -551,6 +611,8 @@ def align_reads(
 
         with open(metrics_path, "w") as fh:
             json.dump({
+                "engine": engine,
+                "wfa_dp_fallbacks": getattr(aligner, "fallbacks", None),
                 "total_reads": stats.total,
                 "aligned": stats.aligned,
                 "dropped_length": stats.dropped_length,

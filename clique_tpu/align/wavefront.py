@@ -33,7 +33,7 @@ read length and fit comfortably in HBM.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -691,6 +691,186 @@ def affine_penalty_golden(a: bytes, b: bytes, *, x: int, o: int,
             M[i, j] = min(M[i - 1, j - 1] + sub[i - 1, j - 1],
                           I[i, j], D[i, j])
     return int(M[n1, n2])
+
+
+def cigar_to_aligned(a: bytes, b: bytes, cigar) -> Tuple[bytes, bytes]:
+    """Expand a [(count, op)] CIGAR over (a, b) into the gapped aligned
+    pair (a_aligned, b_aligned); gaps are '-'."""
+    out_a = bytearray()
+    out_b = bytearray()
+    h = v = 0
+    for n, op in cigar:
+        if op == "M":
+            out_a += a[h:h + n]
+            out_b += b[v:v + n]
+            h += n
+            v += n
+        elif op == "I":
+            out_a += b"-" * n
+            out_b += b[v:v + n]
+            v += n
+        elif op == "D":
+            out_a += a[h:h + n]
+            out_b += b"-" * n
+            h += n
+    return bytes(out_a), bytes(out_b)
+
+
+class WfaAligner:
+    """Pipeline-facing batched WFA engine with traceback.
+
+    Drop-in for BatchAligner.align_pairs: align_pairs(refs, reads) ->
+    [(ref_aligned, read_aligned, cigar, score)]. This is the product
+    wiring for WFA2-lib's engine role (SURVEY 2.9: the reference ships the
+    library as its intended fast aligner but never calls it; here `clique
+    align --engine wfa` and the HiFi mode run on it).
+
+    Strategy: batch pairs by padded length, run the gap-affine traceback
+    kernel with a small score ceiling, and ADAPTIVELY retry censored pairs
+    at 4x the ceiling (WFA work grows O(s^2), so most low-divergence pairs
+    finish at the first ceiling and only stragglers pay more - the TPU
+    analogue of wavefront_heuristic.o's score cutoffs, without dropping
+    accuracy). Pairs still censored at smax > 2*L fall back to the exact
+    3-plane DP (at that divergence the quadratic DP does less work than
+    the wavefront would). Wildcard bytes (digits / N) extend as matches,
+    mirroring the special-character scoring rule
+    (scoring_functions.rs:100-102).
+
+    Reported score is the NEGATED WFA penalty (max-is-better like the DP
+    path; exact values differ from the DP scoring scheme by design)."""
+
+    def __init__(self, x: int = 4, o: int = 6, e: int = 2,
+                 batch_size: int = 128, length_quantum: int = 128,
+                 wildcards: bool = True, s0: Optional[int] = None,
+                 dp_fallback=None):
+        self.x, self.o, self.e = x, o, e
+        self.batch_size = batch_size
+        self.quantum = length_quantum
+        self.wildcards = wildcards
+        self.s0 = s0
+        self.dp_fallback = dp_fallback  # BatchAligner or None
+        self.pairs_aligned = 0
+        self.cells_filled = 0           # DP-equivalent n*m cells
+        self.device_seconds = 0.0
+        self.post_seconds = 0.0
+        self.fallbacks = 0
+
+    def _bucket_len(self, n: int) -> int:
+        q = self.quantum
+        return max(q, -(-n // q) * q)
+
+    def _ceil_b(self, n: int) -> int:
+        b = 32
+        while b < n:
+            b *= 2
+        return b
+
+    def align_pairs(self, refs, reads):
+        import time
+
+        results = [None] * len(refs)
+        order = sorted(range(len(refs)),
+                       key=lambda k: self._bucket_len(
+                           max(len(refs[k]), len(reads[k]))))
+        i = 0
+        while i < len(order):
+            L = self._bucket_len(max(len(refs[order[i]]),
+                                     len(reads[order[i]])))
+            group = []
+            while i < len(order) and len(group) < self.batch_size and \
+                    self._bucket_len(max(len(refs[order[i]]),
+                                         len(reads[order[i]]))) == L:
+                group.append(order[i])
+                i += 1
+            t0 = time.time()
+            self._align_group(group, refs, reads, L, results)
+            self.device_seconds += time.time() - t0
+        self.pairs_aligned += len(refs)
+        return results
+
+    def _align_group(self, group, refs, reads, L, results):
+        remaining = list(group)
+        smax = self.s0 if self.s0 is not None else max(64, L // 4)
+        while remaining:
+            B = self._ceil_b(len(remaining))
+            a = np.zeros((B, L), dtype=np.uint8)
+            b = np.zeros((B, L), dtype=np.uint8)
+            la = np.zeros(B, dtype=np.int32)
+            lb = np.zeros(B, dtype=np.int32)
+            for j, k in enumerate(remaining):
+                r, d = refs[k], reads[k]
+                a[j, :len(r)] = np.frombuffer(r, dtype=np.uint8)
+                b[j, :len(d)] = np.frombuffer(d, dtype=np.uint8)
+                la[j], lb[j] = len(r), len(d)
+            scores, ops = wfa_affine_tb_batch(
+                a, b, la, lb, n1=L, n2=L, smax=smax, x=self.x, o=self.o,
+                e=self.e, wildcards=self.wildcards)
+            scores = np.asarray(scores)
+            ops = np.asarray(ops)
+            skeletons = wfa_backtrace_ops(
+                ops[:, :len(remaining)], scores[:len(remaining)],
+                (la - lb)[:len(remaining)], x=self.x, o=self.o, e=self.e)
+            censored = []
+            for j, k in enumerate(remaining):
+                if skeletons[j] is None:
+                    censored.append(k)
+                    continue
+                cig = wfa_replay_cigar(refs[k], reads[k], skeletons[j],
+                                       wildcards=self.wildcards)
+                ra, da = cigar_to_aligned(refs[k], reads[k], cig)
+                results[k] = (ra, da, cig, -float(scores[j]))
+                self.cells_filled += len(refs[k]) * len(reads[k])
+            if not censored:
+                return
+            if smax > 2 * L:
+                break
+            remaining = censored
+            smax *= 4
+        # exact-DP fallback for pairs beyond the WFA score cap
+        self.fallbacks += len(remaining)
+        if self.dp_fallback is not None:
+            out = self.dp_fallback.align_pairs(
+                [refs[k] for k in remaining], [reads[k] for k in remaining])
+            for k, r in zip(remaining, out):
+                results[k] = r
+        else:
+            for k in remaining:
+                (pen, cig), = wfa_affine_align_pairs(
+                    [refs[k]], [reads[k]], x=self.x, o=self.o, e=self.e,
+                    wildcards=self.wildcards)
+                ra, da = cigar_to_aligned(refs[k], reads[k], cig)
+                results[k] = (ra, da, cig, -float(pen))
+                self.cells_filled += len(refs[k]) * len(reads[k])
+
+
+def wfa_screen_candidates(refs, reads, *, x: int = 4, o: int = 6,
+                          e: int = 2, smax: Optional[int] = None,
+                          pad_to: int = 64) -> np.ndarray:
+    """Score-only candidate screen for exhaustive reference search: the
+    WFA penalty of each (ref, read) pair, censored at smax (censored pairs
+    return smax + 1 and rank last). One device dispatch per padded-length
+    bucket."""
+    if not refs:
+        return np.zeros(0, dtype=np.int32)
+    P = len(refs)
+    L = max(pad_to, max(max(len(r) for r in refs),
+                        max(len(d) for d in reads)))
+    if smax is None:
+        smax = max(64, L // 2)
+    Ppad = 32
+    while Ppad < P:
+        Ppad *= 2
+    a = np.zeros((Ppad, L), dtype=np.uint8)
+    b = np.zeros((Ppad, L), dtype=np.uint8)
+    la = np.zeros(Ppad, dtype=np.int32)
+    lb = np.zeros(Ppad, dtype=np.int32)
+    for i, (r, d) in enumerate(zip(refs, reads)):
+        a[i, :len(r)] = np.frombuffer(r, dtype=np.uint8)
+        b[i, :len(d)] = np.frombuffer(d, dtype=np.uint8)
+        la[i], lb[i] = len(r), len(d)
+    pen = wfa_affine_tb_batch(a, b, la, lb, n1=L, n2=L, smax=smax,
+                              x=x, o=o, e=e, wildcards=True)[0]
+    return np.asarray(pen)[:P]
 
 
 # --- host helpers ------------------------------------------------------------

@@ -38,7 +38,14 @@ def main(argv=None) -> int:
     p_align.add_argument("--aligner", default="wfa",
                          choices=["wfa", "degenerate", "inversion"],
                          help="accepted for CLI compatibility (the reference "
-                              "engine ignores it too)")
+                              "engine ignores it too); see --engine for the "
+                              "honored engine switch")
+    p_align.add_argument("--engine", default="auto",
+                         choices=["auto", "dp", "wfa"],
+                         help="alignment engine: dp = exact 3-plane affine DP "
+                              "(reference parity), wfa = wavefront engine "
+                              "(O(ns), fastest at low divergence). auto = "
+                              "wfa for --mode hifi, dp otherwise")
     p_align.add_argument("--batch-size", type=int, default=256)
     p_align.add_argument("--single-ref-native", action="store_true",
                          help="use native affine scoring on single-reference "
@@ -100,6 +107,7 @@ def main(argv=None) -> int:
             single_ref_native=args.single_ref_native,
             mode=args.mode,
             router=args.router,
+            engine=None if args.engine == "auto" else args.engine,
             metrics_path=args.metrics,
             profile_dir=args.profile_dir,
         )

@@ -1,0 +1,180 @@
+"""The WFA engine as a product path: `align_reads(engine="wfa")` must
+produce the same extracted tags and gap-stripped sequences as the exact-DP
+path, and the full chain through collapse must agree (VERDICT r1 item 3:
+WFA promoted from ornament to engine; WFA2-lib component parity SURVEY
+2.9)."""
+
+import gzip
+
+import numpy as np
+
+from clique_tpu.align.pipeline import align_reads
+from clique_tpu.collapse.pipeline import collapse
+from clique_tpu.config.layout import SequenceLayout
+from clique_tpu.io.sam import BamReader
+from clique_tpu.reference.manager import ReferenceManager
+
+RNG = np.random.default_rng(31337)
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+A5 = "TTCAGACGTGTGCTCTTCCGATCT"
+A3 = "AGATCGGAAGAGCACACGTCTGAA"
+TARGET = "GGCACTGCGGCTGGAGGTGG"
+
+
+def rand_seq(n):
+    return RNG.choice(BASES, size=n).tobytes().decode()
+
+
+def build_dataset(tmp_path, n_umis=3, reads_per=4, mutate=True):
+    layout_path = tmp_path / "layout.yaml"
+    layout_path.write_text(f"""
+known_strand: true
+reads:
+  - !Read1
+    orientation: Forward
+references:
+  amp1:
+    sequence: "{A5}{'0' * 12}{TARGET}{A3}"
+    targets: ["{TARGET}"]
+    target_types: ["Cas9WT"]
+    umi_configurations:
+      umi:
+        symbol: '0'
+        sort_type: "DegenerateTag"
+        length: 12
+        order: 0
+        max_distance: 2
+""")
+    fq = tmp_path / "reads.fastq.gz"
+    idx = 0
+    with gzip.open(fq, "wt") as fh:
+        for _u in range(n_umis):
+            umi = rand_seq(12)
+            for k in range(reads_per):
+                read = A5 + umi + TARGET + A3
+                if mutate and k == reads_per - 1:
+                    # a substitution outside the UMI zone
+                    pos = len(A5) + 14
+                    ch = "T" if read[pos] != "T" else "G"
+                    read = read[:pos] + ch + read[pos + 1:]
+                fh.write(f"@r{idx}\n{read}\n+\n{'I' * len(read)}\n")
+                idx += 1
+    layout = SequenceLayout.from_yaml(str(layout_path))
+    return layout, str(fq)
+
+
+def read_bam(path):
+    with BamReader(path) as reader:
+        return list(reader)
+
+
+def test_wfa_engine_matches_dp_tags(tmp_path):
+    layout, fq = build_dataset(tmp_path)
+    rm = ReferenceManager.from_layout(layout)
+
+    dp_bam = tmp_path / "dp.bam"
+    align_reads(layout, rm, str(dp_bam), read1=fq, batch_size=8,
+                engine="dp")
+    wfa_bam = tmp_path / "wfa.bam"
+    align_reads(layout, rm, str(wfa_bam), read1=fq, batch_size=8,
+                engine="wfa")
+
+    dp = {r.name: r for r in read_bam(str(dp_bam))}
+    wfa = {r.name: r for r in read_bam(str(wfa_bam))}
+    assert set(dp) == set(wfa) and dp
+    for name in dp:
+        assert wfa[name].seq == dp[name].seq
+        assert wfa[name].tags["e0"] == dp[name].tags["e0"], name
+        # WFA path reports negated penalties; must be <= 0 and present
+        assert float(wfa[name].tags["as"]) <= 0
+
+
+def test_wfa_engine_full_chain_collapse(tmp_path):
+    layout, fq = build_dataset(tmp_path)
+    rm = ReferenceManager.from_layout(layout)
+    aligned = tmp_path / "a.bam"
+    align_reads(layout, rm, str(aligned), read1=fq, batch_size=8,
+                engine="wfa")
+    collapsed = tmp_path / "c.bam"
+    collapse(str(collapsed), layout, str(aligned))
+    records = read_bam(str(collapsed))
+    assert len(records) == 3          # one consensus per UMI group
+    for rec in records:
+        assert int(rec.tags["rc"]) == 4
+
+
+def test_hifi_mode_defaults_to_wfa(tmp_path):
+    layout, fq = build_dataset(tmp_path, n_umis=1, reads_per=2,
+                               mutate=False)
+    rm = ReferenceManager.from_layout(layout)
+    out = tmp_path / "hifi.bam"
+    metrics = tmp_path / "m.json"
+    align_reads(layout, rm, str(out), read1=fq, batch_size=8, mode="hifi",
+                metrics_path=str(metrics))
+    import json
+
+    m = json.loads(metrics.read_text())
+    assert m["engine"] == "wfa"
+    assert m["aligned"] == 2
+
+
+def test_wfa_engine_multi_reference_routing(tmp_path):
+    """WFA screen + winner traceback must route each read to its true
+    reference in an exhaustive search (two similar amplicons so the kmer
+    vote is ambiguous and the exhaustive path engages)."""
+    seq1 = A5 + "0" * 12 + TARGET + A3
+    # second amplicon differs by a small internal block only
+    seq2 = A5 + "0" * 12 + TARGET[:8] + "TTTTT" + TARGET[13:] + A3
+    layout_path = tmp_path / "layout.yaml"
+    umi_block = """
+    umi_configurations:
+      umi:
+        symbol: '0'
+        sort_type: "DegenerateTag"
+        length: 12
+        order: 0
+        max_distance: 2"""
+    layout_path.write_text(f"""
+known_strand: true
+reads:
+  - !Read1
+    orientation: Forward
+references:
+  amp1:
+    sequence: "{seq1}"{umi_block}
+  amp2:
+    sequence: "{seq2}"{umi_block}
+""")
+    fq = tmp_path / "reads.fastq.gz"
+    with gzip.open(fq, "wt") as fh:
+        for i, template in enumerate([seq1, seq2] * 4):
+            read = template.replace("0" * 12, rand_seq(12))
+            fh.write(f"@t{i % 2}_{i}\n{read}\n+\n{'I' * len(read)}\n")
+    layout = SequenceLayout.from_yaml(str(layout_path))
+    rm = ReferenceManager.from_layout(layout)
+    out = tmp_path / "multi.bam"
+    align_reads(layout, rm, str(out), read1=fq, batch_size=8,
+                engine="wfa")
+    for rec in read_bam(str(out)):
+        expect = "amp1" if rec.name.startswith("t0") else "amp2"
+        assert rec.reference_name == expect, (rec.name, rec.reference_name)
+
+
+def test_wfa_engine_high_divergence_falls_back(tmp_path):
+    """A read far beyond the WFA score cap must still align (exact-DP
+    fallback), not drop."""
+    layout, fq = build_dataset(tmp_path, n_umis=1, reads_per=1,
+                               mutate=False)
+    # append a garbage read: random sequence of the same length
+    ref_len = len(A5) + 12 + len(TARGET) + len(A3)
+    with gzip.open(fq, "at") as fh:
+        garbage = rand_seq(ref_len)
+        fh.write(f"@garbage\n{garbage}\n+\n{'I' * ref_len}\n")
+    rm = ReferenceManager.from_layout(layout)
+    out = tmp_path / "o.bam"
+    stats = align_reads(layout, rm, str(out), read1=fq, batch_size=8,
+                        engine="wfa")
+    assert stats.aligned == 2
+    names = {r.name for r in read_bam(str(out))}
+    assert "garbage" in names
