@@ -61,6 +61,23 @@ class BatchAlignment(NamedTuple):
     #                        this instead of `ops` on slow transfer links
 
 
+class LocalBatchAlignment(NamedTuple):
+    """Waterman-Eggert local alignment batch result: ops cover only the
+    local segment; (ref_start, read_start) .. (ref_end, read_end) are the
+    matrix coordinates of the walked path (start = where the walk stopped,
+    end = the 3D argmax cell, alignment_matrix.rs:868-899)."""
+
+    score: jax.Array       # [B] f32
+    start_z: jax.Array     # [B] i32 starting plane at the argmax cell
+    ops: jax.Array         # [B, T] uint8
+    n_ops: jax.Array       # [B] i32
+    ops_packed: jax.Array  # [B, ceil(T/4)] uint8
+    ref_start: jax.Array   # [B] i32
+    read_start: jax.Array  # [B] i32
+    ref_end: jax.Array     # [B] i32
+    read_end: jax.Array    # [B] i32
+
+
 def _three_way_max(up, left, diag):
     """Vectorized three_way_max_and_direction (alignment_matrix.rs:671-683):
     up on strict >, then left on strict >, else diag (ties -> diag)."""
@@ -71,6 +88,18 @@ def _three_way_max(up, left, diag):
     return val, direction
 
 
+def _max_last3(up, left, diag, dir_up, dir_left, dir_diag):
+    """Rust `Iterator::max_by` keep-LAST semantics over an ordered candidate
+    list [up, left, diag]: diag wins ties against everything, left against
+    up (the inversion-aware fill's tie order, alignment_matrix.rs:469-560
+    via inversion.py _max_last)."""
+    val = jnp.maximum(jnp.maximum(up, left), diag)
+    direction = jnp.where(
+        diag >= jnp.maximum(up, left), dir_diag,
+        jnp.where(left >= up, dir_left, dir_up)).astype(jnp.uint8)
+    return val, direction
+
+
 def _shift_down(arr):
     """[B, X] -> value at index x-1 (x axis), zero-filled at x=0."""
     return jnp.pad(arr[:, :-1], ((0, 0), (1, 0)))
@@ -78,7 +107,8 @@ def _shift_down(arr):
 
 @functools.partial(jax.jit, static_argnames=("n1", "n2", "local",
                                              "special_mode", "use_pallas",
-                                             "return_traceback"))
+                                             "return_traceback",
+                                             "tie_order"))
 def align_batch_device(
     refs: jax.Array,
     reads: jax.Array,
@@ -94,6 +124,7 @@ def align_batch_device(
     use_pallas: bool = False,
     return_traceback: bool = True,
     band_centers: Optional[jax.Array] = None,
+    tie_order: str = "ref",
 ):
     """Full device alignment: fill + corner extraction + traceback walk.
 
@@ -155,7 +186,10 @@ def align_batch_device(
         return res, tb_b
 
     def step(carry, d):
-        prev, prev2, corner, win = carry
+        if local:
+            prev, prev2, corner, win, best = carry
+        else:
+            prev, prev2, corner, win = carry
         pm, pp1, pp2 = prev
         p2m, p2p1, p2p2 = prev2
 
@@ -172,6 +206,10 @@ def align_batch_device(
             # rust-bio-compat rule (alignment_functions.rs:55): only a
             # reference-side N scores as a guaranteed match
             special = rx == 78
+        elif special_mode == "none":
+            # InversionScoring has no wildcard rule (scoring_functions.rs
+            # :133-135)
+            special = jnp.zeros_like(rx, bool)
         else:
             special = (rx == 78) | (ry == 78) | (rx < 58) | (ry < 58)
         ms = jnp.where(special, sp_s, jnp.where(rx == ry, m_s, mm_s))
@@ -191,11 +229,25 @@ def align_batch_device(
             mm_val = jnp.maximum(jnp.maximum(f32(0.0), p2m_s + ms), ms)
         else:
             mm_val = p2m_s + ms
-        m_val, m_dir = _three_way_max(p2p1_s + ms, p2p2_s + ms, mm_val)
-        if local:
+        if tie_order == "last":
+            # inversion-aware fill semantics (update_inversion_alignment,
+            # alignment_matrix.rs:469-560): Rust max_by keeps the LAST
+            # maximal candidate; the m-plane's mm term is floored at
+            # MAX_NEG_SCORE by the placeholder candidate
+            if not local:
+                mm_val = jnp.maximum(mm_val, neg)
+            m_val, m_dir = _max_last3(
+                mm_val, p2p1_s + ms, p2p2_s + ms, DIAG, UP, LEFT)
+            d_val, d_dir = _max_last3(
+                pp1_s + lge, pp2_s + x1, pm_s + x1, UP, LEFT, DIAG)
+            i_val, i_dir = _max_last3(
+                pp1 + x1, pp2 + lge, pm + x1, UP, LEFT, DIAG)
+        elif local:
+            m_val, m_dir = _three_way_max(p2p1_s + ms, p2p2_s + ms, mm_val)
             d_val, d_dir = _three_way_max(pp1_s + ge, pp2_s + x1, pm_s + x1)
             i_val, i_dir = _three_way_max(pp1 + x1, pp2 + ge, pm + x1)
         else:
+            m_val, m_dir = _three_way_max(p2p1_s + ms, p2p2_s + ms, mm_val)
             d_val, d_dir = _three_way_max(pp1_s + lge, pp2_s + x1, pm_s + x1)
             i_val, i_dir = _three_way_max(pp1 + x1, pp2 + lge, pm + x1)
 
@@ -241,9 +293,52 @@ def align_batch_device(
              for v in (m_out, p1_out, p2_out)], axis=-1)            # [B, 3]
         corner = jnp.where(on_corner_diag[:, None], corner_col, corner)
 
-        return ((m_out, p1_out, p2_out), prev, corner, win), tb_byte
+        if not local:
+            return ((m_out, p1_out, p2_out), prev, corner, win), tb_byte
+
+        # --- Waterman-Eggert machinery (local mode only) ------------------
+        # per-plane zero flags: the walk stops at value-0.0 cells
+        # (perform_3d_global_traceback :955 `scores != 0.0` condition);
+        # dyadic scoring makes f32 == 0.0 decision-identical to f64
+        z_byte = ((m_out == 0.0).astype(jnp.uint8)
+                  | ((p1_out == 0.0).astype(jnp.uint8) << 1)
+                  | ((p2_out == 0.0).astype(jnp.uint8) << 2))
+        # running 3D argmax with the find_max_value_3d_array tie rules
+        # (:868-899): strictly-greater replaces; ties prefer smaller x+y
+        # (= earlier diagonal, so never replace on equal) then smaller x
+        # (= first maximum within the diagonal, lanes scan x ascending)
+        best_val, best_x, best_d, best_col = best
+        far_neg = f32(2.0 * MAX_NEG_SCORE)
+        validc = (x <= l1) & (y >= 0) & (y <= l2)
+        cell = jnp.maximum(m_out, jnp.maximum(p1_out, p2_out))
+        cell = jnp.where(validc, cell, far_neg)
+        lane_best = jnp.argmax(cell, axis=1).astype(jnp.int32)
+        onehot = xs[None, :] == lane_best[:, None]
+        dmax = jnp.sum(jnp.where(onehot, cell, 0.0), axis=1)
+        dcol = jnp.stack(
+            [jnp.sum(jnp.where(onehot, v, 0.0), axis=1)
+             for v in (m_out, p1_out, p2_out)], axis=-1)
+        replace = dmax > best_val
+        best = (jnp.where(replace, dmax, best_val),
+                jnp.where(replace, lane_best, best_x),
+                jnp.where(replace, d, best_d),
+                jnp.where(replace[:, None], dcol, best_col))
+        return ((m_out, p1_out, p2_out), prev, corner, win, best), \
+            (tb_byte, z_byte)
 
     zeros = jnp.zeros((B, n1), dtype=f32)
+    if local:
+        init_best = (jnp.full((B,), 4.0 * MAX_NEG_SCORE, f32),
+                     jnp.zeros((B,), jnp.int32),
+                     jnp.zeros((B,), jnp.int32),
+                     jnp.zeros((B, 3), f32))
+        init = ((zeros, zeros, zeros), (zeros, zeros, zeros),
+                jnp.zeros((B, 3), dtype=f32),
+                jnp.zeros((B, n1), jnp.int32), init_best)
+        (_, _, _corner, _win, best), (tb, zflags) = jax.lax.scan(
+            step, init, jnp.arange(D, dtype=jnp.int32))
+        tb_b = jnp.transpose(tb, (1, 0, 2)) if return_traceback else None
+        return _finish_local(tb, zflags, best, n1=n1, n2=n2), tb_b
     init = ((zeros, zeros, zeros), (zeros, zeros, zeros),
             jnp.zeros((B, 3), dtype=f32), jnp.zeros((B, n1), jnp.int32))
     (_, _, corner, _win), tb = jax.lax.scan(
@@ -317,6 +412,51 @@ def _finish_from_traceback(tb, tb_b, corner, ref_lens, read_lens,
     _, ops_desc = jax.lax.scan(walk_step, init_walk, tb, reverse=True)
     ops_d = jnp.transpose(ops_desc, (1, 0))            # [B, D], fwd order
     return _ops_epilogue(ops_d, score, z0, n1=n1, n2=n2), tb_b
+
+
+def _finish_local(tb, zflags, best, *, n1: int, n2: int):
+    """Local-mode epilogue: walk from the Waterman-Eggert argmax cell,
+    stopping at a border or a value-0.0 cell (perform_3d_global_traceback
+    :941-986 local branch; no trailing D/I runs). tb/zflags are
+    diagonal-major [D, B, n1]; best = (val, x, d, col[B,3])."""
+    best_val, best_x, best_d, best_col = best
+    B = tb.shape[1]
+    D = n1 + n2 - 1
+    best_y = best_d - best_x
+    z0, score = _corner_to_z0_score(best_col)
+    lane = jnp.arange(n1, dtype=jnp.int32)[None, :]
+
+    def walk_step(state, inputs):
+        tb_diag, z_diag = inputs
+        x, y, z, d, done = state
+        on_diag = (x + y == d) & jnp.logical_not(done)
+        in_core = (x > 0) & (y > 0)
+        zb = jnp.sum(
+            jnp.where(lane == x[:, None], z_diag.astype(jnp.int32), 0),
+            axis=1)
+        at_zero = ((zb >> z) & 1) == 1
+        emit = on_diag & in_core & jnp.logical_not(at_zero)
+        stop = on_diag & (jnp.logical_not(in_core) | at_zero)
+        op = jnp.where(emit, z.astype(jnp.uint8), jnp.uint8(OP_DONE))
+        byte = jnp.sum(
+            jnp.where(lane == x[:, None], tb_diag.astype(jnp.int32), 0),
+            axis=1)
+        direction = (byte >> (2 * z)) & 3
+        dx = jnp.where(emit, jnp.where(z == 2, 0, 1), 0)
+        dy = jnp.where(emit, jnp.where(z == 1, 0, 1), 0)
+        new_z = jnp.where(emit, direction, z)
+        return (x - dx, y - dy, new_z, d - 1, done | stop), op
+
+    init_walk = (best_x, best_y, z0, jnp.int32(D - 1),
+                 jnp.zeros((B,), bool))
+    (end_x, end_y, _z, _d, _done), ops_desc = jax.lax.scan(
+        walk_step, init_walk, (tb, zflags), reverse=True)
+    ops_d = jnp.transpose(ops_desc, (1, 0))
+    res = _ops_epilogue(ops_d, score, z0, n1=n1, n2=n2)
+    return LocalBatchAlignment(
+        score=res.score, start_z=res.start_z, ops=res.ops, n_ops=res.n_ops,
+        ops_packed=res.ops_packed, ref_start=end_x, read_start=end_y,
+        ref_end=best_x, read_end=best_y)
 
 
 def _corner_to_z0_score(corner):

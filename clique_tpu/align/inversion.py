@@ -245,6 +245,103 @@ def _traceback_with_inversions(mat: Matrices, inv_map, inv_moves,
     )
 
 
+def inversion_alignment_batch(reference, reads: List[bytes],
+                              reference_name: str, read_names: List[str],
+                              inv_scoring: InversionScoring,
+                              aff_scoring: AffineScoring
+                              ) -> List[AlignmentResult]:
+    """Batched inversion-aware alignment (global mode) - the TPU fast path
+    for `--find-inversions`-class workloads (VERDICT r1 item 6).
+
+    Phase 1 SCREENS the whole batch on device: one batched Waterman-Eggert
+    local alignment of reference vs revcomp(read) (align/batch.py local
+    mode). The reference engine stops hunting inversion blocks the moment
+    a local alignment's path drops below min_inversion_length
+    (alignment_matrix.rs:920-934 loop; inversion_alignment above), so a
+    read whose BEST local hit is already shorter than min_inversion_length
+    provably has no inversion blocks - its inversion-aware DP degenerates
+    to a plain global fill with InversionScoring and the keep-last tie
+    order, which phase 2 runs as one batched device fill
+    (tie_order="last"). Only screen-positive reads (rare in real data)
+    fall through to the exact host machinery with path zeroing and
+    secondary extraction."""
+    import jax.numpy as jnp
+
+    from clique_tpu.align import batch as dbatch
+
+    s1 = to_bytes(reference)
+    reads_b = [to_bytes(r) for r in reads]
+    B = len(reads_b)
+    if B == 0:
+        return []
+    rc_reads = [reverse_complement(r) for r in reads_b]
+
+    L1 = len(s1)
+    L2 = max(len(r) for r in reads_b)
+    refs_arr = np.tile(np.frombuffer(s1, dtype=np.uint8), (B, 1))
+    reads_arr = np.zeros((B, L2), dtype=np.uint8)
+    read_lens = np.zeros(B, dtype=np.int32)
+    for i, r in enumerate(rc_reads):
+        reads_arr[i, :len(r)] = np.frombuffer(r, dtype=np.uint8)
+        read_lens[i] = len(r)
+    ref_lens = np.full(B, L1, dtype=np.int32)
+    bw = np.maximum(ref_lens, read_lens)
+    params = dbatch.scoring_to_params(aff_scoring)
+
+    loc, _ = dbatch.align_batch_device(
+        refs_arr, reads_arr, ref_lens, read_lens, bw, params,
+        n1=L1 + 1, n2=L2 + 1, local=True, return_traceback=False)
+    n_ops = np.asarray(loc.n_ops)
+    screen_positive = n_ops >= inv_scoring.min_inversion_length
+
+    results: List[Optional[AlignmentResult]] = [None] * B
+
+    # phase 2: batched inversion-aware global fill for screen-negative
+    # reads (no hits -> plain keep-last global DP, InversionScoring)
+    negatives = [i for i in range(B) if not screen_positive[i]]
+    if negatives:
+        inv_params = np.array(
+            [inv_scoring.match_score, inv_scoring.mismatch_score, 0.0,
+             inv_scoring.gap_open, inv_scoring.gap_extend, 1.0],
+            dtype=np.float32)
+        fwd_arr = np.zeros((len(negatives), L2), dtype=np.uint8)
+        fl = np.zeros(len(negatives), dtype=np.int32)
+        for j, i in enumerate(negatives):
+            fwd_arr[j, :len(reads_b[i])] = np.frombuffer(
+                reads_b[i], dtype=np.uint8)
+            fl[j] = len(reads_b[i])
+        frl = np.full(len(negatives), L1, dtype=np.int32)
+        res, _ = dbatch.align_batch_device(
+            refs_arr[:len(negatives)], fwd_arr, frl, fl,
+            np.maximum(frl, fl), jnp.asarray(inv_params),
+            n1=L1 + 1, n2=L2 + 1, special_mode="none", tie_order="last",
+            return_traceback=False)
+        ops_np = np.asarray(res.ops)
+        n_np = np.asarray(res.n_ops)
+        scores = np.asarray(res.score)
+        for j, i in enumerate(negatives):
+            a1, a2, cigar = dbatch.ops_to_alignment(
+                ops_np[j], int(n_np[j]), s1, reads_b[i])
+            results[i] = AlignmentResult(
+                reference_name=reference_name,
+                read_name=read_names[i],
+                reference_aligned=a1,
+                read_aligned=a2,
+                read_quals=None,
+                cigar=cigar,
+                path=[],
+                score=float(scores[j]),
+            )
+
+    # phase 3: exact host machinery for screen positives
+    for i in range(B):
+        if screen_positive[i]:
+            results[i] = inversion_alignment(
+                s1, reads_b[i], reference_name, read_names[i],
+                inv_scoring, aff_scoring, local=False)
+    return results
+
+
 def inversion_alignment(reference, read, reference_name: str, read_name: str,
                         inv_scoring: InversionScoring,
                         aff_scoring: AffineScoring,
