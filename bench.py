@@ -162,6 +162,10 @@ def _supervised() -> None:
     import subprocess
 
     healthy_min = float(os.environ.get("CLIQUE_BENCH_HEALTHY_MIN", "2600"))
+    # kernel-code changes invalidate the persistent XLA cache; a cold run
+    # recompiles every big shape variant through the remote relay (minutes
+    # each), so the child budget must cover a full recompile set
+    child_timeout = float(os.environ.get("CLIQUE_BENCH_TIMEOUT", "900"))
     best = None
     for attempt in range(4):
         env = dict(os.environ, BENCH_CHILD="1")
@@ -176,7 +180,8 @@ def _supervised() -> None:
                 try:
                     proc = subprocess.run(
                         [sys.executable, os.path.abspath(__file__)],
-                        env=env, timeout=480, stdout=out_fh, stderr=efh)
+                        env=env, timeout=child_timeout, stdout=out_fh,
+                        stderr=efh)
                     rc = proc.returncode
                 except subprocess.TimeoutExpired:
                     # a timed-out child was killed mid-claim: the tunnel

@@ -83,6 +83,159 @@ def validate_cigar_string(reference: bytes, read: bytes,
     assert pos == len(reference)
 
 
+def plan_anchor_pieces(search_string: bytes, reference: bytes,
+                       overlaps: SharedSegments):
+    """Phase 1 of anchored alignment: walk the shared segments and emit the
+    piece plan without running any DP. Returns (pieces, subproblems) where
+    subproblems = [(ref_slice, read_slice)] to be aligned (batchable), and
+    pieces is the stitch order: ('sub', j) for subproblem j,
+    ('match', ref_slice, read_slice) for tiny equal-length gaps,
+    ('anchor', ref_slice, read_slice) for exact anchor runs,
+    ('del', ref_slice) for a trailing reference gap."""
+    pieces: List[Tuple] = []
+    subproblems: List[Tuple[bytes, bytes]] = []
+    read_last = 0
+    ref_last = 0
+    for seg in overlaps.alignment_segments:
+        assert read_last <= seg.search_start, "READ START FAILURE"
+        assert ref_last <= seg.ref_start, "REF START FAILURE"
+        read_slice = search_string[read_last:seg.search_start]
+        ref_slice = reference[ref_last:seg.ref_start]
+        if len(read_slice) < 5 and len(ref_slice) < 5 and \
+                len(read_slice) == len(ref_slice):
+            pieces.append(("match", ref_slice, read_slice))
+        else:
+            pieces.append(("sub", len(subproblems)))
+            subproblems.append((ref_slice, read_slice))
+        read_last += len(read_slice)
+        ref_last += len(ref_slice)
+        pieces.append((
+            "anchor", reference[seg.ref_start:seg.ref_start + seg.length],
+            search_string[seg.search_start:seg.search_start + seg.length]))
+        read_last += seg.length
+        ref_last += seg.length
+    if overlaps.alignment_segments:
+        last = overlaps.alignment_segments[-1]
+        read_stop = last.search_start + last.length
+        if read_stop < len(search_string):
+            pieces.append(("sub", len(subproblems)))
+            subproblems.append((reference[ref_last:],
+                                search_string[read_last:]))
+        elif ref_last < len(reference):
+            pieces.append(("del", reference[ref_last:]))
+    else:
+        pieces.append(("sub", len(subproblems)))
+        subproblems.append((reference, search_string))
+    return pieces, subproblems
+
+
+def stitch_anchor_pieces(pieces, sub_results,
+                         aff_scoring: AffineScoring
+                         ) -> Tuple[bytes, bytes, List[Tuple[int, str]],
+                                    float]:
+    """Phase 2: assemble aligned strings + CIGAR from the piece plan and
+    the solved subproblems ([(ref_aligned, read_aligned, cigar)] per
+    subproblem). Returns (ref_aligned, read_aligned, cigar, score) with
+    the same validation + rescoring as align_string_with_anchors."""
+    aln_ref = bytearray()
+    aln_read = bytearray()
+    cigar: List[Tuple[int, str]] = []
+    for piece in pieces:
+        kind = piece[0]
+        if kind == "sub":
+            ra, da, cg = sub_results[piece[1]]
+            aln_ref.extend(ra)
+            aln_read.extend(da)
+            cigar.extend(cg)
+        elif kind in ("match", "anchor"):
+            _k, ref_slice, read_slice = piece
+            aln_ref.extend(ref_slice)
+            aln_read.extend(read_slice)
+            if ref_slice:
+                cigar.append((len(ref_slice), "M"))
+        else:  # del
+            ref_slice = piece[1]
+            aln_ref.extend(ref_slice)
+            aln_read.extend(bytes([GAP]) * len(ref_slice))
+            cigar.append((len(ref_slice), "D"))
+    score = calculate_score_from_strings(bytes(aln_ref), bytes(aln_read),
+                                         aff_scoring)
+    validate_cigar_string(bytes(aln_ref), bytes(aln_read), cigar)
+    return (bytes(aln_ref), bytes(aln_read), simplify_cigar(cigar), score)
+
+
+class AnchoredBatchAligner:
+    """Batched seed-and-extend alignment for long reads (VERDICT r1 item
+    7; reference wiring alignment_functions.rs:260-321 ->
+    linked_alignment.rs:147-266).
+
+    Drop-in align_pairs(refs, reads): exact anchor segments are found on
+    host with the seed index; EVERY inter-anchor gap sub-DP across the
+    whole batch is batched through one inner BatchAligner pass (the small
+    gap problems bucket tightly, so a 10kb read costs a handful of 128^2
+    device tiles instead of one 10k^2 fill). Output is identical to
+    align_string_with_anchors with the same scoring (the device sub-DP is
+    bit-identical to the host golden)."""
+
+    def __init__(self, inner, scoring: AffineScoring, seed_size: int = 12):
+        from clique_tpu.reference.manager import SeedIndex
+
+        self.inner = inner
+        self.scoring = scoring
+        self.seed_size = seed_size
+        self._SeedIndex = SeedIndex
+        self._index_cache = {}
+        self.pairs_aligned = 0
+
+    def _index_for(self, ref: bytes):
+        idx = self._index_cache.get(ref)
+        if idx is None:
+            idx = self._SeedIndex(ref, self.seed_size)
+            self._index_cache[ref] = idx
+        return idx
+
+    def align_pairs(self, refs: List[bytes], reads: List[bytes],
+                    indexes: Optional[List] = None):
+        from clique_tpu.reference.manager import (
+            find_greedy_non_overlapping_segments,
+        )
+
+        plans = []
+        all_subs: List[Tuple[bytes, bytes]] = []
+        spans: List[Tuple[int, int]] = []
+        for i, (ref, read) in enumerate(zip(refs, reads)):
+            index = indexes[i] if indexes is not None else \
+                self._index_for(ref)
+            segs = find_greedy_non_overlapping_segments(read, ref, index)
+            pieces, subs = plan_anchor_pieces(read, ref, segs)
+            plans.append(pieces)
+            spans.append((len(all_subs), len(subs)))
+            all_subs.extend(subs)
+
+        outs = self.inner.align_pairs([s[0] for s in all_subs],
+                                      [s[1] for s in all_subs])
+        results = []
+        for pieces, (start, count) in zip(plans, spans):
+            subs = [(outs[start + j][0], outs[start + j][1],
+                     outs[start + j][2]) for j in range(count)]
+            results.append(stitch_anchor_pieces(pieces, subs, self.scoring))
+        self.pairs_aligned += len(refs)
+        return results
+
+    # metrics passthrough for align_reads' metrics block
+    @property
+    def device_seconds(self):
+        return self.inner.device_seconds
+
+    @property
+    def post_seconds(self):
+        return self.inner.post_seconds
+
+    @property
+    def cells_filled(self):
+        return self.inner.cells_filled
+
+
 def align_string_with_anchors(
         read_name: str, ref_name: str, search_string: bytes,
         reference: bytes, overlaps: SharedSegments,

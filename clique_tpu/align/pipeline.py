@@ -300,6 +300,7 @@ def align_reads(
     mode: str = "ont",
     router: str = "kmer",
     engine: Optional[str] = None,
+    anchored_min_length: int = 2048,
     metrics_path: Optional[str] = None,
     pipeline_threads: bool = True,
     profile_dir: Optional[str] = None,
@@ -310,6 +311,12 @@ def align_reads(
     preset, BASELINE config 2). router: "kmer" (unique-kmer vote, the
     reference's quick_alignment_search) or "hmm" (pair-HMM forward routing,
     the north-star multi-amplicon router).
+
+    anchored_min_length: reads at least this long (and passing the
+    max_reference_multiplier gate) route through the anchored
+    seed-and-extend path on the DP engine: exact anchors on host, the
+    inter-anchor sub-DPs batched on device (linked_alignment.rs:147-266
+    wiring the reference leaves unused; align/anchored.py).
 
     engine: "dp" (exact 3-plane affine DP - reference-parity default) or
     "wfa" (wavefront engine with traceback, align/wavefront.py). The
@@ -397,12 +404,39 @@ def align_reads(
     reader = ReadIterator(read1, read2, index1, index2)
     needs_align_merge = layout.merge == MergeStrategy.ALIGN
 
+    anchored_state: List = [None]
+
+    def _anchored_aligner():
+        if anchored_state[0] is None:
+            from clique_tpu.align.anchored import AnchoredBatchAligner
+
+            anchored_state[0] = AnchoredBatchAligner(
+                BatchAligner(scoring, batch_size), scoring)
+        return anchored_state[0]
+
     def flush(pending: List[_Pending]):
         if not pending:
             return
+        from clique_tpu.align.wavefront import WfaAligner
+
+        long_pending = []
+        if not isinstance(aligner, WfaAligner):
+            long_pending = [p for p in pending
+                            if len(p.seq) >= anchored_min_length]
+            if long_pending:
+                pending = [p for p in pending
+                           if len(p.seq) < anchored_min_length]
         refs = [rm.references[p.ref_id].sequence for p in pending]
         reads = [p.seq for p in pending]
         out = aligner.align_pairs(refs, reads)
+        if long_pending:
+            anchored = _anchored_aligner()
+            out = list(out) + anchored.align_pairs(
+                [rm.references[p.ref_id].sequence for p in long_pending],
+                [p.seq for p in long_pending],
+                indexes=[rm.references[p.ref_id].index
+                         for p in long_pending])
+            pending = list(pending) + long_pending
         batch_records = []
         for p, (a1, a2, cigar, score) in zip(pending, out):
             aligned = AlignedRead(
