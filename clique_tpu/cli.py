@@ -60,6 +60,19 @@ def main(argv=None) -> int:
                          help="write per-stage JSON metrics to this path")
     p_align.add_argument("--profile-dir", default=None,
                          help="capture a jax profiler trace into this dir")
+    p_align.add_argument("--kmer-size", type=int, default=8,
+                         help="reference routing kmer size (main.rs:271 "
+                              "hardcodes 8)")
+    p_align.add_argument("--kmer-spacing", type=int, default=4,
+                         help="reference routing kmer spacing (hardcoded 4 "
+                              "in the reference)")
+    p_align.add_argument("--quick-match-threshold", type=float, default=0.90,
+                         help="kmer-vote share above which a reference is "
+                              "picked without exhaustive search "
+                              "(alignment_functions.rs:613 hardcodes 0.90)")
+    p_align.add_argument("--anchored-min-length", type=int, default=2048,
+                         help="reads at least this long route through the "
+                              "anchored seed-and-extend path (DP engine)")
 
     p_collapse = sub.add_parser(
         "collapse", help="hierarchically sort, correct and collapse tags")
@@ -78,6 +91,22 @@ def main(argv=None) -> int:
     p_collapse.add_argument("--out-of-core", action="store_true",
                             help="stream reads through spill shards under "
                                  "--temp-dir instead of holding them in RAM")
+    p_collapse.add_argument("--min-aligned-bases", type=int, default=45,
+                            help="AlignmentCheck: minimum alignable columns "
+                                 "(collapse.rs:455-459 hardcodes 45)")
+    p_collapse.add_argument("--min-identity", type=float, default=0.8,
+                            help="AlignmentCheck: minimum identity over "
+                                 "alignable columns (hardcoded 0.8 in the "
+                                 "reference)")
+    p_collapse.add_argument("--gap-call-threshold", type=float, default=0.75,
+                            help="consensus gap-call fraction "
+                                 "(consensus_builders.rs:235 hardcodes 0.75)")
+    p_collapse.add_argument("--downsample-cap", type=int, default=40,
+                            help="consensus group downsample cap / dc tag "
+                                 "(collapse.rs:128 hardcodes 40)")
+    p_collapse.add_argument("--shards", type=int, default=None,
+                            help="spill shard count for the out-of-core "
+                                 "path (default: sized from the input)")
 
     p_call = sub.add_parser(
         "call", help="call editing events / lineage alleles from a tagged BAM")
@@ -96,7 +125,8 @@ def main(argv=None) -> int:
         from clique_tpu.reference.manager import ReferenceManager
 
         layout = SequenceLayout.from_yaml(args.read_structure)
-        rm = ReferenceManager.from_layout(layout, 8, 4)
+        rm = ReferenceManager.from_layout(layout, args.kmer_size,
+                                          args.kmer_spacing)
         stats = align_reads(
             layout, rm, args.output_bam_file,
             read1=args.read1, read2=args.read2,
@@ -108,6 +138,8 @@ def main(argv=None) -> int:
             mode=args.mode,
             router=args.router,
             engine=None if args.engine == "auto" else args.engine,
+            quick_match_threshold=args.quick_match_threshold,
+            anchored_min_length=args.anchored_min_length,
             metrics_path=args.metrics,
             profile_dir=args.profile_dir,
         )
@@ -128,6 +160,11 @@ def main(argv=None) -> int:
             checkpoint=args.checkpoint,
             out_of_core=args.out_of_core,
             n_workers=args.threads,
+            min_aligned_bases=args.min_aligned_bases,
+            min_identical=args.min_identity,
+            gap_call_threshold=args.gap_call_threshold,
+            downsample_cap=args.downsample_cap,
+            shards=args.shards,
         )
         return 0
 

@@ -169,7 +169,8 @@ class _RefIngest:
     """Per-reference ingestion state for the single-pass BAM scan."""
 
     def __init__(self, reference_name: str, rm: ReferenceManager,
-                 layout: SequenceLayout, spill=None):
+                 layout: SequenceLayout, spill=None,
+                 min_aligned_bases: int = 45, min_identical: float = 0.8):
         ref_id = rm.name_to_id[reference_name]
         self.name = reference_name
         self.sequence = rm.references[ref_id].sequence
@@ -179,6 +180,10 @@ class _RefIngest:
         self.spill = spill
         self.out: List[SortingRead] = []
         self.n_passing = 0
+        # AlignmentCheck knobs (collapse.rs:455-459 hardcodes 45/0.8;
+        # SURVEY section 5 asks for them lifted into config)
+        self.min_aligned_bases = min_aligned_bases
+        self.min_identical = min_identical
 
     def ingest(self, rec: SamRecord, stats: "CollapseStats") -> None:
         from clique_tpu.extract.extractor import extract_digit_tags_fast
@@ -217,13 +222,18 @@ class _RefIngest:
             unsorted_keys=deque(ordered),
         ))
         if self.spill is not None and len(self.out) >= 8192:
-            self.n_passing += _filter_chunk(self.out, stats, self.spill)
+            self.n_passing += _filter_chunk(self.out, stats, self.spill,
+                                            self.min_aligned_bases,
+                                            self.min_identical)
 
     def finish(self, stats: "CollapseStats") -> List[SortingRead]:
         if self.spill is not None:
-            self.n_passing += _filter_chunk(self.out, stats, self.spill)
+            self.n_passing += _filter_chunk(self.out, stats, self.spill,
+                                            self.min_aligned_bases,
+                                            self.min_identical)
             return []
-        keep = alignment_check_batch(self.out)
+        keep = alignment_check_batch(self.out, self.min_aligned_bases,
+                                     self.min_identical)
         passing = [r for r, k in zip(self.out, keep) if k]
         stats.passing += len(passing)
         stats.failed_filters += len(self.out) - len(passing)
@@ -271,8 +281,9 @@ def read_sorting_reads_from_bam(input_bam: str, reference_name: str,
 
 
 def _filter_chunk(out: List[SortingRead], stats: CollapseStats,
-                  spill) -> int:
-    keep = alignment_check_batch(out)
+                  spill, min_aligned_bases: int = 45,
+                  min_identical: float = 0.8) -> int:
+    keep = alignment_check_batch(out, min_aligned_bases, min_identical)
     n_pass = 0
     for r, k in zip(out, keep):
         if k:
@@ -739,7 +750,11 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
              metrics_path: Optional[str] = None,
              checkpoint: bool = False,
              out_of_core: bool = False,
-             n_workers: int = 1) -> CollapseStats:
+             n_workers: int = 1,
+             min_aligned_bases: int = 45,
+             min_identical: float = 0.8,
+             gap_call_threshold: float = 0.75,
+             shards: Optional[int] = None) -> CollapseStats:
     """The `clique collapse` equivalent (collapse.rs:70-141).
 
     n_workers > 1 runs the host-parallel in-RAM path (collapse/workers.py):
@@ -783,7 +798,10 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
             return collapse_parallel(
                 output_path, layout, input_bam, temp_dir=temp_dir,
                 correct_only=correct_only, downsample_cap=downsample_cap,
-                metrics_path=metrics_path, n_workers=n_workers)
+                metrics_path=metrics_path, n_workers=n_workers,
+                min_aligned_bases=min_aligned_bases,
+                min_identical=min_identical,
+                gap_call_threshold=gap_call_threshold)
         log.info("n_workers=%d requested but the out-of-core path is "
                  "required; running single-process", n_workers)
         out_of_core = True
@@ -820,13 +838,14 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
             out_of_core = True
 
     spill_root = None
-    n_shards = 32
+    n_shards = shards or 32
     if out_of_core:
         spill_root = tempfile.mkdtemp(prefix="clique_spill.", dir=temp_dir)
         # final consensus grouping materializes one shard at a time
         # (iter_sorted_groups); size shards so ~4x-expanded records stay
         # around <=256MB resident per shard
-        n_shards = max(32, int(4 * bam_bytes / (256 << 20)) + 1)
+        if shards is None:
+            n_shards = max(32, int(4 * bam_bytes / (256 << 20)) + 1)
 
     # ONE streaming pass over the input BAM routes every record to its
     # reference's ingestion state (the reference re-queries the indexed
@@ -844,7 +863,10 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
             sw = ShardWriter(level_dir, n_shards=n_shards)
             spill_dirs[ref.name] = level_dir
             spill_writers.append(sw)
-        ingests[ref.name] = _RefIngest(ref.name, rm, layout, spill=sw)
+        ingests[ref.name] = _RefIngest(
+            ref.name, rm, layout, spill=sw,
+            min_aligned_bases=min_aligned_bases,
+            min_identical=min_identical)
     log.info("processing reads from input BAM file: %s "
              "(%d references, single pass)", input_bam, len(ingests))
     t_ingest = time.time()
@@ -878,7 +900,8 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
                 level_dir = next_dir
             t_out = time.time()
             written = write_outputs_spill(level_dir, writer, rm,
-                                          correct_only, downsample_cap)
+                                          correct_only, downsample_cap,
+                                          gap_call_threshold)
             outputs_seconds[0] += time.time() - t_out
             shutil.rmtree(level_dir)
             ref_metrics["output_records"] = written
@@ -918,7 +941,7 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
                     _checkpoint_path(temp_dir, ref.name, lvl + 1), reads)
         t_out = time.time()
         written = write_outputs(reads, writer, rm, correct_only,
-                                downsample_cap)
+                                downsample_cap, gap_call_threshold)
         outputs_seconds[0] += time.time() - t_out
         ref_metrics["output_records"] = written
         metrics["references"][ref.name] = ref_metrics

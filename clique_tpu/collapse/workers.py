@@ -126,7 +126,8 @@ def ingest_chunk_reads_task(args) -> Tuple[bytes, Tuple[int, ...]]:
     (name, tags, blob pointer), so the pipe back to the main process
     carries ~10x less. Correction levels only need the light fields;
     consensus workers rehydrate from the blob files."""
-    (chunk, references, layout_blob, blob_path) = args
+    (chunk, references, layout_blob, blob_path, min_aligned_bases,
+     min_identical) = args
     from clique_tpu.collapse.pipeline import CollapseStats, _RefIngest
     from clique_tpu.io.sam import decode_record_stream
     from clique_tpu.reference.manager import ReferenceManager
@@ -134,7 +135,9 @@ def ingest_chunk_reads_task(args) -> Tuple[bytes, Tuple[int, ...]]:
     layout = pickle.loads(layout_blob)
     rm = ReferenceManager.from_layout(layout)
     stats = CollapseStats()
-    ingests = {name: _RefIngest(name, rm, layout)
+    ingests = {name: _RefIngest(name, rm, layout,
+                                min_aligned_bases=min_aligned_bases,
+                                min_identical=min_identical)
                for name in layout.references}
     for rec in decode_record_stream(chunk, references, parse_tags=False):
         ing = ingests.get(rec.reference_name or "")
@@ -339,7 +342,8 @@ def parallel_ingest(pool, input_bam: str, layout, spill_root: str,
 
 
 def parallel_ingest_inram(pool, input_bam: str, layout, blob_dir: str,
-                          stats) -> Dict[str, List]:
+                          stats, min_aligned_bases: int = 45,
+                          min_identical: float = 0.8) -> Dict[str, List]:
     """Fan the BAM's record chunks over the pool; merge the returned
     per-reference passing reads (light records whose heavy payloads live
     in per-task blob files under blob_dir). stats is updated in place."""
@@ -349,7 +353,8 @@ def parallel_ingest_inram(pool, input_bam: str, layout, blob_dir: str,
     def tasks():
         for i, chunk in enumerate(chunks):
             yield (chunk, references, layout_blob,
-                   os.path.join(blob_dir, f"ingest{i:04d}.blob"))
+                   os.path.join(blob_dir, f"ingest{i:04d}.blob"),
+                   min_aligned_bases, min_identical)
 
     reads_by_ref: Dict[str, List] = {name: [] for name in layout.references}
     for blob, st in pool.imap_unordered(ingest_chunk_reads_task, tasks()):
@@ -397,7 +402,10 @@ def collapse_parallel(output_path: str, layout, input_bam: str,
                       correct_only: bool = False,
                       downsample_cap: int = 40,
                       metrics_path: Optional[str] = None,
-                      n_workers: Optional[int] = None):
+                      n_workers: Optional[int] = None,
+                      min_aligned_bases: int = 45,
+                      min_identical: float = 0.8,
+                      gap_call_threshold: float = 0.75):
     """Host-parallel in-RAM collapse: jax-free workers handle ingestion
     (BAM decode + alignment recovery + tag extraction + filters) and
     consensus/encoding; the main process keeps the device correction
@@ -439,8 +447,9 @@ def collapse_parallel(output_path: str, layout, input_bam: str,
                  "(%d references, %d workers)", input_bam,
                  len(rm.references), n_workers)
         t0 = time.time()
-        reads_by_ref = parallel_ingest_inram(pool, input_bam, layout,
-                                             blob_dir, stats)
+        reads_by_ref = parallel_ingest_inram(
+            pool, input_bam, layout, blob_dir, stats,
+            min_aligned_bases, min_identical)
         metrics["ingest_s"] = round(time.time() - t0, 3)
 
         t0 = time.time()
@@ -476,7 +485,7 @@ def collapse_parallel(output_path: str, layout, input_bam: str,
         t0 = time.time()
         written = parallel_outputs_groups(
             pool, all_groups, writer, ref_seqs, correct_only,
-            downsample_cap)
+            downsample_cap, gap_call_threshold)
         metrics["outputs_s"] = round(time.time() - t0, 3)
         metrics["output_records"] = written
         log.info("wrote %d records (%d workers)", written, n_workers)
