@@ -109,3 +109,29 @@ references:
         assert rec.seq == stripped
         assert rec.cigar_string == "".join(
             f"{c}{op}" for c, op in golden.cigar)
+
+
+def test_inversion_alignment_big_inversion_fixture():
+    """Transcription of linked_alignment.rs inversion_alignment_big_inversion
+    (:619-689, println-only in the reference): the ~3.3kb read whose 86bp
+    middle is an inverted block must route through anchored alignment with
+    inversion-aware gap sub-alignment and emit InversionOpen/Close markers.
+    Score and structure pinned as regression goldens for this build."""
+    from clique_tpu.align.scoring import InversionScoring
+
+    import os
+
+    data = os.path.join(os.path.dirname(__file__), "data")
+    ref = open(os.path.join(data, "big_inversion_ref.txt")).read().encode()
+    read = open(os.path.join(data, "big_inversion_read.txt")).read().encode()
+    aff = AffineScoring(10.0, -11.0, 8.0, -15.0, -5.0, 1.0)
+    inv = InversionScoring(10.0, -11.0, -15.0, -5.0, -2.0, 20)
+    idx = SeedIndex(ref, 20)
+    segs = find_greedy_non_overlapping_segments(read, ref, idx)
+    assert len(segs.alignment_segments) == 2
+    assert segs.total_length() == 3238
+    res = align_string_with_anchors("read", "ref", read, ref, segs, inv, aff)
+    ops = [op for _c, op in res.cigar]
+    assert "<" in ops and ">" in ops      # inversion block spliced
+    assert res.score == -16624.0
+    assert len(res.reference_aligned) == len(res.read_aligned)

@@ -70,3 +70,24 @@ def test_known_list_10x_barcodes():
     out2 = correct_known_hamming({mutated: 1}, allow, 1, length)
     if mutated in out2:  # unique within radius
         assert out2[mutated] == allow[0]
+
+
+def test_known_list_10x_top100_unique_hits():
+    """Full transcription of known_list.rs test_real_known_set (:285-338):
+    every one of the first 100 allowlist barcodes corrects uniquely to
+    itself at Hamming distance 1, and the two fixture queries (one exact,
+    one with two substitutions at distance >1 from everything else) each
+    produce exactly one hit."""
+    from clique_tpu.collapse.distance import hamming_hits
+
+    with open(f"{DATA}/subset_barcode_list_500.txt", "rb") as fh:
+        allow = [l.strip() for l in fh if l.strip()]
+    top = allow[:100]
+    hits = hamming_hits(top, allow, max_distance=1)
+    for barcode, hit in zip(top, hits):
+        assert len(hit) == 1, (barcode, len(hit))
+        assert allow[hit[0]] == barcode
+
+    for query in (b"AAACCCAAGCAGATAA", b"TAACCCAAGCAGATAT"):
+        (qhits,) = hamming_hits([query], allow, max_distance=1)
+        assert len(qhits) == 1, (query, len(qhits))
