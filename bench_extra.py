@@ -1,0 +1,227 @@
+#!/usr/bin/env python
+"""Secondary benchmarks (BASELINE configs 2 and 4 + WFA kernel rates).
+
+Writes BENCH_SECONDARY.json next to this file:
+- hifi_align_reads_per_s: config 2 - PacBio-HiFi low-error preset, WFA
+  engine (the `--mode hifi` default path).
+- decoy_align_reads_per_s: config 4 - amplicon panel + background decoy
+  references (hg38-fragment stand-ins); reads route via kmer vote +
+  exhaustive search; decoy reads must land on decoy references.
+- wfa_cells_per_s / wfa_tb_cells_per_s: the B=256 x L=512 5%-divergence
+  wavefront microbench (score-only and with-traceback), reported as
+  DP-equivalent n*m cells/s (comparable to the 3-plane DP fill rate).
+
+One TPU process at a time on this box (CLAUDE.md); run this after
+bench.py, never concurrently.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+SCALE = float(os.environ.get("CLIQUE_BENCH_EXTRA_SCALE", "1"))
+
+
+def log(msg):
+    print(f"[bench_extra] {msg}", file=sys.stderr, flush=True)
+
+
+A5 = "TTCAGACGTGTGCTCTTCCGATCT"
+A3 = "AGATCGGAAGAGCACACGTCTGAA"
+
+
+def _amplicon(rng, bases, n_targets=10):
+    targets = [rng.choice(bases, 20).tobytes().decode() + "TGG"
+               for _ in range(n_targets)]
+    return f"{A5}{'0' * 16}{'1' * 12}{'GAAA'.join(targets)}{A3}", targets
+
+
+def _write_layout(path, refs):
+    with open(path, "w") as fh:
+        fh.write("known_strand: true\nreads:\n  - !Read1\n"
+                 "    orientation: Forward\nreferences:\n")
+        for name, seq, with_umis in refs:
+            fh.write(f"  {name}:\n    sequence: \"{seq}\"\n")
+            if with_umis:
+                fh.write(
+                    "    umi_configurations:\n"
+                    "      cell_id: {symbol: '0', sort_type: "
+                    "\"DegenerateTag\", length: 16, order: 0, "
+                    "max_distance: 2}\n"
+                    "      cell_umi: {symbol: '1', sort_type: "
+                    "\"DegenerateTag\", length: 12, order: 1, "
+                    "max_distance: 2}\n")
+
+
+def _make_reads(path, rng, bases, template: str, n_reads: int, sub_p: float,
+                start_idx: int = 0, mode: str = "w"):
+    base = np.frombuffer(template.encode(), dtype=np.uint8)
+    L = len(base)
+    wild = (base < 58) | (base == ord("N"))
+    with open(path, mode) as fh:
+        for i in range(n_reads):
+            read = base.copy()
+            read[wild] = rng.choice(bases, int(wild.sum()))
+            subs = rng.random(L) < sub_p
+            read[subs] = rng.choice(bases, int(subs.sum()))
+            fh.write(f"@e{start_idx + i}\n{read.tobytes().decode()}\n+\n"
+                     f"{'I' * L}\n")
+
+
+import numpy as np  # noqa: E402  (after docstring helpers for clarity)
+
+
+def bench_hifi(results):
+    """Config 2: HiFi low-error reads through the WFA engine."""
+    from clique_tpu.align.pipeline import align_reads
+    from clique_tpu.config.layout import SequenceLayout
+    from clique_tpu.reference.manager import ReferenceManager
+
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ref_seq, _targets = _amplicon(rng, bases)
+    n_reads = int(8000 * SCALE)
+    with tempfile.TemporaryDirectory() as tmp:
+        layout_path = os.path.join(tmp, "layout.yaml")
+        _write_layout(layout_path, [("amplicon1", ref_seq, True)])
+        fq = os.path.join(tmp, "reads.fastq")
+        _make_reads(fq, rng, bases, ref_seq.replace("0", "N")
+                    .replace("1", "N"), n_reads, 0.005)
+        layout = SequenceLayout.from_yaml(layout_path)
+        rm = ReferenceManager.from_layout(layout)
+        warm = os.path.join(tmp, "warm.fastq")
+        with open(fq) as src, open(warm, "w") as dst:
+            for _ in range(4 * 512):
+                dst.write(src.readline())
+        align_reads(layout, rm, os.path.join(tmp, "w.bam"), read1=warm,
+                    batch_size=512, mode="hifi")
+        t0 = time.time()
+        metrics = os.path.join(tmp, "m.json")
+        stats = align_reads(layout, rm, os.path.join(tmp, "o.bam"),
+                            read1=fq, batch_size=512, mode="hifi",
+                            metrics_path=metrics)
+        dt = time.time() - t0
+        with open(metrics) as fh:
+            m = json.load(fh)
+    assert m["engine"] == "wfa"
+    results["hifi_align_reads_per_s"] = round(stats.aligned / dt, 1)
+    results["hifi_wfa_dp_fallbacks"] = m["wfa_dp_fallbacks"]
+    log(f"hifi: {stats.aligned} reads in {dt:.1f}s -> "
+        f"{results['hifi_align_reads_per_s']} reads/s "
+        f"({m['wfa_dp_fallbacks']} DP fallbacks)")
+
+
+def bench_decoy(results):
+    """Config 4: background decoy subtraction = decoys as extra panel
+    references; reads from decoys must route away from the amplicon."""
+    from clique_tpu.align.pipeline import align_reads
+    from clique_tpu.config.layout import SequenceLayout
+    from clique_tpu.io.sam import BamReader
+    from clique_tpu.reference.manager import ReferenceManager
+
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ref_seq, _targets = _amplicon(rng, bases)
+    n_decoys = 8
+    decoys = [rng.choice(bases, len(ref_seq)).tobytes().decode()
+              for _ in range(n_decoys)]
+    n_amp, n_per_decoy = int(6000 * SCALE), max(4, int(250 * SCALE))
+    with tempfile.TemporaryDirectory() as tmp:
+        layout_path = os.path.join(tmp, "layout.yaml")
+        refs = [("amplicon1", ref_seq, True)] + [
+            (f"decoy{d}", decoys[d], False) for d in range(n_decoys)]
+        _write_layout(layout_path, refs)
+        fq = os.path.join(tmp, "reads.fastq")
+        _make_reads(fq, rng, bases, ref_seq.replace("0", "N")
+                    .replace("1", "N"), n_amp, 0.05)
+        for d in range(n_decoys):
+            _make_reads(fq, rng, bases, decoys[d], n_per_decoy, 0.05,
+                        start_idx=100000 + d * n_per_decoy, mode="a")
+        layout = SequenceLayout.from_yaml(layout_path)
+        rm = ReferenceManager.from_layout(layout)
+        warm = os.path.join(tmp, "warm.fastq")
+        with open(fq) as src, open(warm, "w") as dst:
+            for _ in range(4 * 512):
+                dst.write(src.readline())
+        align_reads(layout, rm, os.path.join(tmp, "w.bam"), read1=warm,
+                    batch_size=512)
+        t0 = time.time()
+        out_bam = os.path.join(tmp, "o.bam")
+        stats = align_reads(layout, rm, out_bam, read1=fq, batch_size=512)
+        dt = time.time() - t0
+        routed_decoy = routed_amp = 0
+        with BamReader(out_bam, parse_tags=False) as reader:
+            for rec in reader:
+                if int(rec.name[1:]) >= 100000:
+                    routed_decoy += rec.reference_name.startswith("decoy")
+                else:
+                    routed_amp += rec.reference_name == "amplicon1"
+    total = n_amp + n_decoys * n_per_decoy
+    results["decoy_align_reads_per_s"] = round(stats.aligned / dt, 1)
+    results["decoy_routing_accuracy"] = round(
+        (routed_decoy + routed_amp) / stats.aligned, 4)
+    log(f"decoy: {stats.aligned}/{total} reads in {dt:.1f}s -> "
+        f"{results['decoy_align_reads_per_s']} reads/s, routing acc "
+        f"{results['decoy_routing_accuracy']}")
+
+
+def bench_wfa(results):
+    """WFA kernel rates at B=256, L=512, 5% divergence (the round-1
+    configuration that died on device; VERDICT next-3 asks it stable)."""
+    from clique_tpu.align.wavefront import (
+        wfa_affine_batch,
+        wfa_affine_tb_batch,
+    )
+
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    B, L = (256 if SCALE >= 1 else 32), 512
+    refs = rng.choice(bases, (B, L)).astype(np.uint8)
+    reads = refs.copy()
+    subs = rng.random((B, L)) < 0.05
+    reads[subs] = rng.choice(bases, int(subs.sum()))
+    lens = np.full(B, L, dtype=np.int32)
+    smax = 192  # ~5% x 512 x penalty 4 = 102 expected; headroom 2x
+
+    for name, fn in (("wfa", wfa_affine_batch), ("wfa_tb",
+                                                 wfa_affine_tb_batch)):
+        out = fn(refs, reads, lens, lens, n1=L, n2=L, smax=smax)
+        scores = out[0] if isinstance(out, tuple) else out
+        np.asarray(scores)  # sync
+        t0 = time.time()
+        out = fn(refs, reads, lens, lens, n1=L, n2=L, smax=smax)
+        scores = np.asarray(out[0] if isinstance(out, tuple) else out)
+        dt = time.time() - t0
+        censored = int((scores > smax).sum())
+        cells = B * L * L
+        results[f"{name}_cells_per_s"] = round(cells / dt)
+        log(f"{name}: B={B} L={L} in {dt * 1e3:.0f}ms -> "
+            f"{cells / dt / 1e9:.1f} G dp-equiv cells/s "
+            f"({censored} censored)")
+
+
+def main():
+    from clique_tpu.utils.jaxcfg import enable_persistent_cache
+
+    enable_persistent_cache()
+    results = {}
+    for fn in (bench_wfa, bench_hifi, bench_decoy):
+        try:
+            fn(results)
+        except Exception as exc:  # keep partial results
+            log(f"{fn.__name__} FAILED: {exc!r}")
+            results[fn.__name__ + "_error"] = repr(exc)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "BENCH_SECONDARY.json")
+    with open(out, "w") as fh:
+        json.dump(results, fh, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
