@@ -359,3 +359,146 @@ def affine_align(seq1, seq2, scoring: AffineScoring, local: bool = False,
     mat = Matrices.create(len(s1) + 1, len(s2) + 1, local)
     fill_affine(mat, s1, s2, scoring, bandwidth)
     return traceback(mat, s1, s2, seq1_name, seq2_name, read_quality)
+
+
+def affine_align_fast(seq1, seq2, scoring: AffineScoring,
+                      seq1_name: str = "ref", seq2_name: str = "read",
+                      read_quality: Optional[bytes] = None
+                      ) -> AlignmentResult:
+    """Vectorized (numpy, jax-free) global affine_align: identical output
+    to affine_align(local=False, full band) - the anti-diagonal fill of
+    align/batch.py in f64 numpy, for host paths that cannot touch the
+    device (the soft-clip Realign recovery inside jax-free collapse
+    workers, extractor.rs:143-171). Property-tested against the golden in
+    tests/test_align_cpu.py."""
+    s1 = to_bytes(seq1)
+    s2 = to_bytes(seq2)
+    a1 = np.frombuffer(s1, dtype=np.uint8).astype(np.int32)
+    a2 = np.frombuffer(s2, dtype=np.uint8).astype(np.int32)
+    n1, n2 = len(s1) + 1, len(s2) + 1
+    D = n1 + n2 - 1
+    neg = MAX_NEG_SCORE
+    fgm = scoring.final_gap_multiplier
+    go, ge = scoring.gap_open, scoring.gap_extend
+    m_s, mm_s, sp_s = (scoring.match_score, scoring.mismatch_score,
+                       scoring.special_character_score)
+
+    xs = np.arange(n1, dtype=np.int64)
+    rx = np.concatenate(([0], a1))                       # ref byte per lane
+    special_x = (rx == 78) | ((rx < 58) & (rx > 0))
+
+    def three_way(up, left, diag):
+        up_wins = (up > left) & (up > diag)
+        left_wins = ~(up > left) & (left > diag)
+        val = np.where(up_wins, up, np.where(left_wins, left, diag))
+        d = np.where(up_wins, UP, np.where(left_wins, LEFT, DIAG))
+        return val, d.astype(np.uint8)
+
+    zeros = np.zeros(n1)
+    pm = pp1 = pp2 = zeros
+    p2m = p2p1 = p2p2 = zeros
+    tb = np.zeros((D, n1, 3), dtype=np.uint8)
+    corner = np.zeros(3)
+    win = np.zeros(n1, dtype=np.int32)
+
+    for d in range(D):
+        y = d - xs
+        # rolling read-byte window (systolic): lane x holds read[d-1-x]
+        new_byte = a2[min(max(d - 1, 0), n2 - 2)] if n2 > 1 else 0
+        win = np.concatenate(([new_byte], win[:-1]))
+        ry = win
+        special = special_x | (ry == 78) | ((ry < 58) & (ry > 0))
+        ms = np.where(special, sp_s,
+                      np.where(rx == ry, m_s, mm_s))
+
+        gm = np.where((xs == n1 - 1) | (y == n2 - 1), fgm, 1.0)
+        x1 = go + ge * gm
+        lge = ge * gm
+
+        def sh(v):
+            return np.concatenate(([0.0], v[:-1]))
+
+        m_val, m_dir = three_way(sh(p2p1) + ms, sh(p2p2) + ms,
+                                 sh(p2m) + ms)
+        d_val, d_dir = three_way(sh(pp1) + lge, sh(pp2) + x1, sh(pm) + x1)
+        i_val, i_dir = three_way(pp1 + x1, pp2 + lge, pm + x1)
+
+        interior = (xs >= 1) & (y >= 1) & (y < n2)
+        is_x_border = (xs == 0) & (y >= 1) & (y < n2)
+        is_y_border = (y == 0) & (xs >= 1)
+        is_origin = (xs == 0) & (y == 0)
+        xb = (go + y * ge) * fgm
+        yb = (go + xs * ge) * fgm
+        m_out = np.where(interior, m_val,
+                         np.where(is_origin, 0.0,
+                                  np.where(is_x_border | is_y_border,
+                                           neg, 0.0)))
+        p1_out = np.where(interior, d_val,
+                          np.where(is_x_border, xb,
+                                   np.where(is_y_border, yb,
+                                            np.where(is_origin, neg, 0.0))))
+        p2_out = np.where(interior, i_val,
+                          np.where(is_x_border, xb,
+                                   np.where(is_y_border, yb,
+                                            np.where(is_origin, neg, 0.0))))
+        tb[d, :, 0] = np.where(interior, m_dir, UP)
+        tb[d, :, 1] = np.where(interior, d_dir, UP)
+        tb[d, :, 2] = np.where(interior, i_dir, UP)
+        if d == n1 - 1 + n2 - 1:
+            corner[:] = (m_out[n1 - 1], p1_out[n1 - 1], p2_out[n1 - 1])
+        p2m, p2p1, p2p2 = pm, pp1, pp2
+        pm, pp1, pp2 = m_out, p1_out, p2_out
+
+    # starting plane: last max wins (Rust max_by)
+    z = 0
+    best = corner[0]
+    for zz in (1, 2):
+        if corner[zz] >= best:
+            best = corner[zz]
+            z = zz
+    score = float(best)
+
+    x, y = n1 - 1, n2 - 1
+    aln1 = bytearray()
+    aln2 = bytearray()
+    cigars: List[Tuple[int, str]] = []
+    path: List[Tuple[int, int]] = []
+    while x > 0 and y > 0:
+        path.append((x, y))
+        direction = int(tb[x + y, x, z])
+        if z == PLANE_M:
+            cigars.append((1, "M"))
+            aln1.append(s1[x - 1])
+            aln2.append(s2[y - 1])
+            x -= 1
+            y -= 1
+        elif z == PLANE_DEL:
+            cigars.append((1, "D"))
+            aln1.append(s1[x - 1])
+            aln2.append(GAP)
+            x -= 1
+        else:
+            cigars.append((1, "I"))
+            aln1.append(GAP)
+            aln2.append(s2[y - 1])
+            y -= 1
+        z = direction
+    while x > 0:
+        aln1.append(s1[x - 1])
+        aln2.append(GAP)
+        x -= 1
+        cigars.append((1, "D"))
+    while y > 0:
+        aln1.append(GAP)
+        aln2.append(s2[y - 1])
+        y -= 1
+        cigars.append((1, "I"))
+    aln1.reverse()
+    aln2.reverse()
+    path.reverse()
+    cigars.reverse()
+    return AlignmentResult(
+        reference_name=seq1_name, read_name=seq2_name,
+        reference_aligned=bytes(aln1), read_aligned=bytes(aln2),
+        read_quals=read_quality, cigar=simplify_cigar(cigars), path=path,
+        score=score, reference_start=0, read_start=0)

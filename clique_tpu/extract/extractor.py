@@ -15,7 +15,16 @@ from __future__ import annotations
 from collections import OrderedDict
 from typing import Dict, List, Optional, Tuple
 
-from clique_tpu.align.cpu import affine_align
+from clique_tpu.align.cpu import affine_align, affine_align_fast
+
+
+def _realign(ref_slice: bytes, read_slice: bytes, scoring):
+    """Soft-clip realignment dispatch: the vectorized exact twin wins past
+    ~60bp sides (anti-diagonal numpy loop overhead dominates below); both
+    produce identical output (tests/test_align_cpu.py)."""
+    if len(ref_slice) * len(read_slice) >= 3600:
+        return affine_align_fast(ref_slice, read_slice, scoring)
+    return affine_align(ref_slice, read_slice, scoring)
 from clique_tpu.align.scoring import AffineScoring
 from clique_tpu.config.layout import ReferenceRecord
 from clique_tpu.utils.seq import GAP, is_valid_fasta_base
@@ -311,7 +320,7 @@ def recover_aligned_sequences(
                 if idx == 0:
                     clipped_read = unaligned_read[:length]
                     clipped_ref = reference[:ref_pos]
-                    res = affine_align(clipped_ref, clipped_read, scoring)
+                    res = _realign(clipped_ref, clipped_read, scoring)
                     aligned_ref += res.reference_aligned
                     aligned_read += res.read_aligned
                     read_pos += length
@@ -319,7 +328,7 @@ def recover_aligned_sequences(
                     right = min(read_pos + length, len(unaligned_read))
                     clipped_read = unaligned_read[read_pos:right]
                     clipped_ref = reference[ref_pos:]
-                    res = affine_align(clipped_ref, clipped_read, scoring)
+                    res = _realign(clipped_ref, clipped_read, scoring)
                     aligned_ref += res.reference_aligned
                     aligned_read += res.read_aligned
                     read_pos += length

@@ -201,3 +201,53 @@ def test_simplify_cigar():
     assert simplify_cigar([(1, "M"), (1, "D"), (1, "D"), (1, "M")]) == \
         [(1, "M"), (2, "D"), (1, "M")]
     assert simplify_cigar([]) == []
+
+
+# --- vectorized host aligner (jax-free Realign path) ------------------------
+
+def test_affine_align_fast_matches_golden():
+    """affine_align_fast (numpy anti-diagonal) must equal affine_align
+    exactly - strings, cigar, score - across schemes incl. wildcards and
+    terminal-gap multipliers."""
+    import numpy as np
+
+    from clique_tpu.align.cpu import affine_align_fast
+    from clique_tpu.align.scoring import AffineScoring
+
+    rng = np.random.default_rng(606)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    schemes = [
+        AffineScoring.default_dna(),
+        AffineScoring.aligner_default(),
+        AffineScoring(10.0, -5.0, 8.0, -15.0, -1.0, 0.25),
+    ]
+    for trial in range(30):
+        sc = schemes[trial % len(schemes)]
+        la = int(rng.integers(1, 40))
+        lb = int(rng.integers(1, 40))
+        a = bytearray(rng.choice(bases, la).tobytes())
+        b = bytearray(rng.choice(bases, lb).tobytes())
+        if trial % 4 == 0 and la > 6:  # wildcard zone in the reference
+            a[2:5] = b"012"
+        if trial % 5 == 0:
+            a[0:1] = b"N"
+        a, b = bytes(a), bytes(b)
+        g = affine_align(a, b, sc)
+        f = affine_align_fast(a, b, sc)
+        assert f.reference_aligned == g.reference_aligned, (a, b)
+        assert f.read_aligned == g.read_aligned, (a, b)
+        assert f.cigar == g.cigar, (a, b)
+        assert f.score == g.score, (a, b)
+        assert f.path == g.path, (a, b)
+
+
+def test_affine_align_fast_empty_sides():
+    from clique_tpu.align.cpu import affine_align_fast
+    from clique_tpu.align.scoring import AffineScoring
+
+    sc = AffineScoring.default_dna()
+    for a, b in ((b"", b"ACGT"), (b"ACGT", b""), (b"", b"")):
+        g = affine_align(a, b, sc)
+        f = affine_align_fast(a, b, sc)
+        assert (f.reference_aligned, f.read_aligned, f.score) == \
+            (g.reference_aligned, g.read_aligned, g.score)
