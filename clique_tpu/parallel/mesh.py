@@ -35,6 +35,34 @@ def make_mesh(n_devices: int = None) -> Mesh:
     return Mesh(np.array(devices), axis_names=("data",))
 
 
+def length_sharded_align(mesh: Mesh, refs, reads, ref_lens, read_lens,
+                         params, *, n1: int, n2: int):
+    """Length-sharding of long DP problems (SURVEY 2.11 P6 / section 5):
+    ONE alignment too big for a chip runs with the DP's reference-lane
+    axis sharded across the mesh. The anti-diagonal fill's only cross-lane
+    communication is the one-lane systolic shift per diagonal
+    (align/batch.py `_shift_down` and the read-byte window), which XLA
+    SPMD lowers to a halo exchange (CollectivePermute) between
+    neighboring chips - the TPU analogue of splitting one wavefront
+    across cores. Batch axis replicated; results identical to the
+    single-device fill."""
+    data = NamedSharding(mesh, P(None, "data"))   # shard lanes, not batch
+    repl = NamedSharding(mesh, P())
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(data, repl, repl, repl, repl),
+        out_shardings=(repl, repl, repl),
+    )
+    def step(refs, reads, ref_lens, read_lens, params):
+        bw = jnp.maximum(ref_lens, read_lens)
+        result, _tb = align_batch_device(
+            refs, reads, ref_lens, read_lens, bw, params, n1=n1, n2=n2)
+        return result.score, result.ops, result.n_ops
+
+    return step(refs, reads, ref_lens, read_lens, params)
+
+
 def sharded_align_step(mesh: Mesh, refs, reads, ref_lens, read_lens, params,
                        *, n1: int, n2: int):
     """One data-parallel align step over the mesh: batches sharded over
