@@ -127,10 +127,14 @@ class BgzfWriter:
     def _flush_block(self, data: bytes) -> None:
         co = zlib.compressobj(6, zlib.DEFLATED, -15)
         cdata = co.compress(bytes(data)) + co.flush()
-        bsize = len(cdata) + 25 + 1  # header(18) + cdata + crc(4) + isize(4) - 1
+        # BSIZE field = total block length - 1 (SAM spec 4.1); total =
+        # header(18) + cdata + crc(4) + isize(4). Storing the full length
+        # here breaks htslib-style BSIZE-seeking readers (gzip-stream
+        # readers never notice).
+        bsize_m1 = len(cdata) + 26 - 1
         header = struct.pack(
             "<4BI2BH2B2H", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF, 6,
-            ord("B"), ord("C"), 2, bsize)
+            ord("B"), ord("C"), 2, bsize_m1)
         self._fh.write(header)
         self._fh.write(cdata)
         self._fh.write(struct.pack("<II", zlib.crc32(bytes(data)) & 0xFFFFFFFF,
@@ -449,6 +453,7 @@ class BamReader:
 
     def __init__(self, path: str, parse_tags: bool = True):
         self._parse_tags = parse_tags
+        self._path = path
         self._fh = gzip.open(path, "rb")
         magic = self._fh.read(4)
         assert magic == b"BAM\x01", f"not a BAM file: {path}"
@@ -502,6 +507,53 @@ class BamReader:
                     "malformed BAM record (header-claimed sizes inconsistent "
                     "with block size)")
             remainder = data[consumed:]
+
+    def fetch(self, reference_name: str, start: int = 0,
+              end: Optional[int] = None, bai_path: Optional[str] = None
+              ) -> Iterator[SamRecord]:
+        """Indexed region query through a .bai (write_bai/build_bai) -
+        the random-access pattern of the reference collapse input
+        (collapse.rs:437-491). Yields records overlapping
+        [start, end) 0-based on `reference_name`, in file order."""
+        ref_ids = {name: i for i, (name, _l) in enumerate(self.references)}
+        rid = ref_ids[reference_name]
+        if end is None:
+            end = self.references[rid][1]
+        bai_path = bai_path or self._path + ".bai"
+        bins_per_ref, linear_per_ref = read_bai(bai_path)
+        bins = bins_per_ref[rid]
+        linear = linear_per_ref[rid]
+        min_off = linear[start >> 14] if (start >> 14) < len(linear) else 0
+        chunks = []
+        for b in _reg2bins(start, end):
+            for beg, cend in bins.get(b, ()):
+                if cend > min_off:
+                    chunks.append((max(beg, min_off), cend))
+        chunks.sort()
+        merged: List[List[int]] = []
+        for beg, cend in chunks:
+            if merged and beg <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], cend)
+            else:
+                merged.append([beg, cend])
+
+        with open(self._path, "rb") as raw:
+            for vbeg, vend in merged:
+                for voff, body in _scan_records_raw(raw, vbeg, vend):
+                    (r_id, pos0, _ln, _mq, _bin, n_cigar,
+                     flag) = struct.unpack_from("<iiBBHHH", body)
+                    if r_id != rid or flag & 0x4:
+                        continue
+                    l_name = body[8]
+                    span = 0
+                    for ci in range(n_cigar):
+                        (cv,) = struct.unpack_from(
+                            "<I", body, 32 + l_name + 4 * ci)
+                        if (cv & 0xF) in (0, 2, 3, 7, 8):
+                            span += cv >> 4
+                    span = span or 1
+                    if pos0 < end and pos0 + span > start:
+                        yield self._parse(body)
 
     def _parse(self, body: bytes) -> SamRecord:
         return self._parse_body(body, self.references, self._parse_tags)
@@ -592,3 +644,220 @@ def open_alignment_writer(path: str, references: List[Tuple[str, int]]):
     if str(path).endswith(".bam"):
         return BamWriter(path, references)
     return SamWriter(path, references)
+
+
+# --- BAI index: reg2bins + reader-side fetch ----------------------------------
+
+def _scan_records_raw(raw, vbeg: int, vend: int
+                      ) -> Iterator[Tuple[int, bytes]]:
+    """Yield (voffset, record body) for records between virtual offsets
+    [vbeg, vend) by inflating BGZF blocks from vbeg's compressed offset."""
+    import bisect
+
+    raw.seek(vbeg >> 16)
+    buf = bytearray()
+    starts: List[int] = []
+    coffsets: List[int] = []
+
+    def inflate_next() -> bool:
+        coffset = raw.tell()
+        head = raw.read(18)
+        if len(head) < 18:
+            return False
+        xlen = struct.unpack_from("<H", head, 10)[0]
+        extra = head[12:18] + raw.read(max(0, xlen - 6))
+        bsize = None
+        off = 0
+        while off + 4 <= len(extra):
+            si1, si2, slen = struct.unpack_from("<BBH", extra, off)
+            if si1 == 66 and si2 == 67:
+                bsize = struct.unpack_from("<H", extra, off + 4)[0] + 1
+            off += 4 + slen
+        if bsize is None:
+            raise ValueError("not a BGZF block")
+        cdata = raw.read(bsize - 12 - xlen - 8)
+        raw.read(8)
+        starts.append(len(buf))
+        coffsets.append(coffset)
+        buf.extend(zlib.decompress(cdata, -15))
+        return True
+
+    def voffset_of(p: int) -> int:
+        i = bisect.bisect_right(starts, p) - 1
+        return (coffsets[i] << 16) | (p - starts[i])
+
+    p = vbeg & 0xFFFF
+    while True:
+        while len(buf) < p + 4:
+            if not inflate_next():
+                return
+        vcur = voffset_of(p)
+        if vcur >= vend:
+            return
+        (block_size,) = struct.unpack_from("<i", buf, p)
+        while len(buf) < p + 4 + block_size:
+            if not inflate_next():
+                return
+        yield vcur, bytes(buf[p + 4:p + 4 + block_size])
+        p += 4 + block_size
+
+def _reg2bins(beg: int, end: int) -> List[int]:
+    """All bins overlapping [beg, end) (SAM spec section 5.3)."""
+    out = [0]
+    end -= 1
+    for shift, base in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        out.extend(range(base + (beg >> shift), base + (end >> shift) + 1))
+    return out
+
+
+def read_bai(path: str):
+    """Parse a .bai -> (per-ref {bin: [(beg,end)]}, per-ref linear list)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    assert data[:4] == b"BAI\x01", "not a BAI file"
+    (n_ref,) = struct.unpack_from("<i", data, 4)
+    p = 8
+    bins_per_ref = []
+    linear_per_ref = []
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", data, p)
+        p += 4
+        bins: Dict[int, List[Tuple[int, int]]] = {}
+        for _b in range(n_bin):
+            b, n_chunk = struct.unpack_from("<Ii", data, p)
+            p += 8
+            chunks = []
+            for _c in range(n_chunk):
+                beg, end = struct.unpack_from("<QQ", data, p)
+                p += 16
+                chunks.append((beg, end))
+            bins[b] = chunks
+        (n_intv,) = struct.unpack_from("<i", data, p)
+        p += 4
+        linear = list(struct.unpack_from(f"<{n_intv}Q", data, p))
+        p += 8 * n_intv
+        bins_per_ref.append(bins)
+        linear_per_ref.append(linear)
+    return bins_per_ref, linear_per_ref
+
+
+# --- BAI index writer ---------------------------------------------------------
+
+def build_bai(bam_path: str) -> bytes:
+    """Build a .bai index for a (coordinate-ordered-per-reference) BAM in
+    one streaming pass - the index the reference pipeline requires on its
+    collapse inputs (collapse.rs:465 `bai::fs::read`). Works on any BAM
+    this package writes (python, C-codec, or worker-compressed blocks)
+    because it indexes the FILE, not the writer.
+
+    Binning + 16kb linear index per the SAM spec section 5.2; chunks are
+    (start, end) BGZF virtual offsets (coffset << 16 | uoffset)."""
+    blocks: List[Tuple[int, int, int]] = []  # (coffset, cum_start, isize)
+    data = bytearray()
+    with open(bam_path, "rb") as fh:
+        while True:
+            coffset = fh.tell()
+            head = fh.read(18)
+            if len(head) < 18:
+                break
+            xlen = struct.unpack_from("<H", head, 10)[0]
+            extra = head[12:12 + xlen] + fh.read(max(0, xlen - 6))
+            bsize = None
+            off = 0
+            while off + 4 <= len(extra):
+                si1, si2, slen = struct.unpack_from("<BBH", extra, off)
+                if si1 == 66 and si2 == 67:
+                    bsize = struct.unpack_from("<H", extra, off + 4)[0] + 1
+                off += 4 + slen
+            if bsize is None:
+                raise ValueError("not a BGZF block")
+            cdata = fh.read(bsize - len(head) - (len(extra) - xlen) - 8)
+            crc_isize = fh.read(8)
+            isize = struct.unpack("<I", crc_isize[4:])[0]
+            if isize:
+                blocks.append((coffset, len(data), isize))
+                data += zlib.decompress(cdata, -15)
+
+    def voffset(p: int) -> int:
+        """Decompressed position -> BGZF virtual offset."""
+        import bisect
+
+        i = bisect.bisect_right([b[1] for b in blocks], p) - 1
+        coffset, cum, _ = blocks[i]
+        return (coffset << 16) | (p - cum)
+
+    # skip header
+    assert data[:4] == b"BAM\x01"
+    p = 4
+    (l_text,) = struct.unpack_from("<i", data, p)
+    p += 4 + l_text
+    (n_ref,) = struct.unpack_from("<i", data, p)
+    p += 4
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", data, p)
+        p += 4 + l_name + 4
+
+    bins: List[Dict[int, List[Tuple[int, int]]]] = [dict() for _ in
+                                                    range(n_ref)]
+    linear: List[Dict[int, int]] = [dict() for _ in range(n_ref)]
+    n_unmapped = 0
+    while p + 4 <= len(data):
+        (block_size,) = struct.unpack_from("<i", data, p)
+        start_v = voffset(p)
+        end_v = voffset(p + 4 + block_size)
+        ref_id, pos0 = struct.unpack_from("<ii", data, p + 4)
+        l_name = data[p + 12]
+        n_cigar, flag = struct.unpack_from("<HH", data, p + 16)
+        if ref_id < 0 or flag & 0x4:
+            n_unmapped += 1
+            p += 4 + block_size
+            continue
+        cig_off = p + 4 + 32 + l_name
+        span = 0
+        for ci in range(n_cigar):
+            (cv,) = struct.unpack_from("<I", data, cig_off + 4 * ci)
+            if (cv & 0xF) in (0, 2, 3, 7, 8):  # M D N = X consume reference
+                span += cv >> 4
+        span = span or 1
+        b = _reg2bin(pos0, pos0 + span)
+        chunks = bins[ref_id].setdefault(b, [])
+        if chunks and chunks[-1][1] == start_v:
+            chunks[-1] = (chunks[-1][0], end_v)
+        else:
+            chunks.append((start_v, end_v))
+        for win in range(pos0 >> 14, (pos0 + span - 1 >> 14) + 1):
+            cur = linear[ref_id].get(win)
+            if cur is None or start_v < cur:
+                linear[ref_id][win] = start_v
+        p += 4 + block_size
+
+    out = bytearray(b"BAI\x01")
+    out += struct.pack("<i", n_ref)
+    for r in range(n_ref):
+        out += struct.pack("<i", len(bins[r]))
+        for b in sorted(bins[r]):
+            chunks = bins[r][b]
+            out += struct.pack("<Ii", b, len(chunks))
+            for beg, end in chunks:
+                out += struct.pack("<QQ", beg, end)
+        if linear[r]:
+            n_intv = max(linear[r]) + 1
+            out += struct.pack("<i", n_intv)
+            last = 0
+            for win in range(n_intv):
+                v = linear[r].get(win)
+                if v is not None:
+                    last = v
+                out += struct.pack("<Q", v if v is not None else last)
+        else:
+            out += struct.pack("<i", 0)
+    out += struct.pack("<Q", n_unmapped)
+    return bytes(out)
+
+
+def write_bai(bam_path: str, bai_path: Optional[str] = None) -> str:
+    bai_path = bai_path or bam_path + ".bai"
+    idx = build_bai(bam_path)
+    with open(bai_path, "wb") as fh:
+        fh.write(idx)
+    return bai_path
