@@ -76,9 +76,11 @@ def _extend(offsets, refs_i, reads_i, ks, l1, l2, valid):
 @functools.partial(jax.jit, static_argnames=("n1", "n2", "smax"))
 def wfa_edit_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
                    smax: int):
-    """Batched WFA edit distance. Returns [B] i32 (smax + 1 if censored)."""
+    """Batched WFA edit distance. Returns [B] i32 (smax + 1 if censored).
+
+    Diagonals clamped to |k| <= smax (see wfa_affine_batch)."""
     B = refs.shape[0]
-    Kmax = n1 + n2  # |k| bound
+    Kmax = min(n1 + n2, smax)  # |k| bound
     K = 2 * Kmax + 1
     ks = jnp.arange(K, dtype=jnp.int32) - Kmax
 
@@ -87,6 +89,8 @@ def wfa_edit_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
     l1 = ref_lens[:, None].astype(jnp.int32)
     l2 = read_lens[:, None].astype(jnp.int32)
     k_target = (l1 - l2)[:, 0]
+    target_ok = jnp.abs(k_target) <= Kmax
+    k_target = jnp.clip(k_target, -Kmax, Kmax)
 
     def diag_valid(s):
         return (jnp.abs(ks)[None, :] <= s) & \
@@ -97,7 +101,7 @@ def wfa_edit_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
 
     def done(m):
         tgt = jnp.take_along_axis(m, (k_target + Kmax)[:, None], axis=1)[:, 0]
-        return tgt >= l1[:, 0]
+        return target_ok & (tgt >= l1[:, 0])
 
     def cond(state):
         s, m, result = state
@@ -135,9 +139,12 @@ def wfa_affine_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
     (match = 0). Returns the alignment penalty [B] i32 (smax+1 censored).
 
     Keeps a ring of the last `hist` wavefronts for the s-x / s-o-e / s-e
-    lookbacks."""
+    lookbacks. Diagonals are clamped to |k| <= smax: a wavefront at score
+    s only reaches |k| <= s, and pairs whose length difference exceeds
+    smax cost more than smax anyway (gap extend >= 1/diagonal), so they
+    censor identically."""
     B = refs.shape[0]
-    Kmax = n1 + n2
+    Kmax = min(n1 + n2, smax)
     K = 2 * Kmax + 1
     ks = jnp.arange(K, dtype=jnp.int32) - Kmax
     hist = max(x, o + e, e) + 1
@@ -147,6 +154,8 @@ def wfa_affine_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
     l1 = ref_lens[:, None].astype(jnp.int32)
     l2 = read_lens[:, None].astype(jnp.int32)
     k_target = (l1 - l2)[:, 0]
+    target_ok = jnp.abs(k_target) <= Kmax
+    k_target = jnp.clip(k_target, -Kmax, Kmax)
 
     def clamp(offs):
         v = offs - ks[None, :]
@@ -174,7 +183,7 @@ def wfa_affine_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
 
     def done(m):
         tgt = jnp.take_along_axis(m, (k_target + Kmax)[:, None], axis=1)[:, 0]
-        return tgt >= l1[:, 0]
+        return target_ok & (tgt >= l1[:, 0])
 
     def cond(state):
         s, M, I, D, result = state
@@ -228,9 +237,10 @@ def wfa_affine2p_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
     """Dual-affine ("convex" piecewise) WFA: gap cost is the minimum of two
     affine classes (o1 + k*e1, o2 + k*e2) - WFA2-lib's affine2p model
     (SURVEY 2.9), the practical convex-gap approximation. Returns the
-    minimal penalty [B] i32 (smax + 1 censored)."""
+    minimal penalty [B] i32 (smax + 1 censored). Diagonals clamped to
+    |k| <= smax (see wfa_affine_batch; every diagonal step costs >= 1)."""
     B = refs.shape[0]
-    Kmax = n1 + n2
+    Kmax = min(n1 + n2, smax)
     K = 2 * Kmax + 1
     ks = jnp.arange(K, dtype=jnp.int32) - Kmax
     hist = max(x, o1 + e1, e1, o2 + e2, e2) + 1
@@ -240,6 +250,8 @@ def wfa_affine2p_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
     l1 = ref_lens[:, None].astype(jnp.int32)
     l2 = read_lens[:, None].astype(jnp.int32)
     k_target = (l1 - l2)[:, 0]
+    target_ok = jnp.abs(k_target) <= Kmax
+    k_target = jnp.clip(k_target, -Kmax, Kmax)
 
     def clamp(offs):
         v = offs - ks[None, :]
@@ -265,7 +277,7 @@ def wfa_affine2p_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
 
     def done(m):
         tgt = jnp.take_along_axis(m, (k_target + Kmax)[:, None], axis=1)[:, 0]
-        return tgt >= l1[:, 0]
+        return target_ok & (tgt >= l1[:, 0])
 
     def cond(state):
         s, M, I1, D1, I2, D2, result = state

@@ -107,6 +107,18 @@ def main(argv=None) -> int:
     p_collapse.add_argument("--shards", type=int, default=None,
                             help="spill shard count for the out-of-core "
                                  "path (default: sized from the input)")
+    p_collapse.add_argument("--distributed-world", type=int, default=1,
+                            help="number of cooperating hosts; run one "
+                                 "process per host with identical flags "
+                                 "plus a distinct --distributed-rank")
+    p_collapse.add_argument("--distributed-rank", type=int, default=0)
+    p_collapse.add_argument("--distributed-coordinator", default=None,
+                            help="host:port of the jax.distributed "
+                                 "coordinator (rank 0's address)")
+    p_collapse.add_argument("--work-dir", default=None,
+                            help="shared filesystem directory for the "
+                                 "multi-host exchange (required when "
+                                 "--distributed-world > 1)")
 
     p_call = sub.add_parser(
         "call", help="call editing events / lineage alleles from a tagged BAM")
@@ -151,6 +163,22 @@ def main(argv=None) -> int:
         from clique_tpu.config.layout import SequenceLayout
 
         layout = SequenceLayout.from_yaml(args.read_structure)
+        if args.distributed_world > 1:
+            from clique_tpu.parallel.distributed import collapse_distributed
+
+            if not args.work_dir:
+                parser.error("--work-dir is required with "
+                             "--distributed-world > 1")
+            collapse_distributed(
+                args.output_bam_file, layout, args.input_bam_file,
+                args.work_dir,
+                process_id=args.distributed_rank,
+                num_processes=args.distributed_world,
+                coordinator_address=args.distributed_coordinator,
+                correct_only=args.correct_only,
+                downsample_cap=args.downsample_cap,
+            )
+            return 0
         collapse(
             output_path=args.output_bam_file,
             layout=layout,
