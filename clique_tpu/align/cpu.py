@@ -108,6 +108,22 @@ def simplify_cigar(ops: List[Tuple[int, str]]) -> List[Tuple[int, str]]:
     return out
 
 
+def pair_to_cigar(reference_aligned: bytes, read_aligned: bytes
+                  ) -> List[Tuple[int, str]]:
+    """CIGAR from a gapped (reference, read) column pair: gap in the
+    reference -> I, gap in the read -> D, else M; run-length merged
+    (reference_read_to_cigar_string, consensus_builders.rs:310-336)."""
+    ops = []
+    for r, d in zip(reference_aligned, read_aligned):
+        if r == GAP:
+            ops.append((1, "I"))
+        elif d == GAP:
+            ops.append((1, "D"))
+        else:
+            ops.append((1, "M"))
+    return simplify_cigar(ops)
+
+
 def _update_cell_global(sc, tb, s1, s2, scoring, x, y):
     """update_3d_score (alignment_matrix.rs:618-665). Returns per-plane
     changed flags."""

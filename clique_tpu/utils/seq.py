@@ -149,3 +149,34 @@ def strip_gaps(seq):
     if isinstance(seq, bytes):
         return out.tobytes()
     return out
+
+
+def pad_right(seq: bytes, target_len: int, pad_byte: int) -> bytes:
+    """Resize to target_len, padding with pad_byte — and, like Vec::resize,
+    TRUNCATING when target_len is shorter (read_utils.rs:44-48)."""
+    if target_len <= len(seq):
+        return seq[:target_len]
+    return seq + bytes([pad_byte]) * (target_len - len(seq))
+
+
+def all_combinations(n: int) -> list:
+    """All length-n strings over ACGT, in the reference's suffix-major
+    generation order (read_utils.rs:85-93; n=2 is the base case)."""
+    chars = ["A", "C", "G", "T"]
+    acc = [d + c for c in chars for d in chars]
+    for _ in range(2, n):
+        acc = [d + c for c in acc for d in chars]
+    return acc
+
+
+def create_fake_quality_scores(length: int) -> bytes:
+    """Uniform 'H' qualities (read_utils.rs:94-96)."""
+    return b"H" * length
+
+
+def random_sequence(length: int, rng=None) -> str:
+    """Uniform ACGT string. The reference's version (read_utils.rs:78-83)
+    samples WITHOUT replacement from one copy of ACGT — a documented bug
+    that silently truncates past 4 bases; we sample with replacement."""
+    rng = np.random.default_rng() if rng is None else rng
+    return "".join("ACGT"[i] for i in rng.integers(0, 4, size=length))
