@@ -227,6 +227,17 @@ class SequenceLayout:
             if ref.target_locations is None:
                 ref.fill_and_validate_target_positions()
 
+    @staticmethod
+    def validate_reference_sequence(ref_bases: bytes,
+                                    configurations) -> bool:
+        """True when every UMIConfiguration's capture symbol appears in the
+        reference sequence (sequence_layout.rs:79-90). ``configurations``
+        is any iterable of UMIConfiguration (or a dict of them)."""
+        if hasattr(configurations, "values"):
+            configurations = configurations.values()
+        text = ref_bases.decode() if isinstance(ref_bases, bytes) else ref_bases
+        return all(u.symbol in text for u in configurations)
+
     def validate_reference_symbols(self) -> None:
         """UMI symbols must appear in their reference sequence. The reference
         engine enforces this at ReferenceManager construction
