@@ -103,6 +103,10 @@ def simplify_cigar(ops: List[Tuple[int, str]]) -> List[Tuple[int, str]]:
     for count, op in ops:
         if out and out[-1][1] == op and op not in "<>":
             out[-1] = (out[-1][0] + count, op)
+        elif out and out[-1][1] == op and op == "<":
+            raise ValueError("Cannot have two inversion open tags in a row")
+        elif out and out[-1][1] == op and op == ">":
+            raise ValueError("Cannot have two inversion closed tags in a row")
         else:
             out.append((count, op))
     return out
