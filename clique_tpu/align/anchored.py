@@ -83,6 +83,43 @@ def validate_cigar_string(reference: bytes, read: bytes,
     assert pos == len(reference)
 
 
+def slice_for_alignment(read: bytes, start: int, end: int) -> bytes:
+    """linked_alignment.rs:240-247: bounds-checked read slice (Rust
+    panics out of bounds; we raise)."""
+    if end > len(read):
+        raise IndexError(
+            f"slice [{start}:{end}] out of bounds for read of length "
+            f"{len(read)}")
+    return read[start:end]
+
+
+def cigar_alignment_to_full_string(read: bytes, reference: bytes,
+                                   alignment_start: int,
+                                   cigar: List[Tuple[int, str]]
+                                   ) -> Tuple[str, str]:
+    """linked_alignment.rs cigar_alignment_to_full_string: expand an
+    offset + tag list into gapped (read, reference) strings; reference
+    positions before alignment_start pair with read gaps."""
+    out_read = bytearray(b"-" * alignment_start)
+    out_ref = bytearray(reference[:alignment_start])
+    read_pos, ref_pos = 0, alignment_start
+    for length, op in cigar:
+        if op in ("M", "X", "="):
+            out_read += read[read_pos:read_pos + length]
+            out_ref += reference[ref_pos:ref_pos + length]
+            read_pos += length
+            ref_pos += length
+        elif op == "I":
+            out_read += read[read_pos:read_pos + length]
+            out_ref += b"-" * length
+            read_pos += length
+        elif op == "D":
+            out_read += b"-" * length
+            out_ref += reference[ref_pos:ref_pos + length]
+            ref_pos += length
+    return out_read.decode(), out_ref.decode()
+
+
 def plan_anchor_pieces(search_string: bytes, reference: bytes,
                        overlaps: SharedSegments):
     """Phase 1 of anchored alignment: walk the shared segments and emit the
