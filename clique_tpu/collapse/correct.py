@@ -38,6 +38,29 @@ from clique_tpu.collapse.distance import (
 GAP = ord("-")
 
 
+def tag_consensus(seqs) -> bytes:
+    """Per-column majority over equal-length byte strings with N/'-'
+    losing ties to real bases (collapse.rs consensus :1033-1072; the
+    reference's HashMap iteration makes real-base ties nondeterministic —
+    we break them by first appearance, deterministically)."""
+    n = len(seqs[0])
+    out = bytearray()
+    for i in range(n):
+        counts: Dict[int, int] = {}
+        order: List[int] = []
+        for s in seqs:
+            assert len(s) == n, "consensus inputs must share a length"
+            b = s[i]
+            if b not in counts:
+                order.append(b)
+            counts[b] = counts.get(b, 0) + 1
+        mx = max(counts.values())
+        best = [b for b in order if counts[b] == mx]
+        real = [b for b in best if b not in (ord("N"), GAP)]
+        out.append(real[0] if real else best[0])
+    return bytes(out)
+
+
 def normalize_tag(tag: bytes, length: int) -> bytes:
     """Gap-strip then right-pad with '-' to `length` (longer tags keep their
     length), as correct_tags.rs:162-169."""

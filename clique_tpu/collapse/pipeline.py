@@ -162,7 +162,16 @@ class CollapseStats:
     secondary: int = 0
     failed_filters: int = 0
     invalid_tags: int = 0
+    duplicate_reads: int = 0
     passing: int = 0
+
+    def passing_reads(self) -> int:
+        """Derived count as BamReadFiltering::passing_reads (collapse.rs):
+        total minus every filter bucket (failed creations are already part
+        of failed_filters here)."""
+        return (self.total_reads - self.unmapped - self.secondary
+                - self.failed_filters - self.duplicate_reads
+                - self.invalid_tags)
 
 
 class _RefIngest:
