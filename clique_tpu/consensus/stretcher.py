@@ -56,6 +56,11 @@ class NucCounts:
     def total(self) -> int:
         return sum(self.counts)
 
+    def __repr__(self) -> str:
+        # mirrors the reference Display (stretcher.rs:47-51)
+        a, c, g, t, n, gap = self.counts
+        return f"a: {a} c {c} g{g} t{t} n {n} gap {gap}"
+
     def proportion(self, base: int, read_count: int) -> float:
         idx = _IDX.get(base)
         if idx is None:

@@ -52,6 +52,7 @@ def test_three_way_max_ties_prefer_diag():
 # --- Waterman-Eggert local alignment (rs:1142-1193) ------------------------
 
 def test_waterman_eggart_affine():
+    """waterman_eggart_affine_test_case (alignment_matrix.rs:1173-1193)."""
     ref = b"CCAATCTACTACTGCTTGCAGTAC"
     read = b"AGTCCGAGGGCTACTCTACTGAAC"
     res = affine_align(ref, read, score(10, -9, 8, -20, -10), local=True)
@@ -60,6 +61,7 @@ def test_waterman_eggart_affine():
 
 
 def test_waterman_eggart_affine_second_best():
+    """waterman_eggart_affine_test_case_2nds (alignment_matrix.rs:1142-1171)."""
     ref = b"CCAATCTACTACTGCTTGCAGTAC"
     read = b"AGTCCGAGGGCTACTCTACTGAAC"
     sc = score(10, -9, 8, -10, -10)
@@ -78,12 +80,14 @@ def test_waterman_eggart_affine_second_best():
 # --- wildcard / special-character scoring (rs:1195-1273) -------------------
 
 def test_affine_special_scoring():
+    """affine_special_scoring_test (alignment_matrix.rs:1195-1215)."""
     res = affine_align(b"AAAANAAAA", b"AAAAAAAA", score(6, -6, 5, -10, -10))
     assert res.reference_aligned == b"AAAANAAAA"
     assert res.read_aligned == b"AAAA-AAAA"
 
 
 def test_affine_special_practical():
+    """affine_special_practical_test (alignment_matrix.rs:1253-1274)."""
     ref = b"AAAAAAAA############################AGATCGGAAGAGCGTCGTGTAGGGAAAGA"
     read = b"AAAAAAAAAAAAAAAAAAAAAAAAATATCTCGTTTAATTGACTCTGAAATCAAGATCGGAAGAGCGTCGTGTAGGGAAAGA"
     res = affine_align(ref, read, score(6, -6, 5, -10, -10))
@@ -92,6 +96,8 @@ def test_affine_special_practical():
 
 
 def test_favor_non_special_characters():
+    """affine_alignment_test_favor_non_special_characters
+    (alignment_matrix.rs:1298-1316)."""
     ref = b"TTAAGCAGTGGTATCAACGCAGAGTACGCCTTAGGTTAACTTGCTATTTCTAGCTCTAACCCCACCCACGATTGCCGCCGACCCCCATATAAGAAANNNNNNNNNNNNNNNNNNNNNNNNNNAGAT"
     read = b"TTAAGCAGTGGTATCAACGCAGAGTACGCCTTAGGTTAACTTGCTAGTTCTAGCTCTAACCCCACCAACAAGTTTTTCAACACCTAGCGTGT"
     res = affine_align(ref, read, AffineScoring.default_dna())
@@ -102,6 +108,7 @@ def test_favor_non_special_characters():
 # --- basic global alignment (rs:1276-1339, 1652-1713) ----------------------
 
 def test_affine_alignment_basic():
+    """affine_alignment_test (alignment_matrix.rs:1276-1296)."""
     res = affine_align(b"AAAA", b"AATAA", score(6, -6, 8, -10, -10))
     assert res.reference_aligned == b"AA-AA"
     assert res.read_aligned == b"AATAA"
@@ -109,6 +116,8 @@ def test_affine_alignment_basic():
 
 
 def test_identical_sequences_global():
+    """test_identical_sequences_global_alignment
+    (alignment_matrix.rs:1652-1668)."""
     seq = b"ACGTACGT"
     res = affine_align(seq, seq, AffineScoring.default_dna())
     assert res.reference_aligned == seq
@@ -149,6 +158,7 @@ def test_local_alignment_finds_best_segment():
 # --- find_max_3d (rs:1733-1751) --------------------------------------------
 
 def test_find_max_3d():
+    """test_find_max_value_3d_array (alignment_matrix.rs:1733-1744)."""
     scores = np.zeros((3, 3, 3))
     scores[1, 2, 0] = 42.0
     x, y, v = find_max_3d(scores, 3, 3)
@@ -168,6 +178,8 @@ def test_find_max_3d_tie_rules():
 # --- real-world long read, local mode (rs:1374-1404) -----------------------
 
 def test_real_world_minimap_ugly_alignment():
+    """affine_alignment_real_world_minimap_ugly_alignment
+    (alignment_matrix.rs:1374-1404)."""
     ref = b"CTACACGACGCTCTTCCGATCTNNNNNNNNNNNNNNNNNNNNNNNNNNNNTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTATTAGGAAAGGACAGTGGGAGTGGCACCTTCCAGGGTCAAGGAAGGCACGGGGGAGGGGCAAACAACAGATGGCTGGCAACTAGAAGGCACAGTGAGCTTGTACATAACTACGCAAGTCCTTGCTAGGACCGGCCTTAAAGCCACGTGGCGGCCGCCGAGCGGTATCAGCTCACTCAAAGGCGGTAATACGGTTATCCACAGAATCGTGGTACAATATGCGTCTCCGAAATTAACCCGGTGTGTTTAAACGAAAAGGACCGACTACTACCTCGCGAAAGCTCTAAGTGTTGTGTCAGCGAAACTTCGCGGAGGTTCGACATCGAAAGACACGCGGGTGTATATGGCGAAAGCAGCAACCTGATCTGGGGTGAAAAGCCATGGATGTCGGGACGAGAAAGGTCTAGGACTGTTTTGCGAGAAAAGGATTAGAGTTAGAATCGCGAAACGCTCGCGTTCTACCGCTCCGAAAGATCCCGAGGTTGTTTTACCGAAAGCGACGACTTCTGTCATAGTGAAACGATTGGACGTCTCTGGTGCGAAATCGCGGGTTGTACAACATACGAAACCGAGGCTATAATCCCGGACGAAAGGTATAGGTAGCTAACACGCGAAACCCTAGGGATCGTGCTAGCCGAAAGCCCTATTATGTAGGGGACTGAAAAACATGGGTACGTCCCCGATGAAACGCTGCTTGTCTGGCCTCGCGAAAGAATGAGCTGAGTGTGAGGCGAAAAGCTTAAGCTGTGCACTCTCGAAAGTCGGTGTCTATTAGTGGATGAAACAGCGGGTTCCTGCTCCCGCGAAACGCCACCTGTATGTTACTTCGAAAATGAAGGGATAGTGGCGGACGAAAGTCATATTCCGTTGTGGTACGAAATTGGTCCTGATGTACGCACAGAAAAGATTGACCTCTGTTCGTACGAAAGCTCGGCCTCTGGGAGTCGTGAAAGACTCGGATCCGTACCAGATGAAAGGCACACCCATGTCCGTCACGAAAACCCAAACCTTGTATGTATGGAAATCTTCTGCGTTCGGGCCGCGGAAAAGCGTATACCTATCTCGCATGAAAGTCTCTTATCTTGTCTACGCGAAACGCTCGTATGCGTACGGGCTGAAAGCGATATACTGTTCGCCCCTGAAACCCTCTAGTTATGCGCCAGTGAAAGAGTCGCGTAGAGTACAGTGCAAGGTCGACAATCAACCTCTGGATTACATCCGATTGCCTTACTGTGCGAAAGTACTCGATGGTGTGGCTTAGAAAGCGTACAGTCTCTGTGCCGGGAAAATAAGAGCGTCTGCGGTTATGAAATCGTGGGCTACTCCTGGGTGGAAAGCTATCCTGTATATTAGTACGAAAGGTGCCAGGTTGCTTCGATCGAAAGCCCGAGAGATTACTCGTAGGAAACTACGCCGGTTACGACGGGCGAAACGACATGAACTTATCCGGACGAAAGGTAGTCCTTACGGTGATCTGCTAGGGTCTCTCCTAGCAACGGTTACTCGATTTGGTACNNNNNNNNNNNNNNNNNNGTACCTGATGCGGCACAATGTCTAGC"
     read = b"TTCCGATCTGTCATAACACCACACTAGAATCACGCGTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTAGCGATGCAATTTCCTCATTTTATTAGGAAAGGACAGTGGGAGTGGCACCTTCCAGGGTCAAGGAAGGCACGGGGGAGGGGCAAACAACAGATGGCTGGCAACTAGAAGGCACAGTGAGCTTGTACATAACTACGCAAGTCCTTGCTAGGACCGGCCTTAAAGCCACGTGGCGGCCGCCGAGCGGTATCAGCTCACTCAAAGGCGGTAATACGGTTATCCACAGAATCGTGGTACAATATGCGTCTCCGAAATTAACCCGGTGCGTTTAAACGAAAAGGACCGACTACTACCTCGCGAAAGCTCTAAGCGTCGTGTCAGCGAAACTTCGCGGAGGTTCGACATCGAAAGACACGCGGGTGTATGTGGCGAAAGCAGCAACCTGATCTGGGGTGAAAAGCCATGGACGCCGGGACGAGAAAGGTCTAGGACTGTTTTGCGAGAAAAGGATTAGAGTTAGAATCGCGAAACGCTCGCGTTCCACCGCTCCGAAAGATCCCGAGGTCGTTTTACCGAAAGCGACGACTTCTGTCATAGTGAAACGATTGGACGTCTCTGGTGCGAAATCGCGGGTTGTACAACATACGAAACCGAGGCTACAACCCCGGACGAAAAGGTATAGGTAGCTAACACGCGAAACCCTAGGGATCGTGCTAGCCGAAAGCCCTATCACGCAGGGGACTGAAAAACATGGGCACGCCCCCGATGAAACGCTGCTTGTCTGGCCTCGCGAAAGAATGAGCAGAGCGTGAGGCGAAAAGCTTAAGCTGTGCACTCTCGAAAGTCGGTGTCCATCAGTGGATGAAACAGCGGGTTCCTGCTCCCGCGAAACGCCACCTGTACGTTACTTCGAAAATGAAGGGACAGCGGCGGACGAAAGTCATATTCCGTTGTGGTACGAAATTGGTCCTGATGCACGCACAGAAAAGATTGACCTCCGTTCGTACGAAAGCTCGGCCTCTGGGAGTCGTGAAAGACTCGGATCCGCACCAGATGAAAGGCACACCCACGCCCGTCACGAAAACCCAAACCTTGTATGTATGGAAATCTTCTGCGTCCGGGCCGCGGAAAAGCGTATACCTATCTCGCATGAAAGTCTCTCACCTCGTCTACGCGAAACGCTCGTACGCGTACGGGCTGAAAGCGATACACCGCTCGCCCCTGAAACCCTCTAGTTACGCGCCAGTGAAAGAGTCGCGTAGAGTACAGTGCAAGGTCGACAATCAACCTCTGGATTACATCCGATTGCCTCACTGTGCGAAAGTACTCGATGGCGTGGCTTAGAAAGCGTACAGTCTCCGTGCCGGGAAAATAAGAGCGCCTGCGGTTATGAAATCGTGGGCTACTCCTGGGTGGAAAGCTATCCTGCACATTAGTACGAAAGGTGCCAGGTTGCTTCGATCGAAAGCCCGAGAGATCACTCGTAGGAAACTACGCCGGTCACGACGGGCGAAACGACATGAACTCATCCGGACGAAAGGTAGTCCTTACGGTGATCTGCTAGGGTCTCTCCTAGCAACGGTTACTCCATCTGGTACACCCCCTGCTCGGGGCAAGTACCTGATGCGGCACAATGTCTAGCAGGTGCTGAAGAAAGTTGTCGGTGTCTTTGTGTTAACCTTAGCAATACGTCTGTCGAAGCAGCTACAA"
     res = affine_align(ref, read, score(10, -11, 8, -15, -5), local=True)

@@ -62,6 +62,26 @@ def test_simplify_cigar_merge_runs():
         [(1, "M"), (1, "I"), (2, "M")]
 
 
+def test_simplify_cigar_no_merge_needed():
+    """test_simplify_cigar_no_merge_needed (alignment_functions.rs:1115-1126)."""
+    ops = [(3, "M"), (2, "D"), (1, "I"), (4, "M")]
+    assert simplify_cigar(ops) == ops
+
+
+def test_simplify_cigar_all_same_type():
+    """test_simplify_cigar_all_same_type (alignment_functions.rs:1128-1137)
+    plus test_alignment_direction_add_same_type
+    (alignment_matrix.rs:1594-1607): merging same-op runs adds counts."""
+    assert simplify_cigar([(1, "D"), (2, "D"), (3, "D")]) == [(6, "D")]
+    assert simplify_cigar([(3, "M"), (5, "M")]) == [(8, "M")]
+    assert simplify_cigar([(2, "I"), (4, "I")]) == [(6, "I")]
+
+
+def test_simplify_cigar_insertions():
+    """test_simplify_cigar_insertions (alignment_functions.rs:1139-1149)."""
+    assert simplify_cigar([(1, "I"), (1, "I"), (1, "I")]) == [(3, "I")]
+
+
 def test_cigar_to_alignment_perfect_match():
     """test_cigar_to_alignment_perfect_match
     (alignment_functions.rs:1150-1163)."""

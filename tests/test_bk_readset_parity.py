@@ -92,7 +92,10 @@ def test_star_graph():
 # --- read_set.rs ------------------------------------------------------------
 
 def test_read_set_container_new_from_read1():
-    """test_read_set_container_new_from_read1 (read_set.rs)."""
+    """test_read_set_container_new_from_read1 +
+    test_read_set_container_clone_read_only (read_set.rs:138-162): a
+    read1-only container keeps the other slots empty; copies compare
+    equal (dataclass value semantics stand in for Rust Clone)."""
     rsc = ReadSetContainer(FastqRecord("read1", b"ACGT", b"HHHH"))
     assert rsc.read_one.name == "read1"
     assert rsc.read_two is None
@@ -115,9 +118,35 @@ def test_read_set_container_all_fields():
 
 
 def test_read_set_container_equality():
-    """test_read_set_container_equality / _inequality (read_set.rs)."""
+    """test_read_set_container_equality / test_read_set_container_inequality
+    (read_set.rs:164-203)."""
     r1 = ReadSetContainer(FastqRecord("r1", b"ACGT", b"HHHH"))
     r2 = ReadSetContainer(FastqRecord("r1", b"ACGT", b"HHHH"))
     r3 = ReadSetContainer(FastqRecord("r2", b"TGCA", b"IIII"))
     assert r1 == r2
     assert r1 != r3
+
+
+def test_read_set_container_display():
+    """test_read_set_container_display (read_set.rs:181-195): the reference
+    Display prints each present read; the dataclass repr carries the same
+    fields."""
+    rsc = ReadSetContainer(FastqRecord("r1", b"ACGT", b"HHHH"))
+    assert "r1" in repr(rsc)
+    assert "ACGT" in repr(rsc)
+
+
+def test_read_set_container_serialize_deserialize():
+    """test_read_set_container_serialize_deserialize (read_set.rs:204-236):
+    the reference pins a serde round-trip; our containers cross process
+    boundaries via pickle in the collapse worker pool, so pin that
+    round-trip the same way."""
+    import pickle
+
+    rsc = ReadSetContainer(
+        read_one=FastqRecord("r1", b"ACGT", b"HHHH"),
+        read_two=FastqRecord("r2", b"TGCA", b"IIII"),
+        index_one=FastqRecord("i1", b"AA", b"HH"),
+        index_two=FastqRecord("i2", b"CC", b"HH"),
+    )
+    assert pickle.loads(pickle.dumps(rsc)) == rsc

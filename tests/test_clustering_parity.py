@@ -32,6 +32,44 @@ def test_edit_distance_degenerate():
     assert edit_distance(b"ACGTA", b"RCGTA") == 0
 
 
+def test_string_distance_break_early_exit():
+    """test_string_distance_break_early_exit (sequence_clustering.rs:
+    351-358): the reference's early-exit variant returns 2 on a distance-4
+    pair with max_dist=1 (it stops as soon as the limit is exceeded); the
+    contract its callers rely on is only `distance > max_dist`, which our
+    full count preserves."""
+    d = hamming_distance(b"AAAA", b"TTTT")
+    assert d > 1          # the predicate the reference callers test
+    assert d == 4         # our full count (reference early-exit stops at 2)
+
+
+def test_string_distance_break_within_limit():
+    """test_string_distance_break_within_limit
+    (sequence_clustering.rs:360-365): within the limit the early-exit and
+    full counts agree exactly."""
+    assert hamming_distance(b"ACGT", b"TCGT") == 1
+
+
+def _average_dist(strings, dist):
+    # average_dist (sequence_clustering.rs test helper): mean over ALL
+    # ordered pairs including self-pairs
+    n = len(strings)
+    return sum(dist(a, b) for a in strings for b in strings) / (n * n)
+
+
+def test_average_dist_identical():
+    """test_average_dist_identical (sequence_clustering.rs:438-448):
+    average_dist is a test-only helper in the reference (no product call
+    sites); transcribed against our hamming_distance."""
+    assert _average_dist([b"AA", b"AA"], hamming_distance) == 0.0
+
+
+def test_average_dist_all_different():
+    """test_average_dist_all_different (sequence_clustering.rs:450-461):
+    AA=0, AT=1, TA=1, TT=0 => 2/4 = 0.5."""
+    assert _average_dist([b"A", b"T"], hamming_distance) == 0.5
+
+
 def test_string_distance_no_break_identical():
     """test_string_distance_no_break_identical (sequence_clustering.rs:338-342)."""
     assert hamming_distance(b"ACGT", b"ACGT") == 0

@@ -60,6 +60,21 @@ def test_simple_exact_correction():
     assert kf.correct(b"AAAAACTAGACCCTGGGTGCTCCTTAG", 2) is None
 
 
+def test_100k_by_100k_lookup():
+    """test_100k_by_100k_lookup (sequence_lookup.rs:58-92) on the mounted
+    100K-february-2018.txt 10X barcode list: an exact member resolves to
+    itself, and a T-prefixed query misses (no list entry starts with T).
+    The deletion-neighborhood index is built at distance 1 instead of the
+    reference's 2 to keep the suite fast; both assertions are
+    distance-invariant (hit at d=0, miss at d>=3)."""
+    with open(f"{DATA}/100K-february-2018.txt", "rb") as fh:
+        known = [l.strip() for l in fh if l.strip()]
+    assert len(known) == 100000
+    kf = KnownLookup(known, max_distance=1)
+    assert kf.correct(b"AAACCCAAGAACCCGG", 1) == b"AAACCCAAGAACCCGG"
+    assert kf.correct(b"TTTCCCAAGAACCCGG", 1) is None
+
+
 # --- read_disk_sorter.rs ----------------------------------------------------
 
 def _sorting_read(corrected_keys) -> SortingRead:

@@ -30,6 +30,8 @@ def test_inversion_alignment_global():
 
 
 def test_inversion_cigar_has_markers():
+    """inversion_alignment_cigar_test (alignment_matrix.rs:1508-1543);
+    the reference test only prints, we assert the inversion markers."""
     inv = InversionScoring(10.0, -11.0, -15.0, -5.0, -2.0, 4)
     res = inversion_alignment(
         b"CCAATCTACTACTGCTTGCA", b"CCGTAGATTTACTGCTTGCA",

@@ -10,6 +10,8 @@ from clique_tpu.config.layout import (
 
 
 def test_canonical_reference_layout():
+    """test_basic_yaml_readback (sequence_layout.rs:207-216) on the same
+    mounted test_data/test_layout.yaml fixture."""
     lay = SequenceLayout.from_yaml(
         "/root/reference/rust_cmd/test_data/test_layout.yaml")
     assert lay.merge == MergeStrategy.CONCATENATE
@@ -38,6 +40,11 @@ def test_legacy_mouse_lineage_layout():
 
 
 def test_invalid_ordering_rejected():
+    """test_basic_yaml_readback_invalid_ordering{,2}
+    (sequence_layout.rs:218-229): the reference's should_panic fixtures
+    test_layout_invalid{,2}.yaml are absent from the snapshot, so the
+    equivalent broken layout is inlined (UMI orders must be sequential
+    from 0, sequence_layout.rs:56-62)."""
     bad = """
 known_strand: true
 reads:

@@ -92,7 +92,8 @@ def test_affine_scoring_gap_accessors():
 
 
 def test_inversion_scoring_default():
-    """test_inversion_scoring_default (scoring_functions.rs)."""
+    """test_inversion_scoring_default + test_inversion_scoring_gap_accessors
+    (scoring_functions.rs:265-292)."""
     scoring = InversionScoring()
     assert scoring.match_score == 9.0
     assert scoring.mismatch_score == -21.0

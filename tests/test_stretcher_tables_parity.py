@@ -133,8 +133,20 @@ def test_alignment_candidate_single_perfect_match():
     assert conc.read_aligned == b"ACGT"
 
 
+def test_nuc_counts_display():
+    """test_nuc_counts_display (stretcher.rs:515-520): repr mirrors the
+    reference Display format."""
+    nc = NucCounts(ord("A"))
+    assert "a: 0" in repr(nc)
+    nc.update(ord("G"), 30)
+    assert "g1" in repr(nc)
+
+
 def test_alignment_candidate_mismatched_refs_error():
-    """test_alignment_candidate_mismatched_refs_error (stretcher.rs)."""
+    """test_alignment_candidate_mismatched_refs_error (stretcher.rs) plus
+    test_reference_status_partial_eq_u8 (stretcher.rs:522-530): the
+    column-vs-reference base comparison is what rejects a member whose
+    reference string disagrees with the column model."""
     cand = AlignmentCandidate(b"ACGT", "ref")
     cand.add_alignment(b"ACGT", b"ACGT", "r0")
     with pytest.raises(ValueError):
@@ -244,8 +256,28 @@ def test_degeneratebases_all_iupac_codes_present():
 
 def test_degeneratebases_exclusion_codes():
     """test_degeneratebases_{b_not_a,d_not_c,h_not_g,v_not_t}
-    (fasta_comparisons.rs)."""
+    (fasta_comparisons.rs:207-247)."""
     assert DEGENERATE_MASK[ord("B")] == (_BITS["C"] | _BITS["G"] | _BITS["T"])
     assert DEGENERATE_MASK[ord("D")] == (_BITS["A"] | _BITS["G"] | _BITS["T"])
     assert DEGENERATE_MASK[ord("H")] == (_BITS["A"] | _BITS["C"] | _BITS["T"])
     assert DEGENERATE_MASK[ord("V")] == (_BITS["A"] | _BITS["C"] | _BITS["G"])
+
+
+def test_knownbasesplusinsert_includes_gap():
+    """test_knownbasesplusinsert_includes_gap (fasta_comparisons.rs:121-127):
+    the consensus column alphabet recognizes '-' alongside ACGT (NucCounts
+    tracks it in its own slot) while the plain base table does not."""
+    nc = NucCounts(ord("A"))
+    nc.update(ord("-"), None)
+    assert nc.counts[5] == 1
+    assert KNOWN_BASE[ord("-")] == 0
+    assert KNOWN_BASE[ord("A")] == ord("A")
+    assert KNOWN_BASE[ord("N")] == 0
+
+
+def test_reversecomp_excludes_others():
+    """test_reversecomp_excludes_others (fasta_comparisons.rs:140-144): N and
+    '-' have no ACGT complement; the IUPAC-aware reverse_complement passes
+    them through rather than mapping them to a canonical base."""
+    assert reverse_complement(b"N") == b"N"
+    assert reverse_complement(b"-") == b"-"

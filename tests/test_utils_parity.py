@@ -125,6 +125,14 @@ def test_pad_right_shorter_target():
     assert pad_right(b"ACG", 1, ord("-")) == b"A"
 
 
+def test_u8s():
+    """test_u8s (read_utils.rs:221-226): byte-vector to string; the
+    analogue of the reference's u8s helper is bytes.decode, which every
+    output path here uses."""
+    assert bytes([ord("A"), ord("C"), ord("G"), ord("T")]).decode() == "ACGT"
+    assert b"".decode() == ""
+
+
 def test_create_fake_quality_scores():
     """test_create_fake_quality_scores{,_zero} (read_utils.rs:228-239)."""
     quals = create_fake_quality_scores(5)
