@@ -22,6 +22,7 @@ superset that the exact device kernel then filters.
 from __future__ import annotations
 
 import functools
+import os
 from collections import defaultdict
 from typing import Dict, List, Sequence, Tuple
 
@@ -90,6 +91,73 @@ def _edit_distance_kernel(a, b, la, lb, *, L1: int, L2: int):
     return jnp.minimum(final, 255).astype(jnp.uint8)
 
 
+def _device_min_pairs() -> int:
+    """Pair count below which the host bit-parallel kernel beats a device
+    dispatch. Tag workloads are tiny (1e3-1e5 pairs x <=18bp); a device
+    round-trip costs fixed latency (milliseconds on a local chip, seconds
+    in a degraded tunnel phase) while the host kernel finishes in
+    microseconds-per-thousand-pairs, so small batches must never leave the
+    host. Tunable via CLIQUE_TPU_EDIST_DEVICE_MIN_PAIRS."""
+    return int(os.environ.get("CLIQUE_TPU_EDIST_DEVICE_MIN_PAIRS",
+                              "2000000"))
+
+
+def _edit_distance_myers_host(a: np.ndarray, b: np.ndarray,
+                              la: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """Bit-parallel Myers/Hyyro Levenshtein on the host: a/b [P, >=L] uint8
+    rows (content beyond la/lb ignored), lengths <= 64. One uint64 bit
+    vector per pair, vectorized across pairs; exact-byte equality like
+    _edit_distance_kernel. ~50M pair-steps/s in numpy - small tag batches
+    finish in single-digit milliseconds with zero device latency."""
+    P = a.shape[0]
+    out = np.empty(P, dtype=np.uint8)
+    if P == 0:
+        return out
+    la = la.astype(np.int64)
+    lb = lb.astype(np.int64)
+    L1 = int(la.max())
+    L2 = int(lb.max())
+    assert L1 <= 64 and L2 <= 255
+    one = np.uint64(1)
+    CH = 1 << 15  # chunk pairs to bound the per-chunk temporaries
+    for s in range(0, P, CH):
+        e = min(P, s + CH)
+        n = e - s
+        A = a[s:e, :max(L1, 1)]
+        B = b[s:e, :max(L2, 1)]
+        laa = la[s:e]
+        lbb = lb[s:e]
+        # Eq[p, j]: bitmask over pattern positions i < la with A[i] == B[j]
+        # (built position-by-position: the [n, L1, L2] cube is 10x slower)
+        Eq = np.zeros((n, max(L2, 1)), np.uint64)
+        for i in range(L1):
+            m = (A[:, i:i + 1] == B) & (i < laa)[:, None]
+            Eq |= m.astype(np.uint64) << np.uint64(i)
+        sh = np.where(laa < 64, laa, 0).astype(np.uint64)
+        VP = np.where(laa == 64, ~np.uint64(0), (one << sh) - one)
+        VP = np.where(laa == 0, np.uint64(0), VP)
+        VN = np.zeros(n, np.uint64)
+        score = laa.copy()
+        mbit = one << np.where(laa > 0, laa - 1, 0).astype(np.uint64)
+        for j in range(L2):
+            act = (j < lbb) & (laa > 0)
+            PM = Eq[:, j]
+            D0 = (((PM & VP) + VP) ^ VP) | PM | VN
+            HP = VN | ~(D0 | VP)
+            HN = VP & D0
+            score += (act & ((HP & mbit) != 0)).astype(np.int64)
+            score -= (act & ((HN & mbit) != 0)).astype(np.int64)
+            HP = (HP << one) | one
+            HN = HN << one
+            nVP = HN | ~(D0 | HP)
+            nVN = HP & D0
+            VP = np.where(act, nVP, VP)
+            VN = np.where(act, nVN, VN)
+        score = np.where(laa == 0, lbb, score)
+        out[s:e] = np.minimum(score, 255).astype(np.uint8)
+    return out
+
+
 def edit_distance_pairs(seqs_a: Sequence[bytes], seqs_b: Sequence[bytes],
                         pad_to: int = 32) -> np.ndarray:
     """Exact Levenshtein distance for each (seqs_a[i], seqs_b[i]) pair.
@@ -131,6 +199,8 @@ def edit_distance_pairs(seqs_a: Sequence[bytes], seqs_b: Sequence[bytes],
     lb[:P] = np.fromiter(map(len, seqs_b), np.int32, count=P)
     a = marshal(seqs_a, la)
     b = marshal(seqs_b, lb)
+    if L <= 64 and P < _device_min_pairs():
+        return _edit_distance_myers_host(a[:P], b[:P], la[:P], lb[:P])
     return np.asarray(_edit_distance_kernel(a, b, la, lb, L1=L, L2=L))[:P]
 
 
@@ -142,6 +212,8 @@ def edit_distance_rows(a: np.ndarray, b: np.ndarray, la: np.ndarray,
     P, L = a.shape
     if P == 0:
         return np.zeros(0, dtype=np.uint8)
+    if L <= 64 and P < _device_min_pairs():
+        return _edit_distance_myers_host(a, b, la, lb)
     Ppad = 256
     while Ppad < P:
         Ppad *= 2

@@ -101,3 +101,60 @@ def test_edit_distance_rows_mixed_lengths():
     la = np.array([4, 6, 3], np.int32)
     lb = np.array([4, 5, 3], np.int32)
     assert edit_distance_rows(a, b, la, lb).tolist() == [1, 1, 3]
+
+
+def _edit_dp(a: bytes, b: bytes) -> int:
+    """Scalar Levenshtein specification (exact-byte, unit costs)."""
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[n]
+
+
+def test_myers_host_matches_dp_random():
+    """The host bit-parallel Myers kernel must equal the scalar DP on
+    random byte rows with mixed lengths (including empty and 64-long
+    patterns - the uint64 boundary)."""
+    from clique_tpu.collapse.distance import _edit_distance_myers_host
+
+    rng = np.random.default_rng(11)
+    P = 300
+    la = rng.integers(0, 65, P)
+    lb = rng.integers(0, 60, P)
+    la[:3] = [0, 64, 64]
+    lb[:3] = [5, 0, 64]
+    a = np.zeros((P, 64), np.uint8)
+    b = np.zeros((P, 64), np.uint8)
+    for i in range(P):
+        a[i, :la[i]] = rng.choice(BASES, la[i])
+        b[i, :lb[i]] = rng.choice(BASES, lb[i])
+    got = _edit_distance_myers_host(a, b, la, lb)
+    for i in range(P):
+        want = _edit_dp(a[i, :la[i]].tobytes(), b[i, :lb[i]].tobytes())
+        assert got[i] == min(want, 255), (i, la[i], lb[i])
+
+
+def test_myers_host_matches_device_kernel():
+    """Routing equivalence: the host path and the jax kernel agree on the
+    exact padded-row inputs the degenerate level sends."""
+    import os
+
+    from clique_tpu.collapse.distance import _edit_distance_kernel
+
+    rng = np.random.default_rng(12)
+    P, L = 64, 18
+    a = rng.choice(BASES, (P, L)).astype(np.uint8)
+    b = rng.choice(BASES, (P, L)).astype(np.uint8)
+    la = np.full(P, L, np.int32)
+    host = edit_distance_rows(a, b, la, la)          # routes to Myers
+    apad = np.pad(a, ((0, 256 - P), (0, 0)))
+    bpad = np.pad(b, ((0, 256 - P), (0, 0)))
+    lpad = np.pad(la, (0, 256 - P))
+    dev = np.asarray(_edit_distance_kernel(apad, bpad, lpad, lpad,
+                                           L1=L, L2=L))[:P]
+    assert host.tolist() == dev.tolist()
