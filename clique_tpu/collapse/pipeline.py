@@ -373,12 +373,8 @@ def sort_level(reads: List[SortingRead], tag: UMIConfiguration,
         counts: Counter = Counter()
         kept: List[SortingRead] = []
         for read in group:
-            sym, raw = read.unsorted_keys[0]
-            assert sym == tag.symbol, \
-                f"tag order mismatch: {sym} vs {tag.symbol}"
-            gapless = bytes(b for b in raw if b != GAP)
-            if tag.length - tag.max_distance <= len(gapless) <= \
-                    tag.length + tag.max_distance:
+            gapless = _gate_tag(read, tag)
+            if gapless is not None:
                 counts[gapless] += 1
                 kept.append(read)
         group_counts.append(counts)
