@@ -115,10 +115,20 @@ references:
         from clique_tpu.collapse.pipeline import collapse
 
         t0 = time.time()
+        align_metrics = os.path.join(tmp, "align_metrics.json")
         stats = align_reads(layout, rm, os.path.join(tmp, "out.bam"),
-                            read1=fq, batch_size=512)
+                            read1=fq, batch_size=512,
+                            metrics_path=align_metrics)
         align_dt = time.time() - t0
         log(f"align done in {align_dt:.1f}s")
+        try:
+            with open(align_metrics) as fh:
+                am = json.load(fh)
+            log(f"align breakdown: device {am.get('device_seconds')}s, "
+                f"host-post {am.get('host_post_seconds')}s, "
+                f"cells/s {am.get('dp_cells_per_s')}")
+        except OSError:
+            pass
         t0 = time.time()
         n_workers = max(1, (os.cpu_count() or 2) - 1)
         collapse(os.path.join(tmp, "collapsed.bam"), layout,

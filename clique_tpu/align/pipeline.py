@@ -128,11 +128,19 @@ class BatchAligner:
 
     def __init__(self, scoring: AffineScoring, batch_size: int = 128,
                  length_quantum: int = 128, special_mode: str = "both",
-                 use_mesh: Optional[bool] = None):
+                 use_mesh: Optional[bool] = None,
+                 bandwidth: Optional[int] = None):
         self.params = dbatch.scoring_to_params(scoring)
         self.batch_size = batch_size
         self.quantum = length_quantum
         self.special_mode = special_mode
+        # Partial band (perform_affine_alignment_bandwidth,
+        # alignment_matrix.rs:376-425): half-width around the f64 band
+        # centers. None = full band (what every reference call site passes:
+        # max_indel = read length, alignment_functions.rs:383-449). The
+        # Mosaic fill is full-band only, so a partial band routes through
+        # the XLA scan fill.
+        self.bandwidth = bandwidth
         # The fused Mosaic fill (bit-identical to the XLA scan; see
         # tests/test_pallas_kernel.py) is the default on real TPUs - with
         # remainder-shape reuse it benched align 2.3s vs 3.4s per 20k reads
@@ -263,14 +271,24 @@ class BatchAligner:
             ref_lens[j] = len(r)
             read_lens[j] = len(d)
         bw = np.maximum(ref_lens, np.maximum(read_lens, 1))
+        band_centers = None
+        use_pallas = self.use_pallas
+        if self.bandwidth is not None:
+            bw = np.minimum(bw, np.int32(self.bandwidth))
+            band_centers = dbatch.band_centers_f64(ref_lens, read_lens, n1)
+            use_pallas = False   # Mosaic fill is full-band only
         args = (refs_arr, reads_arr, ref_lens, read_lens, bw)
         if self.mesh is not None:
             args = tuple(jax.device_put(a, self._data_sharding)
                          for a in args)
+            if band_centers is not None:
+                band_centers = jax.device_put(band_centers,
+                                              self._data_sharding)
         res, _tb = dbatch.align_batch_device(
             *args, self.params,
             n1=n1, n2=n2, special_mode=self.special_mode,
-            use_pallas=self.use_pallas, return_traceback=False)
+            use_pallas=use_pallas, return_traceback=False,
+            band_centers=band_centers)
         return group, refs_arr, reads_arr, res
 
 
@@ -304,6 +322,7 @@ def align_reads(
     metrics_path: Optional[str] = None,
     pipeline_threads: bool = True,
     profile_dir: Optional[str] = None,
+    bandwidth: Optional[int] = None,
 ) -> AlignStats:
     """The `clique align` equivalent (alignment_functions.rs:63-257).
 
@@ -343,10 +362,11 @@ def align_reads(
 
     if single_ref and not single_ref_native and engine != "wfa":
         aligner = BatchAligner(RUST_BIO_COMPAT, batch_size,
-                               special_mode="ref_n_only")
+                               special_mode="ref_n_only",
+                               bandwidth=bandwidth)
         report_zero_score = True   # the reference reports 0.0 here (:579)
     else:
-        aligner = BatchAligner(scoring, batch_size)
+        aligner = BatchAligner(scoring, batch_size, bandwidth=bandwidth)
         report_zero_score = False
     if engine == "wfa":
         from clique_tpu.align.wavefront import WfaAligner

@@ -73,6 +73,11 @@ def main(argv=None) -> int:
     p_align.add_argument("--anchored-min-length", type=int, default=2048,
                          help="reads at least this long route through the "
                               "anchored seed-and-extend path (DP engine)")
+    p_align.add_argument("--bandwidth", type=int, default=None,
+                         help="banded DP half-width around the length-"
+                              "proportional diagonal (alignment_matrix.rs"
+                              ":376-425); default full band, matching every "
+                              "reference call site (max_indel = read len)")
 
     p_collapse = sub.add_parser(
         "collapse", help="hierarchically sort, correct and collapse tags")
@@ -154,6 +159,7 @@ def main(argv=None) -> int:
             anchored_min_length=args.anchored_min_length,
             metrics_path=args.metrics,
             profile_dir=args.profile_dir,
+            bandwidth=args.bandwidth,
         )
         logging.info("align done: %s", stats)
         return 0

@@ -161,3 +161,25 @@ def test_parity_with_n_bases():
     ref = b"ACGTNNNNNNNNNNACGTACGT"
     read = b"ACGTGGCCGGCCGGACGTACGT"
     assert_parity([(ref, read)], scoring)
+
+
+def test_batch_aligner_bandwidth_knob():
+    """BatchAligner(bandwidth=k) routes through the banded XLA fill with
+    f64 band centers: outputs equal the golden banded affine_align
+    (perform_affine_alignment_bandwidth, alignment_matrix.rs:376-425).
+    The pipeline-level half of SURVEY row 9 (the driver previously always
+    passed a full band)."""
+    from clique_tpu.align.pipeline import BatchAligner
+
+    scoring = AffineScoring.aligner_default()
+    pairs = []
+    for n in (40, 80, 120):
+        ref = random_seq(n)
+        pairs.append((ref, mutate(ref, sub=0.05, indel=0.02)))
+    aligner = BatchAligner(scoring, batch_size=8, bandwidth=16)
+    out = aligner.align_pairs([p[0] for p in pairs], [p[1] for p in pairs])
+    for (ref, read), (a1, a2, cigar, score) in zip(pairs, out):
+        golden = affine_align(ref, read, scoring, bandwidth=16)
+        assert a1 == golden.reference_aligned
+        assert a2 == golden.read_aligned
+        assert score == golden.score
