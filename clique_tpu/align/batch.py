@@ -629,6 +629,39 @@ def cigar_from_ops_row(ops_row: np.ndarray, n: int):
     return [(int(e - s), "MDI"[ops_row[s]]) for s, e in zip(starts, ends)]
 
 
+def cigars_from_ops_batch(ops: np.ndarray, n_ops: np.ndarray):
+    """Run-length encode a whole [B, T] op matrix into per-row
+    [(count, op)] lists with one flat pass (no per-row numpy calls - the
+    per-read cigar_from_ops_row overhead dominated the align host time at
+    20k reads/batch)."""
+    B, T = ops.shape
+    if B == 0:
+        return []
+    j = np.arange(T, dtype=np.int64)
+    valid = j[None, :] < n_ops[:, None]
+    o = np.where(valid, ops, 255).astype(np.int16)
+    prev = np.empty_like(o)
+    prev[:, 0] = -1                       # row start always opens a run
+    prev[:, 1:] = o[:, :-1]
+    start = valid & (o != prev)
+    rows, cols = np.nonzero(start)
+    if len(rows) == 0:
+        return [[] for _ in range(B)]
+    ends = np.empty_like(cols)
+    ends[:-1] = cols[1:]
+    row_last = np.empty(len(rows), dtype=bool)
+    row_last[:-1] = rows[1:] != rows[:-1]
+    row_last[-1] = True
+    ends[row_last] = n_ops[rows[row_last]]
+    counts = (ends - cols).tolist()
+    opcodes = ops[rows, cols].tolist()
+    bounds = np.searchsorted(rows, np.arange(B + 1)).tolist()
+    sym = "MDI"
+    return [[(c, sym[v]) for c, v in
+             zip(counts[s:e], opcodes[s:e])]
+            for s, e in zip(bounds[:-1], bounds[1:])]
+
+
 def ops_to_alignment(ops: np.ndarray, n_ops: int, ref: bytes, read: bytes):
     """Expand a forward op sequence into (ref_aligned, read_aligned, cigar).
 

@@ -351,19 +351,19 @@ def sort_level(reads: List[SortingRead], tag: UMIConfiguration,
                known_lists: Dict[str, List[bytes]]) -> List[SortingRead]:
     """One correction level (collapse.rs:859-992 + correct_tags.rs): group by
     prior keys, correct the next tag within each group, re-emit."""
-    # group by the already-corrected key tuple (shardio sort equivalent)
-    reads_sorted = sorted(reads, key=lambda r: (r.reference_name,
-                                                r.key_tuple()))
+    # group by the already-corrected key tuple (shardio sort equivalent);
+    # keys computed once per read, not per comparison
+    keyed = sorted(((r.reference_name, r.key_tuple(), r) for r in reads),
+                   key=lambda t: (t[0], t[1]))
     groups: List[List[SortingRead]] = []
     i = 0
-    while i < len(reads_sorted):
+    n = len(keyed)
+    while i < n:
         j = i
-        key = (reads_sorted[i].reference_name, reads_sorted[i].key_tuple())
-        while j < len(reads_sorted) and \
-                (reads_sorted[j].reference_name,
-                 reads_sorted[j].key_tuple()) == key:
+        key = keyed[i][:2]
+        while j < n and keyed[j][:2] == key:
             j += 1
-        groups.append(reads_sorted[i:j])
+        groups.append([t[2] for t in keyed[i:j]])
         i = j
 
     # phase 1: per-group counts (push() length gating)

@@ -232,3 +232,68 @@ def test_align_min_read_length_drops_short_reads(tmp_path):
              if not l.startswith("@")]
     names = {l.split("\t")[0] for l in lines}
     assert "short1" not in names and "short2" not in names
+
+
+def test_batched_record_builder_matches_slow_path(tmp_path):
+    """_fill_records_from_raw (batch-level numpy record construction) must
+    produce byte-identical SamRecords to the per-read
+    AlignedRead.to_sam_record/_make_record path, including tag order,
+    digit captures through indels, rm/rs/as formatting and NaN rates."""
+    from clique_tpu.align.pipeline import (
+        AlignedRead, BatchAligner, _Pending, _fill_records_from_raw,
+        _make_record)
+    from clique_tpu.align.scoring import AffineScoring
+
+    layout_path = tmp_path / "layout.yaml"
+    layout_path.write_text(LAYOUT_YAML)
+    layout = SequenceLayout.from_yaml(str(layout_path))
+    rm = ReferenceManager.from_layout(layout)
+    ref_seq = rm.references[0].sequence
+
+    reads = []
+    for i in range(9):
+        arr = np.frombuffer(
+            ref_seq.replace(b"0", b"A").replace(b"1", b"C"),
+            dtype=np.uint8).copy()
+        subs = RNG.random(len(arr)) < 0.08
+        arr[subs] = RNG.choice(BASES, int(subs.sum()))
+        read = arr.tobytes()
+        if i % 3 == 1:        # deletion inside the cell-id zone
+            read = read[:28] + read[31:]
+        if i % 3 == 2:        # insertion
+            read = read[:50] + b"GGTT" + read[50:]
+        reads.append(read)
+
+    pending = [_Pending(name=f"r{i}", seq=s, quals=b"I" * len(s), ref_id=0)
+               for i, s in enumerate(reads)]
+    aligner = BatchAligner(AffineScoring.aligner_default(), batch_size=4)
+    refs = [ref_seq] * len(pending)
+
+    fast = [None] * len(pending)
+    for raw in aligner.align_pairs_raw(refs, [p.seq for p in pending]):
+        _fill_records_from_raw(raw, pending, fast, layout, rm,
+                               report_zero_score=False)
+
+    out = aligner.align_pairs(refs, [p.seq for p in pending])
+    slow = []
+    for p, (a1, a2, cigar, score) in zip(pending, out):
+        slow.append(_make_record(AlignedRead(
+            read_name=p.name, reference_name=rm.references[0].name,
+            reference_aligned=a1, read_aligned=a2, quals=p.quals,
+            cigar=cigar, score=score), layout))
+
+    for f, s in zip(fast, slow):
+        assert f == s, (f, s)
+
+
+def test_cigars_from_ops_batch_matches_row_rle():
+    from clique_tpu.align.batch import (cigar_from_ops_row,
+                                        cigars_from_ops_batch)
+
+    ops = RNG.integers(0, 3, size=(17, 33)).astype(np.uint8)
+    n_ops = RNG.integers(0, 34, size=17).astype(np.int32)
+    n_ops[0] = 0
+    n_ops[1] = 33
+    batch = cigars_from_ops_batch(ops, n_ops)
+    for b in range(17):
+        assert batch[b] == cigar_from_ops_row(ops[b], int(n_ops[b]))
