@@ -325,11 +325,31 @@ def _piece_keys(a: np.ndarray):
     return k
 
 
+def _join_pairs(keys0: np.ndarray, keys1: np.ndarray):
+    """All (row0, row1) index pairs with keys0[row0] == keys1[row1], via
+    one sort + searchsorted join — no per-bucket python loops (the
+    per-group triu/cross emission dominated collapse host time at ~10k
+    distinct cell tags)."""
+    order0 = np.argsort(keys0, kind="stable")
+    k0s = keys0[order0]
+    left = np.searchsorted(k0s, keys1, "left")
+    right = np.searchsorted(k0s, keys1, "right")
+    cnt = (right - left).astype(np.int64)
+    total = int(cnt.sum())
+    if total == 0:
+        return None
+    offs = np.cumsum(cnt) - cnt
+    intra = np.arange(total, dtype=np.int64) - np.repeat(offs, cnt)
+    rows0 = order0[np.repeat(left, cnt) + intra]
+    rows1 = np.repeat(np.arange(len(keys1), dtype=np.int64), cnt)
+    return rows0, rows1
+
+
 def _candidate_pairs_np(tags: List[bytes], max_distance: int
                         ) -> List[Tuple[int, int]]:
-    """Vectorized pigeonhole for equal-length tags: byte-block np.unique
-    replaces per-tag dict bucketing (the python build dominated collapse
-    host time at ~9k distinct cell tags)."""
+    """Vectorized pigeonhole for equal-length tags: byte-block packed keys
+    + flat searchsorted joins replace per-tag dict bucketing and
+    per-bucket pair loops."""
     N = len(tags)
     L = len(tags[0])
     arr = np.frombuffer(b"".join(tags), dtype=np.uint8).reshape(N, L)
@@ -345,12 +365,13 @@ def _candidate_pairs_np(tags: List[bytes], max_distance: int
         k0 = _piece_keys(a0)
         if k0 is None:
             _u, k0 = np.unique(a0, axis=0, return_inverse=True)
-        starts, ends, order = _emit_groups(k0)
-        for s0, e0 in zip(starts, ends):
-            if e0 - s0 > 1:
-                mem = order[s0:e0]
-                ii, jj = np.triu_indices(len(mem), 1)
-                chunks.append(np.stack([mem[ii], mem[jj]], axis=1))
+        # same-piece buckets: self-join, keep each unordered pair once
+        j = _join_pairs(k0, k0)
+        if j is not None:
+            r0, r1 = j
+            keep = r0 < r1
+            if keep.any():
+                chunks.append(np.stack([r0[keep], r1[keep]], axis=1))
         # shifted pieces join against the unshifted buckets
         for s in range(-max_distance, max_distance + 1):
             if s == 0 or lo + s < 0 or hi + s > L:
@@ -360,24 +381,16 @@ def _candidate_pairs_np(tags: List[bytes], max_distance: int
             if k_s is None:
                 _u, invb = np.unique(np.vstack([a0, a_s]), axis=0,
                                      return_inverse=True)
-                joined = invb
+                kk0, kk1 = invb[:N], invb[N:]
             else:
                 # same width as a0, so k0 holds packed (comparable) keys
-                joined = np.r_[k0, k_s]
-            # group the concatenated (side, row) stream by key id
-            side = np.r_[np.zeros(N, np.int8), np.ones(N, np.int8)]
-            row = np.r_[np.arange(N), np.arange(N)]
-            starts, ends, order = _emit_groups(joined)
-            for s0, e0 in zip(starts, ends):
-                g = order[s0:e0]
-                r0 = row[g[side[g] == 0]]
-                r1 = row[g[side[g] == 1]]
-                if len(r0) and len(r1):
-                    a = np.repeat(r1, len(r0))
-                    b = np.tile(r0, len(r1))
-                    keep = a != b
-                    if keep.any():
-                        chunks.append(np.stack([a[keep], b[keep]], axis=1))
+                kk0, kk1 = k0, k_s
+            j = _join_pairs(kk0, kk1)
+            if j is not None:
+                r0, r1 = j
+                keep = r0 != r1
+                if keep.any():
+                    chunks.append(np.stack([r1[keep], r0[keep]], axis=1))
 
     if not chunks:
         return []

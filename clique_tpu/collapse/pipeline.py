@@ -580,23 +580,21 @@ def write_outputs(reads: List[SortingRead], writer, rm: ReferenceManager,
     """write_consensus_reads / write_corrected_reads
     (consensus_builders.rs:34-165)."""
     ref_seqs = ref_seq_map(rm)
-    reads_sorted = sorted(reads, key=lambda r: (r.reference_name,
-                                                r.key_tuple()))
+    keyed = sorted(((r.reference_name, r.key_tuple(), r) for r in reads),
+                   key=lambda t: (t[0], t[1]))
     groups: List[List[SortingRead]] = []
     i = 0
-    while i < len(reads_sorted):
+    n = len(keyed)
+    while i < n:
         if correct_only:
-            groups.append([reads_sorted[i]])
+            groups.append([keyed[i][2]])
             i += 1
             continue
         j = i
-        key = (reads_sorted[i].reference_name,
-               reads_sorted[i].key_tuple())
-        while j < len(reads_sorted) and \
-                (reads_sorted[j].reference_name,
-                 reads_sorted[j].key_tuple()) == key:
+        key = keyed[i][:2]
+        while j < n and keyed[j][:2] == key:
             j += 1
-        groups.append(reads_sorted[i:j])
+        groups.append([t[2] for t in keyed[i:j]])
         i = j
 
     # per-group vectorized consensus is the default; the segment-sum
