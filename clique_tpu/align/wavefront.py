@@ -42,35 +42,51 @@ import numpy as np
 NEG = jnp.int32(-(1 << 30))
 
 
-def _extend(offsets, refs_i, reads_i, ks, l1, l2, valid):
-    """Greedy match extension of furthest-reaching offsets: offsets [B, K]
-    (h coordinates), diagonal values ks [K], per-element lengths l1/l2
-    [B, 1]. Advances all extendable lanes one char per iteration."""
-    B, K = offsets.shape
-    n1 = refs_i.shape[1]
-    n2 = reads_i.shape[1]
+def _is_wild(c):
+    return (c < 58) | (c == 78)
 
-    def can_extend(off):
-        h = off
-        v = off - ks[None, :]
-        ok = valid & (off > NEG) & (h < l1) & (v < l2) & (v >= 0) & (h >= 0)
-        rh = jnp.take_along_axis(refs_i, jnp.clip(h, 0, n1 - 1), axis=1)
-        rv = jnp.take_along_axis(reads_i, jnp.clip(v, 0, n2 - 1), axis=1)
-        return ok & (rh == rv)
 
-    def cond(state):
-        off, any_ext = state
-        return any_ext
+def _run_table(refs_i, reads_i, ks, l1, l2, wildcards: bool = False):
+    """Greedy-extension run lengths, precomputed: run[b, k, h] = number of
+    consecutive matching characters along diagonal k starting at offset h
+    (0 where (h, h-k) is out of bounds).
 
-    def body(state):
-        off, _ = state
-        ext = can_extend(off)
-        off = jnp.where(ext, off + 1, off)
-        return off, jnp.any(can_extend(off))
+    The naive extension loop advances one character per `while_loop`
+    iteration with a [B, K] gather per check — per-step dynamic gathers
+    are pathologically slow on TPU, and low-divergence reads extend
+    across nearly their whole length, so that loop dominated every WFA
+    kernel. This table is built once per kernel call from pure
+    elementwise ops + one reverse cummin, and each extension becomes a
+    single take_along_axis on it."""
+    B, n1w = refs_i.shape
+    n2w = reads_i.shape[1]
+    K = ks.shape[0]
+    H = n1w + 1                                   # offsets 0..n1w
+    h = jnp.arange(H, dtype=jnp.int32)
+    v = h[None, :] - ks[:, None]                  # [K, H]
+    rv = jnp.take(reads_i, jnp.clip(v, 0, n2w - 1), axis=1)   # [B, K, H]
+    rh = jnp.take(refs_i, jnp.clip(h, 0, n1w - 1), axis=1)    # [B, H]
+    rh = rh[:, None, :]
+    eq = rh == rv
+    if wildcards:
+        eq = eq | _is_wild(rh) | _is_wild(rv)
+    l1b = l1[:, 0][:, None, None]
+    l2b = l2[:, 0][:, None, None]
+    ok = (h[None, None, :] < l1b) & (v[None, :, :] >= 0) & \
+        (v[None, :, :] < l2b)
+    eq = eq & ok
+    # next non-match position at or after h, via reverse cummin
+    z = jnp.where(eq, jnp.int32(H), h[None, None, :])
+    nz = jnp.flip(jax.lax.cummin(jnp.flip(z, axis=-1), axis=2), axis=-1)
+    return nz - h[None, None, :]                  # [B, K, H] i32
 
-    off, _ = jax.lax.while_loop(cond, body,
-                                (offsets, jnp.any(can_extend(offsets))))
-    return off
+
+def _table_extend(offsets, run, valid, n1w: int):
+    """One-gather greedy extension against a _run_table."""
+    ok = valid & (offsets > NEG) & (offsets >= 0)
+    offc = jnp.clip(offsets, 0, n1w)
+    r = jnp.take_along_axis(run, offc[:, :, None], axis=2)[:, :, 0]
+    return jnp.where(ok, offsets + r, offsets)
 
 
 @functools.partial(jax.jit, static_argnames=("n1", "n2", "smax"))
@@ -96,8 +112,10 @@ def wfa_edit_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
         return (jnp.abs(ks)[None, :] <= s) & \
             (ks[None, :] >= -l2) & (ks[None, :] <= l1)
 
+    n1w = refs_i.shape[1]
+    run = _run_table(refs_i, reads_i, ks, l1, l2)
     m0 = jnp.where((ks == 0)[None, :] & jnp.ones((B, 1), bool), 0, NEG)
-    m0 = _extend(m0, refs_i, reads_i, ks, l1, l2, diag_valid(0))
+    m0 = _table_extend(m0, run, diag_valid(0), n1w)
 
     def done(m):
         tgt = jnp.take_along_axis(m, (k_target + Kmax)[:, None], axis=1)[:, 0]
@@ -121,7 +139,7 @@ def wfa_edit_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
         # clamp to the rectangle
         v = new - ks[None, :]
         new = jnp.where((new <= l1) & (v <= l2), new, NEG)
-        new = _extend(new, refs_i, reads_i, ks, l1, l2, vld)
+        new = _table_extend(new, run, vld, n1w)
         result = jnp.where((result < 0) & done(new), s1, result)
         return s1, new, result
 
@@ -168,8 +186,10 @@ def wfa_affine_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
             (ks[None, :] >= -l2) & (ks[None, :] <= l1)
 
     neg_wf = jnp.full((B, K), NEG, jnp.int32)
+    n1w = refs_i.shape[1]
+    run = _run_table(refs_i, reads_i, ks, l1, l2)
     m0 = jnp.where((ks == 0)[None, :] & jnp.ones((B, 1), bool), 0, NEG)
-    m0 = _extend(m0, refs_i, reads_i, ks, l1, l2, diag_valid(0))
+    m0 = _table_extend(m0, run, diag_valid(0), n1w)
 
     # ring buffers [hist, B, K] for M, I, D; index s % hist
     M = jnp.full((hist, B, K), NEG, jnp.int32).at[0].set(m0)
@@ -213,7 +233,7 @@ def wfa_affine_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
         new_m = clamp(jnp.where(vld, new_m, NEG))
         new_i = clamp(jnp.where(vld, new_i, NEG))
         new_d = clamp(jnp.where(vld, new_d, NEG))
-        new_m = _extend(new_m, refs_i, reads_i, ks, l1, l2, vld)
+        new_m = _table_extend(new_m, run, vld, n1w)
 
         idx = s1 % hist
         M = M.at[idx].set(new_m)
@@ -264,8 +284,10 @@ def wfa_affine2p_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
             (ks[None, :] >= -l2) & (ks[None, :] <= l1)
 
     neg_wf = jnp.full((B, K), NEG, jnp.int32)
+    n1w = refs_i.shape[1]
+    run = _run_table(refs_i, reads_i, ks, l1, l2)
     m0 = jnp.where((ks == 0)[None, :] & jnp.ones((B, 1), bool), 0, NEG)
-    m0 = _extend(m0, refs_i, reads_i, ks, l1, l2, diag_valid(0))
+    m0 = _table_extend(m0, run, diag_valid(0), n1w)
 
     bufs = {name: jnp.full((hist, B, K), NEG, jnp.int32)
             for name in ("M", "I1", "D1", "I2", "D2")}
@@ -311,7 +333,7 @@ def wfa_affine2p_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
             mism, jnp.maximum(jnp.maximum(new["I1"], new["D1"]),
                               jnp.maximum(new["I2"], new["D2"])))
         nm = clamp(jnp.where(vld, nm, NEG))
-        nm = _extend(nm, refs_i, reads_i, ks, l1, l2, vld)
+        nm = _table_extend(nm, run, vld, n1w)
 
         idx = s1 % hist
         M = M.at[idx].set(nm)
@@ -366,35 +388,11 @@ def wfa_affine_tb_batch(refs, reads, ref_lens, read_lens, *, n1: int,
     target_ok = jnp.abs(k_target) <= Kmax
     k_target_c = jnp.clip(k_target, -Kmax, Kmax)
 
-    def is_wild(c):
-        return (c < 58) | (c == 78)
+    n1w = refs_i.shape[1]
+    run = _run_table(refs_i, reads_i, ks, l1, l2, wildcards=wildcards)
 
     def _extend_w(offsets, valid):
-        def can_extend(off):
-            h = off
-            v = off - ks[None, :]
-            ok = valid & (off > NEG) & (h < l1) & (v < l2) & (v >= 0) & \
-                (h >= 0)
-            rh = jnp.take_along_axis(refs_i, jnp.clip(h, 0, n1 - 1), axis=1)
-            rv = jnp.take_along_axis(reads_i, jnp.clip(v, 0, n2 - 1), axis=1)
-            eq = rh == rv
-            if wildcards:
-                eq = eq | is_wild(rh) | is_wild(rv)
-            return ok & eq
-
-        def cond(state):
-            _off, any_ext = state
-            return any_ext
-
-        def body(state):
-            off, _ = state
-            ext = can_extend(off)
-            off = jnp.where(ext, off + 1, off)
-            return off, jnp.any(can_extend(off))
-
-        off, _ = jax.lax.while_loop(
-            cond, body, (offsets, jnp.any(can_extend(offsets))))
-        return off
+        return _table_extend(offsets, run, valid, n1w)
 
     def clamp(offs):
         v = offs - ks[None, :]
@@ -555,14 +553,29 @@ def wfa_replay_cigar(a: bytes, b: bytes, skeleton,
                      wildcards: bool = False):
     """Rebuild the full CIGAR from an op skeleton by replaying greedy
     match extension (deterministic, identical to the kernel's _extend).
-    Returns [(count, op)] with 'M' covering matches+mismatches."""
+    Returns [(count, op)] with 'M' covering matches+mismatches.
+
+    Each extension is one numpy slice comparison instead of a per-byte
+    python loop (extensions cover nearly the whole read on low-divergence
+    HiFi input, and this replay was the HiFi align bottleneck)."""
+    import numpy as np
+
     h = v = 0
     l1, l2 = len(a), len(b)
+    a_arr = np.frombuffer(a, dtype=np.uint8)
+    b_arr = np.frombuffer(b, dtype=np.uint8)
+    stop_a = (a_arr >= 58) & (a_arr != 78) if wildcards else None
+    stop_b = (b_arr >= 58) & (b_arr != 78) if wildcards else None
 
-    def matches(h, v):
-        if a[h] == b[v]:
-            return True
-        return wildcards and (_wild(a[h]) or _wild(b[v]))
+    def run_len(h, v):
+        n = min(l1 - h, l2 - v)
+        if n <= 0:
+            return 0
+        stop = a_arr[h:h + n] != b_arr[v:v + n]
+        if wildcards:
+            stop &= stop_a[h:h + n] & stop_b[v:v + n]
+        i = int(stop.argmax())
+        return i if stop[i] else n
 
     raw: list = []
 
@@ -579,11 +592,9 @@ def wfa_replay_cigar(a: bytes, b: bytes, skeleton,
             # M state: greedy extension happened before this op in the
             # forward pass (lowercase gap-extends have no matches before
             # them — they continue an open gap)
-            run = 0
-            while h < l1 and v < l2 and matches(h, v):
-                h += 1
-                v += 1
-                run += 1
+            run = run_len(h, v)
+            h += run
+            v += run
             emit("M", run)
         if op == "X":
             emit("M", 1)
@@ -595,11 +606,9 @@ def wfa_replay_cigar(a: bytes, b: bytes, skeleton,
         elif op in ("D", "d"):
             emit("D", 1)
             h += 1
-    run = 0
-    while h < l1 and v < l2 and matches(h, v):
-        h += 1
-        v += 1
-        run += 1
+    run = run_len(h, v)
+    h += run
+    v += run
     emit("M", run)
     if h != l1 or v != l2:
         raise ValueError(
