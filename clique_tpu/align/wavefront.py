@@ -33,6 +33,7 @@ read length and fit comfortably in HBM.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -78,7 +79,8 @@ def _run_table(refs_i, reads_i, ks, l1, l2, wildcards: bool = False):
     # next non-match position at or after h, via reverse cummin
     z = jnp.where(eq, jnp.int32(H), h[None, None, :])
     nz = jnp.flip(jax.lax.cummin(jnp.flip(z, axis=-1), axis=2), axis=-1)
-    return nz - h[None, None, :]                  # [B, K, H] i32
+    # i16 halves the dominant HBM buffer; run lengths <= H < 2^15
+    return (nz - h[None, None, :]).astype(jnp.int16)   # [B, K, H]
 
 
 def _table_extend(offsets, run, valid, n1w: int):
@@ -86,7 +88,7 @@ def _table_extend(offsets, run, valid, n1w: int):
     ok = valid & (offsets > NEG) & (offsets >= 0)
     offc = jnp.clip(offsets, 0, n1w)
     r = jnp.take_along_axis(run, offc[:, :, None], axis=2)[:, :, 0]
-    return jnp.where(ok, offsets + r, offsets)
+    return jnp.where(ok, offsets + r.astype(jnp.int32), offsets)
 
 
 @functools.partial(jax.jit, static_argnames=("n1", "n2", "smax"))
@@ -761,7 +763,7 @@ class WfaAligner:
     path; exact values differ from the DP scoring scheme by design)."""
 
     def __init__(self, x: int = 4, o: int = 6, e: int = 2,
-                 batch_size: int = 128, length_quantum: int = 128,
+                 batch_size: int = 512, length_quantum: int = 128,
                  wildcards: bool = True, s0: Optional[int] = None,
                  dp_fallback=None):
         self.x, self.o, self.e = x, o, e
@@ -783,6 +785,21 @@ class WfaAligner:
     def _ceil_b(self, n: int) -> int:
         b = 32
         while b < n:
+            b *= 2
+        return b
+
+    def _mem_cap(self, L: int, smax: int) -> int:
+        """Largest power-of-2 lane count whose kernel HBM footprint (the
+        [B, K, H] i16 run table dominates, plus the [smax+1, B, K] op
+        store) fits the budget (CLIQUE_WFA_MEM_BUDGET, default 512MB) —
+        long-read buckets run in smaller slices instead of OOMing."""
+        kmax = min(2 * L, smax)
+        K = 2 * kmax + 1
+        per_lane = K * ((L + 1) * 2 + (smax + 1))
+        budget = int(os.environ.get("CLIQUE_WFA_MEM_BUDGET",
+                                    str(512 << 20)))
+        b = 32
+        while b * 2 * per_lane <= budget:
             b *= 2
         return b
 
@@ -813,37 +830,15 @@ class WfaAligner:
         remaining = list(group)
         smax = self.s0 if self.s0 is not None else max(64, L // 4)
         while remaining:
-            B = self._ceil_b(len(remaining))
-            a = np.zeros((B, L), dtype=np.uint8)
-            b = np.zeros((B, L), dtype=np.uint8)
-            la = np.zeros(B, dtype=np.int32)
-            lb = np.zeros(B, dtype=np.int32)
-            for j, k in enumerate(remaining):
-                r, d = refs[k], reads[k]
-                a[j, :len(r)] = np.frombuffer(r, dtype=np.uint8)
-                b[j, :len(d)] = np.frombuffer(d, dtype=np.uint8)
-                la[j], lb[j] = len(r), len(d)
-            scores, ops = wfa_affine_tb_batch(
-                a, b, la, lb, n1=L, n2=L, smax=smax, x=self.x, o=self.o,
-                e=self.e, wildcards=self.wildcards)
-            scores = np.asarray(scores)
-            ops = np.asarray(ops)
-            skeletons = wfa_backtrace_ops(
-                ops[:, :len(remaining)], scores[:len(remaining)],
-                (la - lb)[:len(remaining)], x=self.x, o=self.o, e=self.e)
+            cap = self._mem_cap(L, smax)
             censored = []
-            for j, k in enumerate(remaining):
-                if skeletons[j] is None:
-                    censored.append(k)
-                    continue
-                cig = wfa_replay_cigar(refs[k], reads[k], skeletons[j],
-                                       wildcards=self.wildcards)
-                ra, da = cigar_to_aligned(refs[k], reads[k], cig)
-                results[k] = (ra, da, cig, -float(scores[j]))
-                self.cells_filled += len(refs[k]) * len(reads[k])
+            for lo in range(0, len(remaining), cap):
+                censored.extend(self._align_chunk(
+                    remaining[lo:lo + cap], refs, reads, L, smax, results))
             if not censored:
                 return
             if smax > 2 * L:
+                remaining = censored
                 break
             remaining = censored
             smax *= 4
@@ -862,6 +857,59 @@ class WfaAligner:
                 ra, da = cigar_to_aligned(refs[k], reads[k], cig)
                 results[k] = (ra, da, cig, -float(pen))
                 self.cells_filled += len(refs[k]) * len(reads[k])
+
+    def _align_chunk(self, remaining, refs, reads, L, smax, results):
+        """One kernel dispatch over <= mem-cap lanes; returns the censored
+        (still-unsolved) indices."""
+        B = self._ceil_b(len(remaining))
+        a = np.zeros((B, L), dtype=np.uint8)
+        b = np.zeros((B, L), dtype=np.uint8)
+        la = np.zeros(B, dtype=np.int32)
+        lb = np.zeros(B, dtype=np.int32)
+        for j, k in enumerate(remaining):
+            r, d = refs[k], reads[k]
+            a[j, :len(r)] = np.frombuffer(r, dtype=np.uint8)
+            b[j, :len(d)] = np.frombuffer(d, dtype=np.uint8)
+            la[j], lb[j] = len(r), len(d)
+        scores, ops = wfa_affine_tb_batch(
+            a, b, la, lb, n1=L, n2=L, smax=smax, x=self.x, o=self.o,
+            e=self.e, wildcards=self.wildcards)
+        scores = np.asarray(scores)
+        nrem = len(remaining)
+        sc = scores[:nrem]
+        alive = sc <= smax
+        if alive.any():
+            # Transfer only the backtrace-reachable ops window: every
+            # walk stays at score row <= s* (batch max penalty) and
+            # diagonal |k| <= s* (each diagonal step costs >= 1), so
+            # rows above s* and outer diagonals are dead weight — the
+            # device->host hop through the tunnel was 4x the kernel
+            # time at the full [smax+1, B, K] store.
+            s_star = int(sc[alive].max())
+            kmax = min(2 * L, smax)
+            # quantize the window dims (and keep the padded batch dim)
+            # so the device slice only has a handful of shape variants
+            # per (B, L, smax) bucket — every distinct slice shape is
+            # its own XLA compile through the relay
+            rows = min(smax + 1, -(-(s_star + 1) // 16) * 16)
+            w = min(kmax, rows - 1)
+            ops_np = np.asarray(ops[:rows, :, kmax - w:kmax + w + 1])
+            skeletons = wfa_backtrace_ops(
+                ops_np[:, :nrem], sc, (la - lb)[:nrem],
+                x=self.x, o=self.o, e=self.e)
+        else:
+            skeletons = [None] * nrem
+        censored = []
+        for j, k in enumerate(remaining):
+            if skeletons[j] is None:
+                censored.append(k)
+                continue
+            cig = wfa_replay_cigar(refs[k], reads[k], skeletons[j],
+                                   wildcards=self.wildcards)
+            ra, da = cigar_to_aligned(refs[k], reads[k], cig)
+            results[k] = (ra, da, cig, -float(scores[j]))
+            self.cells_filled += len(refs[k]) * len(reads[k])
+        return censored
 
 
 def wfa_screen_candidates(refs, reads, *, x: int = 4, o: int = 6,

@@ -178,3 +178,38 @@ def test_wfa_engine_high_divergence_falls_back(tmp_path):
     assert stats.aligned == 2
     names = {r.name for r in read_bam(str(out))}
     assert "garbage" in names
+
+
+def test_wfa_aligner_adaptive_retry_and_mem_cap(monkeypatch):
+    """WfaAligner unit paths: (a) a tiny initial score ceiling forces the
+    adaptive 4x-retry loop; (b) a tiny CLIQUE_WFA_MEM_BUDGET forces the
+    per-chunk dispatch split. Both must reproduce the unconstrained
+    engine's CIGARs and scores exactly (wavefront_heuristic.o score-cutoff
+    role, SURVEY 2.9)."""
+    from clique_tpu.align.wavefront import WfaAligner
+
+    rng = np.random.default_rng(5)
+    L = 150
+    pairs = []
+    for _ in range(40):
+        ref = rng.choice(BASES, L).tobytes()
+        read = bytearray(ref)
+        for p in rng.choice(L, 6, replace=False):   # ~4% divergence
+            read[p] = BASES[rng.integers(4)]
+        pairs.append((ref, bytes(read)))
+    refs = [p[0] for p in pairs]
+    reads = [p[1] for p in pairs]
+
+    base = WfaAligner().align_pairs(refs, reads)
+    assert all(r is not None for r in base)
+
+    retry = WfaAligner(s0=2).align_pairs(refs, reads)
+    for b, r in zip(base, retry):
+        assert b[2] == r[2] and b[3] == r[3]
+
+    monkeypatch.setenv("CLIQUE_WFA_MEM_BUDGET", str(1 << 20))  # 1MB
+    capped_engine = WfaAligner()
+    assert capped_engine._mem_cap(L, 64) == 32  # budget actually binds
+    capped = capped_engine.align_pairs(refs, reads)
+    for b, r in zip(base, capped):
+        assert b[2] == r[2] and b[3] == r[3]
