@@ -131,6 +131,23 @@ def correct_known_levenshtein(counts: Dict[bytes, int], allowlist: List[bytes],
     return out
 
 
+_TRIU_CACHE: Dict[int, np.ndarray] = {}
+
+
+def _triu_pairs(n: int) -> np.ndarray:
+    """All (i, j<i) index pairs as one [P, 2] i64 array, cached by n —
+    sort_level calls degenerate_prepare once per UMI bin, and bins within a
+    level share a handful of sizes."""
+    hit = _TRIU_CACHE.get(n)
+    if hit is None:
+        ii, jj = np.triu_indices(n, 1)
+        hit = np.stack([ii, jj], axis=1).astype(np.int64)
+        if len(_TRIU_CACHE) > 512:
+            _TRIU_CACHE.clear()
+        _TRIU_CACHE[n] = hit
+    return hit
+
+
 def degenerate_prepare(counts: Dict[bytes, int], max_distance: int,
                        length: int, collapse_ratio: float = 5.0):
     """Stage 1 of correct_degenerate: normalize tags, build the padded tag
@@ -164,8 +181,7 @@ def degenerate_prepare(counts: Dict[bytes, int], max_distance: int,
                 b"".join([tags[i] for i in idx]), dtype=np.uint8
             ).reshape(len(idx), int(g))
     if len(tags) <= 4096:
-        ii, jj = np.triu_indices(len(tags), 1)
-        pairs = np.stack([ii, jj], axis=1).astype(np.int64)
+        pairs = _triu_pairs(len(tags))
     else:
         padded = [t + b"-" * (max_len - len(t)) for t in tags]
         pairs = np.array(candidate_pairs(padded, max_distance),

@@ -175,7 +175,15 @@ class CollapseStats:
 
 
 class _RefIngest:
-    """Per-reference ingestion state for the single-pass BAM scan."""
+    """Per-reference ingestion state for the single-pass BAM scan.
+
+    Records are buffered and drained in batches: the dominant read class
+    (all-M/=/X CIGARs sharing (pos, span) — amplicon reads) goes through a
+    fully vectorized recovery + digit-capture + validity pass over one
+    [G, L] matrix; everything else falls back to the per-read path. Output
+    order and semantics are identical to per-record ingestion."""
+
+    _DRAIN_AT = 4096
 
     def __init__(self, reference_name: str, rm: ReferenceManager,
                  layout: SequenceLayout, spill=None,
@@ -193,8 +201,26 @@ class _RefIngest:
         # SURVEY section 5 asks for them lifted into config)
         self.min_aligned_bases = min_aligned_bases
         self.min_identical = min_identical
+        self._buf: List[SamRecord] = []
+        # per-symbol wildcard positions in the native reference (the
+        # stretched reference equals the native one for gapless alignments,
+        # so digit capture is a fixed column gather for the whole class)
+        import numpy as np
+
+        seq_a = np.frombuffer(self.sequence, dtype=np.uint8)
+        self._sym_pos = {u.symbol: np.nonzero(seq_a == ord(u.symbol))[0]
+                         for u in self.cfg.umi_configurations.values()}
+        self._ordered_umis = sorted(self.cfg.umi_configurations.values(),
+                                    key=lambda u: u.order)
 
     def ingest(self, rec: SamRecord, stats: "CollapseStats") -> None:
+        self._buf.append(rec)
+        if len(self._buf) >= self._DRAIN_AT:
+            self._drain(stats)
+
+    def _ingest_one(self, rec: SamRecord) -> Optional[SortingRead]:
+        """Per-read path (soft clips / indel CIGARs / extractor zones);
+        returns None when tag validation fails."""
         from clique_tpu.extract.extractor import extract_digit_tags_fast
 
         fast = recover_aligned_sequences_fast(
@@ -216,10 +242,8 @@ class _RefIngest:
             tags = extract_tagged_sequences(aligned_read, stretched)
         invalid, ordered = extract_tag_sequences(self.cfg, tags)
         if invalid:
-            stats.invalid_tags += 1
-            return
-
-        self.out.append(SortingRead(
+            return None
+        return SortingRead(
             read_name=rec.name,
             reference_name=self.name,
             reference_aligned=aligned_ref,
@@ -229,13 +253,91 @@ class _RefIngest:
             reference_start=rec.pos,
             score=0.0,
             unsorted_keys=deque(ordered),
-        ))
+        )
+
+    def _ingest_class(self, buf: List[SamRecord], idxs: List[int], pos: int,
+                      n: int, results: List[Optional[SortingRead]]) -> None:
+        """Vectorized ingestion of one (pos, span) all-match class: the
+        aligned read is the sequence gap-padded into the reference frame,
+        the stretched reference IS the native wildcard reference, and every
+        row shares the same digit-capture columns."""
+        import numpy as np
+
+        L = len(self.sequence)
+        G = len(idxs)
+        mat = np.full((G, L), GAP, dtype=np.uint8)
+        block = b"".join(buf[i].seq[:n] for i in idxs)
+        mat[:, pos - 1:pos - 1 + n] = \
+            np.frombuffer(block, dtype=np.uint8).reshape(G, n)
+        invalid = np.zeros(G, dtype=bool)
+        tag_cols: List[Tuple[str, "np.ndarray"]] = []
+        for umi in self._ordered_umis:
+            pidx = self._sym_pos.get(umi.symbol)
+            if pidx is None or len(pidx) == 0:
+                # missing capture: invalid, tag not collected
+                # (extract_tag_sequences, extractor.rs:355-410)
+                invalid[:] = True
+                continue
+            cap = mat[:, pidx]
+            if cap.shape[1] != umi.length:
+                invalid[:] = True
+            if umi.max_gaps is not None:
+                invalid |= (cap == GAP).sum(axis=1) > umi.max_gaps
+            tag_cols.append((umi.symbol, cap))
+        row_bytes = mat.tobytes()
+        for j, i in enumerate(idxs):
+            if invalid[j]:
+                continue
+            rec = buf[i]
+            ordered = [(sym, cap[j].tobytes()) for sym, cap in tag_cols]
+            results[i] = SortingRead(
+                read_name=rec.name,
+                reference_name=self.name,
+                reference_aligned=self.sequence,
+                read_aligned=row_bytes[j * L:(j + 1) * L],
+                read_quals=rec.qual if rec.qual != b"*" else None,
+                cigar=list(rec.cigar),
+                reference_start=rec.pos,
+                score=0.0,
+                unsorted_keys=deque(ordered),
+            )
+
+    def _drain(self, stats: "CollapseStats") -> None:
+        if not self._buf:
+            return
+        buf, self._buf = self._buf, []
+        results: List[Optional[SortingRead]] = [None] * len(buf)
+        slow: List[int] = []
+        classes: Dict[Tuple[int, int], List[int]] = {}
+        if self.all_digits:
+            L = len(self.sequence)
+            for i, rec in enumerate(buf):
+                cig = rec.cigar
+                if cig and all(op in "M=X" for _c, op in cig):
+                    n = sum(c for c, _op in cig)
+                    if rec.pos >= 1 and rec.pos - 1 + n <= L and \
+                            len(rec.seq) >= n:
+                        classes.setdefault((rec.pos, n), []).append(i)
+                        continue
+                slow.append(i)
+        else:
+            slow = list(range(len(buf)))
+        for (pos, n), idxs in classes.items():
+            self._ingest_class(buf, idxs, pos, n, results)
+        for i in slow:
+            results[i] = self._ingest_one(buf[i])
+        for r in results:
+            if r is None:
+                stats.invalid_tags += 1
+            else:
+                self.out.append(r)
         if self.spill is not None and len(self.out) >= 8192:
             self.n_passing += _filter_chunk(self.out, stats, self.spill,
                                             self.min_aligned_bases,
                                             self.min_identical)
 
     def finish(self, stats: "CollapseStats") -> List[SortingRead]:
+        self._drain(stats)
         if self.spill is not None:
             self.n_passing += _filter_chunk(self.out, stats, self.spill,
                                             self.min_aligned_bases,

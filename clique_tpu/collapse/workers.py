@@ -447,9 +447,32 @@ def collapse_parallel(output_path: str, layout, input_bam: str,
                  "(%d references, %d workers)", input_bam,
                  len(rm.references), n_workers)
         t0 = time.time()
-        reads_by_ref = parallel_ingest_inram(
-            pool, input_bam, layout, blob_dir, stats,
-            min_aligned_bases, min_identical)
+        # Small inputs: batched single-process ingest beats the worker
+        # fanout's spawn/import + pickle floor (the batch-vectorized
+        # _RefIngest path runs ~60k reads/s single-threaded); the pool
+        # keeps warming asynchronously for the consensus stage. Large
+        # inputs fan chunks over the pool as before.
+        inline_max = int(os.environ.get("CLIQUE_PAR_INGEST_MIN",
+                                        str(8 << 20)))
+        try:
+            inline = os.path.getsize(input_bam) < inline_max
+        except OSError:
+            inline = False
+        if inline:
+            from clique_tpu.collapse.pipeline import (
+                _RefIngest,
+                ingest_bam_single_pass,
+            )
+
+            ings = {name: _RefIngest(name, rm, layout,
+                                     min_aligned_bases=min_aligned_bases,
+                                     min_identical=min_identical)
+                    for name in layout.references}
+            reads_by_ref = ingest_bam_single_pass(input_bam, ings, stats)
+        else:
+            reads_by_ref = parallel_ingest_inram(
+                pool, input_bam, layout, blob_dir, stats,
+                min_aligned_bases, min_identical)
         metrics["ingest_s"] = round(time.time() - t0, 3)
 
         t0 = time.time()
