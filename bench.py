@@ -171,7 +171,7 @@ def _supervised() -> None:
     record (single runs are noisy; see CLAUDE.md TPU tunnel rules)."""
     import subprocess
 
-    healthy_min = float(os.environ.get("CLIQUE_BENCH_HEALTHY_MIN", "3300"))
+    healthy_min = float(os.environ.get("CLIQUE_BENCH_HEALTHY_MIN", "4200"))
     # kernel-code changes invalidate the persistent XLA cache; a cold run
     # recompiles every big shape variant through the remote relay (minutes
     # each), so the child budget must cover a full recompile set

@@ -603,12 +603,14 @@ def ops_to_alignments_batch(ops: np.ndarray, n_ops: np.ndarray,
     valid = ops != OP_DONE
     r_step = valid & (ops != OP_INS)
     d_step = valid & (ops != OP_DEL)
-    r_idx = np.cumsum(r_step, axis=1)
-    d_idx = np.cumsum(d_step, axis=1)
-    ref_g = np.take_along_axis(
-        refs_arr, np.clip(r_idx - 1, 0, refs_arr.shape[1] - 1), axis=1)
-    read_g = np.take_along_axis(
-        reads_arr, np.clip(d_idx - 1, 0, reads_arr.shape[1] - 1), axis=1)
+    r_idx = np.cumsum(r_step, axis=1, dtype=np.int32)
+    d_idx = np.cumsum(d_step, axis=1, dtype=np.int32)
+    np.subtract(r_idx, 1, out=r_idx)
+    np.subtract(d_idx, 1, out=d_idx)
+    np.clip(r_idx, 0, refs_arr.shape[1] - 1, out=r_idx)
+    np.clip(d_idx, 0, reads_arr.shape[1] - 1, out=d_idx)
+    ref_g = np.take_along_axis(refs_arr, r_idx, axis=1)
+    read_g = np.take_along_axis(reads_arr, d_idx, axis=1)
     aligned_ref = np.where(r_step, ref_g, GAP).astype(np.uint8)
     aligned_read = np.where(d_step, read_g, GAP).astype(np.uint8)
     aligned_ref[~valid] = 0

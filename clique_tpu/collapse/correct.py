@@ -30,6 +30,7 @@ import numpy as np
 
 from clique_tpu.collapse.distance import (
     candidate_pairs,
+    candidate_pairs_array,
     candidates_to_allowlist,
     edit_distance_pairs,
     hamming_hits,
@@ -184,8 +185,7 @@ def degenerate_prepare(counts: Dict[bytes, int], max_distance: int,
         pairs = _triu_pairs(len(tags))
     else:
         padded = [t + b"-" * (max_len - len(t)) for t in tags]
-        pairs = np.array(candidate_pairs(padded, max_distance),
-                         dtype=np.int64).reshape(-1, 2)
+        pairs = candidate_pairs_array(padded, max_distance)
     cnt = np.fromiter((norm_counts[t] for t in tags), np.int64,
                       count=len(tags))
     ci, cj = cnt[pairs[:, 0]], cnt[pairs[:, 1]]
@@ -230,50 +230,128 @@ def correct_degenerate_groups(group_counts, max_distance: int, length: int,
                               collapse_ratio: float = 5.0):
     """Batched correct_degenerate over many groups: one device distance
     call for every group's candidate pairs combined (per-group device
-    dispatches dominate wall-clock on high-latency links). Pair sequences
-    are gathered by numpy row indexing - no per-pair python objects."""
+    dispatches dominate wall-clock on high-latency links), and ONE flat
+    preparation pass — groups whose normalized tags all have the standard
+    length share a single tag matrix, cached-triu pair index array, and
+    count-ratio pre-filter (the per-group numpy constants of
+    degenerate_prepare dominated the level's host time at ~1k bins)."""
     from clique_tpu.collapse.distance import edit_distance_rows
 
-    prepared = [degenerate_prepare(c, max_distance, length, collapse_ratio)
-                for c in group_counts]
-    L = max((p[2].shape[1] for p in prepared if p[2] is not None), default=0)
-    Lk = max(32, L)
-    spans = []
-    total = 0
-    for _nc, _tags, mat, pairs, ready in prepared:
-        if ready is not None or pairs is None or len(pairs) == 0:
-            spans.append((0, 0))
+    n_groups = len(group_counts)
+    results: List[Optional[Dict[bytes, bytes]]] = [None] * n_groups
+    norm_list: List[Optional[Counter]] = [None] * n_groups
+    tag_lists: List[Optional[List[bytes]]] = [None] * n_groups
+    flat: List[int] = []       # uniform-length multi-tag groups
+    odd: List[int] = []        # fall back to degenerate_prepare
+    for gi, counts in enumerate(group_counts):
+        if not counts:
+            results[gi] = {}
             continue
-        spans.append((total, total + len(pairs)))
-        total += len(pairs)
+        nc: Counter = Counter()
+        for tag, c in counts.items():
+            nc[normalize_tag(tag, length)] += c
+        norm_list[gi] = nc
+        tags = list(nc.keys())
+        tag_lists[gi] = tags
+        if len(tags) == 1:
+            results[gi] = {tags[0]: tags[0]}
+        elif len(tags) <= 4096 and all(len(t) == length for t in tags):
+            flat.append(gi)
+        else:
+            odd.append(gi)
+
+    # --- flat path: one matrix + one pair array across all groups -----------
+    seg_A = seg_B = None
+    flat_pairs = flat_bounds = None
+    if flat:
+        sizes = np.fromiter((len(tag_lists[gi]) for gi in flat), np.int64,
+                            count=len(flat))
+        offs = np.concatenate(([0], np.cumsum(sizes)))
+        mat = np.frombuffer(
+            b"".join(t for gi in flat for t in tag_lists[gi]),
+            dtype=np.uint8).reshape(int(offs[-1]), length)
+        cnt = np.fromiter(
+            (c for gi in flat for c in norm_list[gi].values()),
+            np.int64, count=int(offs[-1]))
+        pair_chunks = []
+        pair_group = []
+        for k, gi in enumerate(flat):
+            p = _triu_pairs(int(sizes[k]))
+            pair_chunks.append(p + offs[k])
+            pair_group.append(np.full(len(p), k, dtype=np.int32))
+        pairs_all = np.concatenate(pair_chunks)
+        group_of = np.concatenate(pair_group)
+        ci, cj = cnt[pairs_all[:, 0]], cnt[pairs_all[:, 1]]
+        hi = np.maximum(ci, cj)
+        lo = np.minimum(ci, cj)
+        keep = (ci != cj) & (hi >= collapse_ratio * lo)
+        flat_pairs = pairs_all[keep]
+        group_of = group_of[keep]
+        # per-group span bounds in the filtered (still group-ordered) array
+        flat_bounds = np.searchsorted(group_of, np.arange(len(flat) + 1))
+        Lk = max(32, length)
+        seg_A = np.zeros((len(flat_pairs), Lk), dtype=np.uint8)
+        seg_B = np.zeros_like(seg_A)
+        seg_A[:, :length] = mat[flat_pairs[:, 0]]
+        seg_B[:, :length] = mat[flat_pairs[:, 1]]
+
+    # --- odd path: per-group preparation (variable lengths / huge groups) ---
+    prepared = {gi: degenerate_prepare(group_counts[gi], max_distance,
+                                       length, collapse_ratio)
+                for gi in odd}
+    odd_rows: List[Tuple[int, np.ndarray, np.ndarray, int]] = []
+    for gi in odd:
+        _nc, _tags, mat_g, pairs_g, ready = prepared[gi]
+        if ready is not None:
+            results[gi] = ready
+        elif pairs_g is None or len(pairs_g) == 0:
+            results[gi] = {t: t for t in (_tags or [])}
+        else:
+            odd_rows.append((gi, mat_g, pairs_g, mat_g.shape[1]))
+
+    n_flat = len(flat_pairs) if flat_pairs is not None else 0
+    total = n_flat + sum(len(p) for _gi, _m, p, _w in odd_rows)
     if total:
-        # gather straight into the padded device-call buffers
+        Lk = max([32] + ([length] if n_flat else [])
+                 + [w for _gi, _m, _p, w in odd_rows])
         A = np.zeros((total, Lk), dtype=np.uint8)
         B = np.zeros((total, Lk), dtype=np.uint8)
         la = np.empty(total, dtype=np.int32)
-        for (_nc, _tags, mat, pairs, ready), (s, e) in zip(prepared, spans):
-            if e == s:
-                continue
-            w = mat.shape[1]
-            A[s:e, :w] = mat[pairs[:, 0]]
-            B[s:e, :w] = mat[pairs[:, 1]]
-            la[s:e] = w
-        dists = edit_distance_rows(A, B, la, la)
+        if n_flat:
+            A[:n_flat, :seg_A.shape[1]] = seg_A
+            B[:n_flat, :seg_B.shape[1]] = seg_B
+            la[:n_flat] = length
+        pos = n_flat
+        odd_spans = []
+        for _gi, mat_g, pairs_g, w in odd_rows:
+            e = pos + len(pairs_g)
+            A[pos:e, :w] = mat_g[pairs_g[:, 0]]
+            B[pos:e, :w] = mat_g[pairs_g[:, 1]]
+            la[pos:e] = w
+            odd_spans.append((pos, e))
+            pos = e
+        dists = np.asarray(edit_distance_rows(A, B, la, la))
     else:
         dists = np.zeros(0, np.uint8)
+        odd_spans = []
 
-    out = []
-    for (norm_counts, tags, _mat, pairs, ready), (s, e) in zip(prepared,
-                                                               spans):
-        if ready is not None:
-            out.append(ready)
-        elif pairs is None or len(pairs) == 0:
-            out.append({t: t for t in tags} if tags else {})
-        else:
-            out.append(degenerate_finish(norm_counts, tags, pairs,
-                                         dists[s:e], max_distance,
-                                         collapse_ratio))
-    return out
+    if flat:
+        for k, gi in enumerate(flat):
+            if results[gi] is not None:
+                continue
+            s, e = int(flat_bounds[k]), int(flat_bounds[k + 1])
+            if s == e:
+                results[gi] = {t: t for t in tag_lists[gi]}
+            else:
+                results[gi] = degenerate_finish(
+                    norm_list[gi], tag_lists[gi],
+                    flat_pairs[s:e] - int(offs[k]),
+                    dists[s:e], max_distance, collapse_ratio)
+    for (gi, _mat, pairs_g, _w), (s, e) in zip(odd_rows, odd_spans):
+        results[gi] = degenerate_finish(
+            norm_list[gi], tag_lists[gi], pairs_g, dists[s:e],
+            max_distance, collapse_ratio)
+    return results
 
 
 def correct_degenerate(counts: Dict[bytes, int], max_distance: int,

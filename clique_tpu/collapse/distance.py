@@ -393,17 +393,27 @@ def _candidate_pairs_np(tags: List[bytes], max_distance: int
                     chunks.append(np.stack([r1[keep], r0[keep]], axis=1))
 
     if not chunks:
-        return []
+        return np.zeros((0, 2), dtype=np.int64)
     pairs = np.concatenate(chunks, axis=0)
     lo_i = np.minimum(pairs[:, 0], pairs[:, 1]).astype(np.int64)
     hi_i = np.maximum(pairs[:, 0], pairs[:, 1]).astype(np.int64)
     enc = np.unique(lo_i * N + hi_i)
-    return list(zip((enc // N).tolist(), (enc % N).tolist()))
+    return np.stack([enc // N, enc % N], axis=1)
 
 def _pieces(seq: bytes, n_pieces: int) -> List[Tuple[int, bytes]]:
     L = len(seq)
     bounds = [round(i * L / n_pieces) for i in range(n_pieces + 1)]
     return [(i, seq[bounds[i]:bounds[i + 1]]) for i in range(n_pieces)]
+
+
+def candidate_pairs_array(tags: List[bytes],
+                          max_distance: int) -> np.ndarray:
+    """candidate_pairs returning an [P, 2] i64 ndarray directly (no python
+    tuple round-trip) — the form degenerate_prepare consumes."""
+    if tags and len({len(t) for t in tags}) == 1:
+        return _candidate_pairs_np(tags, max_distance)
+    return np.array(candidate_pairs(tags, max_distance),
+                    dtype=np.int64).reshape(-1, 2)
 
 
 def candidate_pairs(tags: List[bytes], max_distance: int) -> List[Tuple[int, int]]:
@@ -413,7 +423,8 @@ def candidate_pairs(tags: List[bytes], max_distance: int) -> List[Tuple[int, int
     Equal-length tag sets (the common case: normalize_tag pads) take a
     vectorized numpy path; ragged sets fall back to the dict build."""
     if tags and len({len(t) for t in tags}) == 1:
-        return _candidate_pairs_np(tags, max_distance)
+        arr = _candidate_pairs_np(tags, max_distance)
+        return list(zip(arr[:, 0].tolist(), arr[:, 1].tolist()))
     n_pieces = max_distance + 1
     buckets: Dict[Tuple[int, int, bytes], List[int]] = defaultdict(list)
     for idx, t in enumerate(tags):

@@ -452,21 +452,17 @@ def load_known_lists(layout: SequenceLayout) -> Dict[str, List[bytes]]:
 def sort_level(reads: List[SortingRead], tag: UMIConfiguration,
                known_lists: Dict[str, List[bytes]]) -> List[SortingRead]:
     """One correction level (collapse.rs:859-992 + correct_tags.rs): group by
-    prior keys, correct the next tag within each group, re-emit."""
-    # group by the already-corrected key tuple (shardio sort equivalent);
-    # keys computed once per read, not per comparison
-    keyed = sorted(((r.reference_name, r.key_tuple(), r) for r in reads),
-                   key=lambda t: (t[0], t[1]))
-    groups: List[List[SortingRead]] = []
-    i = 0
-    n = len(keyed)
-    while i < n:
-        j = i
-        key = keyed[i][:2]
-        while j < n and keyed[j][:2] == key:
-            j += 1
-        groups.append([t[2] for t in keyed[i:j]])
-        i = j
+    prior keys, correct the next tag within each group, re-emit.
+
+    Groups are built by dict insertion (first-seen order) rather than a
+    global sort: intra-group member order is the scan order either way
+    (sorted() is stable), group CONTENT is order-independent, and the final
+    write_outputs re-sorts globally — so records are identical while the
+    O(n log n) tuple-compare sort becomes O(n)."""
+    grouped: "OrderedDict" = {}
+    for r in reads:
+        grouped.setdefault((r.reference_name, r.key_tuple()), []).append(r)
+    groups: List[List[SortingRead]] = list(grouped.values())
 
     # phase 1: per-group counts (push() length gating)
     group_counts: List[Counter] = []

@@ -68,7 +68,9 @@ def test_np_build_matches_dict_build(L, d):
     # L=26/30 with d=3 gives pieces wider than 8 bytes -> unique fallback
     for _ in range(6):
         tags = _mutated_tags(int(RNG.integers(2, 120)), L, d)
-        assert _candidate_pairs_np(tags, d) == _dict_build(tags, d)
+        arr = _candidate_pairs_np(tags, d)
+        got = list(zip(arr[:, 0].tolist(), arr[:, 1].tolist()))
+        assert got == _dict_build(tags, d)
 
 
 def test_completeness_all_close_pairs_present():
