@@ -196,18 +196,23 @@ def consensus_groups_task(args) -> Tuple[int, bytes, int]:
     SamRecords for the main process to encode."""
     (batch_idx, groups_blob, ref_seqs, ref_ids_map, correct_only,
      downsample_cap, gap_call_threshold, want_bgzf) = args
-    from clique_tpu.collapse.pipeline import _consensus_record
+    from clique_tpu.collapse.pipeline import (
+        _consensus_record,
+        _precompute_group_consensus,
+    )
     from clique_tpu.io.sam import encode_records_bytes
 
     groups = pickle.loads(groups_blob)
     rehydrate_reads([r for g in groups for r in g])
+    pre = _precompute_group_consensus(groups, ref_seqs, gap_call_threshold) \
+        if not correct_only else {}
     records = []
-    for group in groups:
+    for gi, group in enumerate(groups):
         units = [[r] for r in group] if correct_only else [group]
         for g in units:
             rec = _consensus_record(
                 g, ref_seqs, downsample_cap if not correct_only else 0,
-                gap_call_threshold)
+                gap_call_threshold, pre.get(gi))
             if rec is not None:
                 records.append(rec)
     if want_bgzf:

@@ -58,50 +58,63 @@ def consensus_fast_groups(reference: bytes,
     L = len(reference)
     G = len(groups)
     members = []
-    gids = []
-    for gi, (reads, _quals, _names) in enumerate(groups):
+    all_quals = []
+    sizes = []
+    for reads, qlist, _names in groups:
         members.extend(reads)
-        gids.extend([gi] * len(reads))
+        all_quals.extend(qlist)
+        sizes.append(len(reads))
     N = len(members)
     reads_mat = np.frombuffer(b"".join(members), dtype=np.uint8
                               ).reshape(N, L)
-    gid = np.asarray(gids, dtype=np.int64)
-    group_sizes = np.bincount(gid, minlength=G)
+    gid = np.repeat(np.arange(G, dtype=np.int32),
+                    np.asarray(sizes, dtype=np.int64))
 
-    quals = np.full((N, L), ord("h"), dtype=np.int64)
     nongap = reads_mat != GAP
-    row = 0
-    for reads, qlist, _names in groups:
-        for q in qlist:
-            if q is not None:
-                idx = np.nonzero(nongap[row])[0]
-                qa = np.frombuffer(q, dtype=np.uint8)
-                take = min(len(idx), len(qa))
-                quals[row, idx[:take]] = qa[:take]
-            row += 1
+    quals = np.full((N, L), ord("h"), dtype=np.uint8)
+    # vectorized scatter for rows whose qual length equals the row's
+    # non-gap count (the common case); per-row fallback otherwise
+    ng_counts = nongap.sum(axis=1)
+    qlens = np.fromiter((len(q) if q is not None else -1
+                         for q in all_quals), np.int64, count=N)
+    vec_rows = qlens == ng_counts
+    if vec_rows.any():
+        sub = nongap[vec_rows]
+        rr, cc = np.nonzero(sub)            # row-major: matches concat order
+        qcat = np.frombuffer(
+            b"".join(all_quals[i] for i in np.flatnonzero(vec_rows)),
+            dtype=np.uint8)
+        rows_map = np.flatnonzero(vec_rows)
+        quals[rows_map[rr], cc] = qcat
+    for i in np.flatnonzero(~vec_rows & (qlens >= 0)):
+        idx = np.nonzero(nongap[i])[0]
+        qa = np.frombuffer(all_quals[i], dtype=np.uint8)
+        take = min(len(idx), len(qa))
+        quals[i, idx[:take]] = qa[:take]
 
-    allele = _ALLELE_INDEX[reads_mat].astype(np.int64)   # [N, L], -1..4
+    allele = _ALLELE_INDEX[reads_mat]                     # [N, L] i8
     valid = allele >= 0
     gap_mask = reads_mat == GAP
-    cols = np.broadcast_to(np.arange(L, dtype=np.int64), (N, L))
-    gid_l = np.broadcast_to(gid[:, None], (N, L))
 
-    # counts [G, 6, L] via one flat bincount
-    slot = np.where(valid, allele, np.where(gap_mask, 5, -1))
+    # flat compressed indices (int32 - N*L stays < 2^31 for any real run)
+    cols32 = np.arange(L, dtype=np.int32)
+    slot = np.where(valid, allele, np.where(gap_mask, 5, -1)).astype(np.int32)
+    flat_idx = gid[:, None] * np.int32(6 * L) + slot * np.int32(L) + cols32
     flat_ok = slot >= 0
-    flat_idx = (gid_l * 6 + slot) * L + cols
     counts = np.bincount(flat_idx[flat_ok], minlength=G * 6 * L
                          ).reshape(G, 6, L)
     total = counts.sum(axis=1)                            # [G, L]
 
-    # posterior log2 sums via weighted bincounts
+    # posterior log2 sums via weighted bincounts over valid cells only
     l_hit = _LHIT_LUT[quals]
     l_miss = _LMISS_LUT[quals]
 
-    miss_flat = (gid_l * L + cols)[valid]
-    miss_sum = np.bincount(miss_flat, weights=l_miss[valid],
+    base_gl = gid[:, None] * np.int32(L) + cols32         # [N, L] i32
+    miss_sum = np.bincount(base_gl[valid], weights=l_miss[valid],
                            minlength=G * L).reshape(G, L)
-    hit_idx = (gid_l * 5 + np.clip(allele, 0, 4)) * L + cols
+    hit_idx = (gid[:, None] * np.int32(5)
+               + np.clip(allele, 0, 4).astype(np.int32)) * np.int32(L) \
+        + cols32
     hit_sum = np.bincount(hit_idx[valid],
                           weights=(l_hit - l_miss)[valid],
                           minlength=G * 5 * L).reshape(G, 5, L)
