@@ -417,6 +417,16 @@ def align_reads(
             if item is None:
                 return
             try:
+                if isinstance(item, tuple) and item and item[0] == "raw":
+                    # deferred record construction: building SamRecords
+                    # from the raw group matrices here overlaps the main
+                    # thread's next chunk parse + device dispatch
+                    _tag, raws, pend = item
+                    recs: List = [None] * len(pend)
+                    for raw in raws:
+                        _fill_records_from_raw(raw, pend, recs, layout,
+                                               rm, report_zero_score)
+                    item = recs
                 if hasattr(writer, "write_batch"):
                     writer.write_batch(item)
                 else:
@@ -468,9 +478,19 @@ def align_reads(
         reads = [p.seq for p in pending]
         if isinstance(aligner, BatchAligner) and pending:
             # fast path: build records from the raw group matrices with
-            # batch-level numpy (no per-read expansion)
-            batch_records: List = [None] * len(pending)
-            for raw in aligner.align_pairs_raw(refs, reads):
+            # batch-level numpy (no per-read expansion); with the writer
+            # thread running, construction is deferred to it so it
+            # overlaps the next chunk's parse + dispatch
+            raws = aligner.align_pairs_raw(refs, reads)
+            if writer_thread is not None and not long_pending:
+                write_queue.put(("raw", raws, list(pending)))
+                stats.aligned += len(pending)
+                if stats.aligned % 1_000_000 < len(pending):
+                    log.info("Time elapsed in aligning reads (%d) is: %.1fs",
+                             stats.aligned, time.time() - start)
+                return
+            batch_records = [None] * len(pending)
+            for raw in raws:
                 _fill_records_from_raw(raw, pending, batch_records,
                                        layout, rm, report_zero_score)
             out = []
