@@ -427,6 +427,11 @@ def align_reads(
                         _fill_records_from_raw(raw, pend, recs, layout,
                                                rm, report_zero_score)
                     item = recs
+                elif isinstance(item, tuple) and item and \
+                        item[0] == "aligned":
+                    # deferred per-read record construction (WFA /
+                    # anchored engine outputs)
+                    item = [_make_record(alr, layout) for alr in item[1]]
                 if hasattr(writer, "write_batch"):
                     writer.write_batch(item)
                 else:
@@ -505,8 +510,9 @@ def align_reads(
                 indexes=[rm.references[p.ref_id].index
                          for p in long_pending])))
             pending = list(pending) + long_pending
+        aligned_out = []
         for p, (a1, a2, cigar, score) in out:
-            aligned = AlignedRead(
+            aligned_out.append(AlignedRead(
                 read_name=p.name,
                 reference_name=rm.references[p.ref_id].name,
                 reference_aligned=a1,
@@ -514,9 +520,13 @@ def align_reads(
                 quals=p.quals,
                 cigar=cigar,
                 score=0.0 if report_zero_score else score,
-            )
-            batch_records.append(_make_record(aligned, layout))
-        emit_records(batch_records)
+            ))
+        if writer_thread is not None and not batch_records:
+            write_queue.put(("aligned", aligned_out))
+        else:
+            batch_records.extend(
+                _make_record(alr, layout) for alr in aligned_out)
+            emit_records(batch_records)
         stats.aligned += len(pending)
         if stats.aligned % 1_000_000 < len(pending):
             log.info("Time elapsed in aligning reads (%d) is: %.1fs",

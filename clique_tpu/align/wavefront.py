@@ -804,45 +804,115 @@ class WfaAligner:
         return b
 
     def align_pairs(self, refs, reads):
+        """Pipelined engine loop: per retry round, EVERY chunk of EVERY
+        length bucket dispatches its kernel before any result is pulled,
+        then all score pulls overlap, then all backtrace-window slices
+        dispatch and overlap. On tunneled devices each device->host sync
+        is a network round trip (~30-180ms); the previous chunk-serial
+        loop paid 2 sequential round trips per 512 lanes, which dominated
+        the HiFi path end-to-end."""
         import time
 
         results = [None] * len(refs)
-        order = sorted(range(len(refs)),
-                       key=lambda k: self._bucket_len(
-                           max(len(refs[k]), len(reads[k]))))
-        i = 0
-        while i < len(order):
-            L = self._bucket_len(max(len(refs[order[i]]),
-                                     len(reads[order[i]])))
-            group = []
-            while i < len(order) and len(group) < self.batch_size and \
-                    self._bucket_len(max(len(refs[order[i]]),
-                                         len(reads[order[i]]))) == L:
-                group.append(order[i])
-                i += 1
-            t0 = time.time()
-            self._align_group(group, refs, reads, L, results)
-            self.device_seconds += time.time() - t0
+        t0 = time.time()
+        buckets: dict = {}
+        for k in range(len(refs)):
+            L = self._bucket_len(max(len(refs[k]), len(reads[k])))
+            buckets.setdefault(L, []).append(k)
+        work = []                      # (L, smax, idxs)
+        for L in sorted(buckets):
+            smax = self.s0 if self.s0 is not None else max(64, L // 4)
+            work.append((L, smax, buckets[L]))
+        fallback: list = []
+        while work:
+            # phase A: dispatch every chunk's kernel (async under jit)
+            disp = []
+            for (L, smax, idxs) in work:
+                cap = min(self.batch_size, self._mem_cap(L, smax))
+                for lo in range(0, len(idxs), cap):
+                    chunk = idxs[lo:lo + cap]
+                    B = self._ceil_b(len(chunk))
+                    a = np.zeros((B, L), dtype=np.uint8)
+                    b = np.zeros((B, L), dtype=np.uint8)
+                    la = np.zeros(B, dtype=np.int32)
+                    lb = np.zeros(B, dtype=np.int32)
+                    for j, k in enumerate(chunk):
+                        r, d = refs[k], reads[k]
+                        a[j, :len(r)] = np.frombuffer(r, dtype=np.uint8)
+                        b[j, :len(d)] = np.frombuffer(d, dtype=np.uint8)
+                        la[j], lb[j] = len(r), len(d)
+                    scores, ops = wfa_affine_tb_batch(
+                        a, b, la, lb, n1=L, n2=L, smax=smax, x=self.x,
+                        o=self.o, e=self.e, wildcards=self.wildcards)
+                    disp.append([chunk, L, smax, la, lb, scores, ops])
+            # phase B: overlap every score transfer
+            for d in disp:
+                try:
+                    d[5].copy_to_host_async()
+                except Exception:
+                    pass
+            # phase C: dispatch every backtrace-window slice (async), with
+            # only the score pull forcing a sync per chunk. Transfer only
+            # the backtrace-reachable window [s*+1, B, 2s*+1]: walks stay
+            # at score row <= s* (batch max penalty) and diagonal
+            # |k| <= s*, so rows above s* and outer diagonals are dead
+            # weight — the full [smax+1, B, K] store cost 4x the kernel
+            # through the tunnel. Window dims quantize to x16 so each
+            # (B, L, smax) bucket reuses a handful of compiled slices.
+            staged = []
+            for (chunk, L, smax, la, lb, scores, ops) in disp:
+                sc = np.asarray(scores)[:len(chunk)]
+                alive = sc <= smax
+                win = None
+                if alive.any():
+                    s_star = int(sc[alive].max())
+                    kmax = min(2 * L, smax)
+                    rows = min(smax + 1, -(-(s_star + 1) // 16) * 16)
+                    w = min(kmax, rows - 1)
+                    win = ops[:rows, :, kmax - w:kmax + w + 1]
+                    try:
+                        win.copy_to_host_async()
+                    except Exception:
+                        pass
+                staged.append((chunk, L, smax, sc, la, lb, win))
+            # phase D: pull windows, backtrace + replay on host
+            censored: dict = {}        # (L, smax) -> [indices]
+            for (chunk, L, smax, sc, la, lb, win) in staged:
+                nrem = len(chunk)
+                if win is None:
+                    skeletons = [None] * nrem
+                else:
+                    ops_np = np.asarray(win)
+                    skeletons = wfa_backtrace_ops(
+                        ops_np[:, :nrem], sc, (la - lb)[:nrem],
+                        x=self.x, o=self.o, e=self.e)
+                miss = censored.setdefault((L, smax), [])
+                for j, k in enumerate(chunk):
+                    if skeletons[j] is None:
+                        miss.append(k)
+                        continue
+                    cig = wfa_replay_cigar(refs[k], reads[k], skeletons[j],
+                                           wildcards=self.wildcards)
+                    ra, da = cigar_to_aligned(refs[k], reads[k], cig)
+                    results[k] = (ra, da, cig, -float(sc[j]))
+                    self.cells_filled += len(refs[k]) * len(reads[k])
+            # next round: censored chunks retry at 4x the score ceiling
+            work = []
+            for (L, smax), idxs in censored.items():
+                if not idxs:
+                    continue
+                if smax > 2 * L:
+                    fallback.extend(idxs)
+                else:
+                    work.append((L, smax * 4, idxs))
+        self.device_seconds += time.time() - t0
         self.pairs_aligned += len(refs)
+        if fallback:
+            self._dp_fallback_fill(fallback, refs, reads, results)
         return results
 
-    def _align_group(self, group, refs, reads, L, results):
-        remaining = list(group)
-        smax = self.s0 if self.s0 is not None else max(64, L // 4)
-        while remaining:
-            cap = self._mem_cap(L, smax)
-            censored = []
-            for lo in range(0, len(remaining), cap):
-                censored.extend(self._align_chunk(
-                    remaining[lo:lo + cap], refs, reads, L, smax, results))
-            if not censored:
-                return
-            if smax > 2 * L:
-                remaining = censored
-                break
-            remaining = censored
-            smax *= 4
-        # exact-DP fallback for pairs beyond the WFA score cap
+    def _dp_fallback_fill(self, remaining, refs, reads, results):
+        """Exact-DP fallback for pairs beyond the WFA score cap."""
         self.fallbacks += len(remaining)
         if self.dp_fallback is not None:
             out = self.dp_fallback.align_pairs(
@@ -857,59 +927,6 @@ class WfaAligner:
                 ra, da = cigar_to_aligned(refs[k], reads[k], cig)
                 results[k] = (ra, da, cig, -float(pen))
                 self.cells_filled += len(refs[k]) * len(reads[k])
-
-    def _align_chunk(self, remaining, refs, reads, L, smax, results):
-        """One kernel dispatch over <= mem-cap lanes; returns the censored
-        (still-unsolved) indices."""
-        B = self._ceil_b(len(remaining))
-        a = np.zeros((B, L), dtype=np.uint8)
-        b = np.zeros((B, L), dtype=np.uint8)
-        la = np.zeros(B, dtype=np.int32)
-        lb = np.zeros(B, dtype=np.int32)
-        for j, k in enumerate(remaining):
-            r, d = refs[k], reads[k]
-            a[j, :len(r)] = np.frombuffer(r, dtype=np.uint8)
-            b[j, :len(d)] = np.frombuffer(d, dtype=np.uint8)
-            la[j], lb[j] = len(r), len(d)
-        scores, ops = wfa_affine_tb_batch(
-            a, b, la, lb, n1=L, n2=L, smax=smax, x=self.x, o=self.o,
-            e=self.e, wildcards=self.wildcards)
-        scores = np.asarray(scores)
-        nrem = len(remaining)
-        sc = scores[:nrem]
-        alive = sc <= smax
-        if alive.any():
-            # Transfer only the backtrace-reachable ops window: every
-            # walk stays at score row <= s* (batch max penalty) and
-            # diagonal |k| <= s* (each diagonal step costs >= 1), so
-            # rows above s* and outer diagonals are dead weight — the
-            # device->host hop through the tunnel was 4x the kernel
-            # time at the full [smax+1, B, K] store.
-            s_star = int(sc[alive].max())
-            kmax = min(2 * L, smax)
-            # quantize the window dims (and keep the padded batch dim)
-            # so the device slice only has a handful of shape variants
-            # per (B, L, smax) bucket — every distinct slice shape is
-            # its own XLA compile through the relay
-            rows = min(smax + 1, -(-(s_star + 1) // 16) * 16)
-            w = min(kmax, rows - 1)
-            ops_np = np.asarray(ops[:rows, :, kmax - w:kmax + w + 1])
-            skeletons = wfa_backtrace_ops(
-                ops_np[:, :nrem], sc, (la - lb)[:nrem],
-                x=self.x, o=self.o, e=self.e)
-        else:
-            skeletons = [None] * nrem
-        censored = []
-        for j, k in enumerate(remaining):
-            if skeletons[j] is None:
-                censored.append(k)
-                continue
-            cig = wfa_replay_cigar(refs[k], reads[k], skeletons[j],
-                                   wildcards=self.wildcards)
-            ra, da = cigar_to_aligned(refs[k], reads[k], cig)
-            results[k] = (ra, da, cig, -float(scores[j]))
-            self.cells_filled += len(refs[k]) * len(reads[k])
-        return censored
 
 
 def wfa_screen_candidates(refs, reads, *, x: int = 4, o: int = 6,
