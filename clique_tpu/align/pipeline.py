@@ -580,23 +580,26 @@ def align_reads(
                 winner_refs.append(refs[start + best])
                 winner_reads.append(seq)
             outs_w = aligner.align_pairs(winner_refs, winner_reads)
-            batch_records = []
+            aligned_out = []
             for (name, seq, quals, cands), best, out in zip(
                     exh_pending, winner_best, outs_w):
                 a1, a2, cigar, score = out
-                aligned = AlignedRead(
+                aligned_out.append(AlignedRead(
                     read_name=name,
                     reference_name=rm.references[cands[best]].name,
                     reference_aligned=a1, read_aligned=a2,
-                    quals=quals, cigar=cigar, score=score)
-                batch_records.append(_make_record(aligned, layout))
-            emit_records(batch_records)
+                    quals=quals, cigar=cigar, score=score))
+            if writer_thread is not None:
+                write_queue.put(("aligned", aligned_out))
+            else:
+                emit_records([_make_record(alr, layout)
+                              for alr in aligned_out])
             stats.aligned += len(exh_pending)
             exh_pending.clear()
             return
 
         outs = aligner.align_pairs(refs, reads)
-        batch_records = []
+        aligned_out = []
         for (name, seq, quals, cands), (start, count) in zip(
                 exh_pending, spans):
             best = 0
@@ -604,14 +607,17 @@ def align_reads(
                 if outs[start + i][3] >= outs[start + best][3]:
                     best = i
             a1, a2, cigar, score = outs[start + best]
-            aligned = AlignedRead(
+            aligned_out.append(AlignedRead(
                 read_name=name,
                 reference_name=rm.references[cands[best]].name,
                 reference_aligned=a1, read_aligned=a2,
                 quals=quals, cigar=cigar,
-                score=score)
-            batch_records.append(_make_record(aligned, layout))
-        emit_records(batch_records)
+                score=score))
+        if writer_thread is not None:
+            write_queue.put(("aligned", aligned_out))
+        else:
+            emit_records([_make_record(alr, layout)
+                          for alr in aligned_out])
         stats.aligned += len(exh_pending)
         exh_pending.clear()
 
