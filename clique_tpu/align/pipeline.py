@@ -454,6 +454,14 @@ def align_reads(
             for rec in records:
                 writer.write(rec)
 
+    def emit_aligned(aligned_out):
+        """Emit AlignedReads; record construction defers to the writer
+        thread when one is running so it overlaps the next batch."""
+        if writer_thread is not None:
+            write_queue.put(("aligned", aligned_out))
+        else:
+            emit_records([_make_record(alr, layout) for alr in aligned_out])
+
     reader = ReadIterator(read1, read2, index1, index2)
     needs_align_merge = layout.merge == MergeStrategy.ALIGN
 
@@ -521,12 +529,12 @@ def align_reads(
                 cigar=cigar,
                 score=0.0 if report_zero_score else score,
             ))
-        if writer_thread is not None and not batch_records:
-            write_queue.put(("aligned", aligned_out))
-        else:
+        if batch_records:
             batch_records.extend(
                 _make_record(alr, layout) for alr in aligned_out)
             emit_records(batch_records)
+        else:
+            emit_aligned(aligned_out)
         stats.aligned += len(pending)
         if stats.aligned % 1_000_000 < len(pending):
             log.info("Time elapsed in aligning reads (%d) is: %.1fs",
@@ -589,11 +597,7 @@ def align_reads(
                     reference_name=rm.references[cands[best]].name,
                     reference_aligned=a1, read_aligned=a2,
                     quals=quals, cigar=cigar, score=score))
-            if writer_thread is not None:
-                write_queue.put(("aligned", aligned_out))
-            else:
-                emit_records([_make_record(alr, layout)
-                              for alr in aligned_out])
+            emit_aligned(aligned_out)
             stats.aligned += len(exh_pending)
             exh_pending.clear()
             return
@@ -613,11 +617,7 @@ def align_reads(
                 reference_aligned=a1, read_aligned=a2,
                 quals=quals, cigar=cigar,
                 score=score))
-        if writer_thread is not None:
-            write_queue.put(("aligned", aligned_out))
-        else:
-            emit_records([_make_record(alr, layout)
-                          for alr in aligned_out])
+        emit_aligned(aligned_out)
         stats.aligned += len(exh_pending)
         exh_pending.clear()
 

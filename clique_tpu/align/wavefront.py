@@ -79,7 +79,14 @@ def _run_table(refs_i, reads_i, ks, l1, l2, wildcards: bool = False):
     # next non-match position at or after h, via reverse cummin
     z = jnp.where(eq, jnp.int32(H), h[None, None, :])
     nz = jnp.flip(jax.lax.cummin(jnp.flip(z, axis=-1), axis=2), axis=-1)
-    # i16 halves the dominant HBM buffer; run lengths <= H < 2^15
+    # i16 halves the dominant HBM buffer; run lengths <= H, which must
+    # stay below 2^15 or they wrap negative and corrupt every extension
+    # (WfaAligner routes longer pairs to the DP fallback)
+    if H >= (1 << 15):
+        raise ValueError(
+            f"WFA run table: padded width {n1w} overflows the i16 run "
+            f"lengths (limit {(1 << 15) - 2}); route longer reads to the "
+            "exact-DP path")
     return (nz - h[None, None, :]).astype(jnp.int16)   # [B, K, H]
 
 
@@ -788,18 +795,28 @@ class WfaAligner:
             b *= 2
         return b
 
-    def _mem_cap(self, L: int, smax: int) -> int:
-        """Largest power-of-2 lane count whose kernel HBM footprint (the
+    @staticmethod
+    def _budget() -> int:
+        return int(os.environ.get("CLIQUE_WFA_MEM_BUDGET", str(512 << 20)))
+
+    @staticmethod
+    def _chunk_bytes(B: int, L: int, smax: int) -> int:
+        """Estimated kernel HBM footprint of one dispatched chunk: the
         [B, K, H] i16 run table dominates, plus the [smax+1, B, K] op
-        store) fits the budget (CLIQUE_WFA_MEM_BUDGET, default 512MB) —
-        long-read buckets run in smaller slices instead of OOMing."""
+        store."""
         kmax = min(2 * L, smax)
         K = 2 * kmax + 1
-        per_lane = K * ((L + 1) * 2 + (smax + 1))
-        budget = int(os.environ.get("CLIQUE_WFA_MEM_BUDGET",
-                                    str(512 << 20)))
+        return 2 * B * K * ((L + 1) * 2 + (smax + 1))
+
+    def _mem_cap(self, L: int, smax: int) -> int:
+        """Largest power-of-2 lane count whose chunk footprint fits the
+        budget (CLIQUE_WFA_MEM_BUDGET, default 512MB) — long-read buckets
+        run in smaller slices instead of OOMing. Floors at 32 lanes; a
+        floor chunk can exceed the budget, which the wave loop in
+        align_pairs accounts for by running it alone."""
+        budget = self._budget()
         b = 32
-        while b * 2 * per_lane <= budget:
+        while self._chunk_bytes(b * 2, L, smax) <= budget:
             b *= 2
         return b
 
@@ -815,23 +832,49 @@ class WfaAligner:
 
         results = [None] * len(refs)
         t0 = time.time()
+        fallback: list = []
         buckets: dict = {}
         for k in range(len(refs)):
             L = self._bucket_len(max(len(refs[k]), len(reads[k])))
             buckets.setdefault(L, []).append(k)
         work = []                      # (L, smax, idxs)
         for L in sorted(buckets):
+            if L + 1 >= (1 << 15):
+                # the i16 run table can't represent runs this long; the
+                # exact DP handles ultra-long pairs
+                fallback.extend(buckets[L])
+                continue
             smax = self.s0 if self.s0 is not None else max(64, L // 4)
             work.append((L, smax, buckets[L]))
-        fallback: list = []
+        wave_budget = 2 * self._budget()
         while work:
-            # phase A: dispatch every chunk's kernel (async under jit)
-            disp = []
+            # flatten this round's chunks, then run them in WAVES: chunks
+            # dispatch (and their transfers overlap) only while the wave's
+            # combined device footprint stays inside 2x the memory budget.
+            # Every dispatched chunk's op store + run-table workspace stays
+            # referenced until its backtrace window is pulled in phase D,
+            # so an unbounded dispatch list scales live HBM with chunk
+            # count; a single over-budget floor chunk (see _mem_cap) runs
+            # as its own wave, matching the old chunk-serial peak.
+            chunks = []
             for (L, smax, idxs) in work:
                 cap = min(self.batch_size, self._mem_cap(L, smax))
                 for lo in range(0, len(idxs), cap):
-                    chunk = idxs[lo:lo + cap]
+                    chunks.append((L, smax, idxs[lo:lo + cap]))
+            censored: dict = {}        # (L, smax) -> [indices]
+            pos = 0
+            while pos < len(chunks):
+                # phase A: dispatch this wave's kernels (async under jit)
+                disp = []
+                used = 0
+                while pos < len(chunks):
+                    L, smax, chunk = chunks[pos]
                     B = self._ceil_b(len(chunk))
+                    nbytes = self._chunk_bytes(B, L, smax)
+                    if disp and used + nbytes > wave_budget:
+                        break
+                    used += nbytes
+                    pos += 1
                     a = np.zeros((B, L), dtype=np.uint8)
                     b = np.zeros((B, L), dtype=np.uint8)
                     la = np.zeros(B, dtype=np.int32)
@@ -845,57 +888,60 @@ class WfaAligner:
                         a, b, la, lb, n1=L, n2=L, smax=smax, x=self.x,
                         o=self.o, e=self.e, wildcards=self.wildcards)
                     disp.append([chunk, L, smax, la, lb, scores, ops])
-            # phase B: overlap every score transfer
-            for d in disp:
-                try:
-                    d[5].copy_to_host_async()
-                except Exception:
-                    pass
-            # phase C: dispatch every backtrace-window slice (async), with
-            # only the score pull forcing a sync per chunk. Transfer only
-            # the backtrace-reachable window [s*+1, B, 2s*+1]: walks stay
-            # at score row <= s* (batch max penalty) and diagonal
-            # |k| <= s*, so rows above s* and outer diagonals are dead
-            # weight — the full [smax+1, B, K] store cost 4x the kernel
-            # through the tunnel. Window dims quantize to x16 so each
-            # (B, L, smax) bucket reuses a handful of compiled slices.
-            staged = []
-            for (chunk, L, smax, la, lb, scores, ops) in disp:
-                sc = np.asarray(scores)[:len(chunk)]
-                alive = sc <= smax
-                win = None
-                if alive.any():
-                    s_star = int(sc[alive].max())
-                    kmax = min(2 * L, smax)
-                    rows = min(smax + 1, -(-(s_star + 1) // 16) * 16)
-                    w = min(kmax, rows - 1)
-                    win = ops[:rows, :, kmax - w:kmax + w + 1]
+                # phase B: overlap every score transfer
+                for d in disp:
                     try:
-                        win.copy_to_host_async()
+                        d[5].copy_to_host_async()
                     except Exception:
                         pass
-                staged.append((chunk, L, smax, sc, la, lb, win))
-            # phase D: pull windows, backtrace + replay on host
-            censored: dict = {}        # (L, smax) -> [indices]
-            for (chunk, L, smax, sc, la, lb, win) in staged:
-                nrem = len(chunk)
-                if win is None:
-                    skeletons = [None] * nrem
-                else:
-                    ops_np = np.asarray(win)
-                    skeletons = wfa_backtrace_ops(
-                        ops_np[:, :nrem], sc, (la - lb)[:nrem],
-                        x=self.x, o=self.o, e=self.e)
-                miss = censored.setdefault((L, smax), [])
-                for j, k in enumerate(chunk):
-                    if skeletons[j] is None:
-                        miss.append(k)
-                        continue
-                    cig = wfa_replay_cigar(refs[k], reads[k], skeletons[j],
-                                           wildcards=self.wildcards)
-                    ra, da = cigar_to_aligned(refs[k], reads[k], cig)
-                    results[k] = (ra, da, cig, -float(sc[j]))
-                    self.cells_filled += len(refs[k]) * len(reads[k])
+                # phase C: dispatch every backtrace-window slice (async),
+                # with only the score pull forcing a sync per chunk.
+                # Transfer only the backtrace-reachable window
+                # [s*+1, B, 2s*+1]: walks stay at score row <= s* (batch
+                # max penalty) and diagonal |k| <= s*, so rows above s*
+                # and outer diagonals are dead weight — the full
+                # [smax+1, B, K] store cost 4x the kernel through the
+                # tunnel. Window dims quantize to x16 so each (B, L, smax)
+                # bucket reuses a handful of compiled slices.
+                staged = []
+                for (chunk, L, smax, la, lb, scores, ops) in disp:
+                    sc = np.asarray(scores)[:len(chunk)]
+                    alive = sc <= smax
+                    win = None
+                    if alive.any():
+                        s_star = int(sc[alive].max())
+                        kmax = min(2 * L, smax)
+                        rows = min(smax + 1, -(-(s_star + 1) // 16) * 16)
+                        w = min(kmax, rows - 1)
+                        win = ops[:rows, :, kmax - w:kmax + w + 1]
+                        try:
+                            win.copy_to_host_async()
+                        except Exception:
+                            pass
+                    staged.append((chunk, L, smax, sc, la, lb, win))
+                del disp
+                # phase D: pull windows, backtrace + replay on host
+                for (chunk, L, smax, sc, la, lb, win) in staged:
+                    nrem = len(chunk)
+                    if win is None:
+                        skeletons = [None] * nrem
+                    else:
+                        ops_np = np.asarray(win)
+                        skeletons = wfa_backtrace_ops(
+                            ops_np[:, :nrem], sc, (la - lb)[:nrem],
+                            x=self.x, o=self.o, e=self.e)
+                    miss = censored.setdefault((L, smax), [])
+                    for j, k in enumerate(chunk):
+                        if skeletons[j] is None:
+                            miss.append(k)
+                            continue
+                        cig = wfa_replay_cigar(refs[k], reads[k],
+                                               skeletons[j],
+                                               wildcards=self.wildcards)
+                        ra, da = cigar_to_aligned(refs[k], reads[k], cig)
+                        results[k] = (ra, da, cig, -float(sc[j]))
+                        self.cells_filled += len(refs[k]) * len(reads[k])
+                del staged
             # next round: censored chunks retry at 4x the score ceiling
             work = []
             for (L, smax), idxs in censored.items():

@@ -133,19 +133,28 @@ def correct_known_levenshtein(counts: Dict[bytes, int], allowlist: List[bytes],
 
 
 _TRIU_CACHE: Dict[int, np.ndarray] = {}
+_TRIU_CACHE_BYTES = [0]
+_TRIU_CACHE_BUDGET = 64 << 20        # total resident bytes
+_TRIU_ENTRY_CAP = 8 << 20            # don't cache huge sizes (n ~> 1000)
 
 
 def _triu_pairs(n: int) -> np.ndarray:
     """All (i, j<i) index pairs as one [P, 2] i64 array, cached by n —
     sort_level calls degenerate_prepare once per UMI bin, and bins within a
-    level share a handful of sizes."""
+    level share a handful of sizes. The cache is byte-bounded: only small
+    arrays (the common repeated sizes) are kept, and the whole cache clears
+    past a fixed budget — a level with hundreds of distinct large sizes
+    must not pin gigabytes of index arrays."""
     hit = _TRIU_CACHE.get(n)
     if hit is None:
         ii, jj = np.triu_indices(n, 1)
         hit = np.stack([ii, jj], axis=1).astype(np.int64)
-        if len(_TRIU_CACHE) > 512:
-            _TRIU_CACHE.clear()
-        _TRIU_CACHE[n] = hit
+        if hit.nbytes <= _TRIU_ENTRY_CAP:
+            if _TRIU_CACHE_BYTES[0] + hit.nbytes > _TRIU_CACHE_BUDGET:
+                _TRIU_CACHE.clear()
+                _TRIU_CACHE_BYTES[0] = 0
+            _TRIU_CACHE[n] = hit
+            _TRIU_CACHE_BYTES[0] += hit.nbytes
     return hit
 
 
@@ -169,6 +178,17 @@ def degenerate_prepare(counts: Dict[bytes, int], max_distance: int,
     tags = list(norm_counts.keys())
     if len(tags) == 1:
         return None, None, None, None, {tags[0]: tags[0]}
+    mat, pairs = _prepare_pairs(norm_counts, tags, max_distance,
+                                collapse_ratio)
+    return norm_counts, tags, mat, pairs, None
+
+
+def _prepare_pairs(norm_counts, tags, max_distance: int,
+                   collapse_ratio: float):
+    """Tag matrix + count-ratio-filtered candidate pairs for an
+    already-normalized multi-tag group (shared by degenerate_prepare and
+    the batched correct_degenerate_groups odd path, so pair indices always
+    refer to the SAME tag ordering the caller holds)."""
     lens = np.fromiter(map(len, tags), np.int64, count=len(tags))
     max_len = int(lens.max())
     if (lens == max_len).all():
@@ -192,7 +212,7 @@ def degenerate_prepare(counts: Dict[bytes, int], max_distance: int,
     hi = np.maximum(ci, cj)
     lo = np.minimum(ci, cj)
     pairs = pairs[(ci != cj) & (hi >= collapse_ratio * lo)]
-    return norm_counts, tags, mat, pairs, None
+    return mat, pairs
 
 
 def degenerate_finish(norm_counts, tags, pairs, dists, max_distance: int,
@@ -295,17 +315,15 @@ def correct_degenerate_groups(group_counts, max_distance: int, length: int,
         seg_A[:, :length] = mat[flat_pairs[:, 0]]
         seg_B[:, :length] = mat[flat_pairs[:, 1]]
 
-    # --- odd path: per-group preparation (variable lengths / huge groups) ---
-    prepared = {gi: degenerate_prepare(group_counts[gi], max_distance,
-                                       length, collapse_ratio)
-                for gi in odd}
+    # --- odd path: per-group preparation (variable lengths / huge groups),
+    # reusing the outer loop's normalization so pair indices and the finish
+    # step share one tag ordering ---
     odd_rows: List[Tuple[int, np.ndarray, np.ndarray, int]] = []
     for gi in odd:
-        _nc, _tags, mat_g, pairs_g, ready = prepared[gi]
-        if ready is not None:
-            results[gi] = ready
-        elif pairs_g is None or len(pairs_g) == 0:
-            results[gi] = {t: t for t in (_tags or [])}
+        mat_g, pairs_g = _prepare_pairs(norm_list[gi], tag_lists[gi],
+                                        max_distance, collapse_ratio)
+        if len(pairs_g) == 0:
+            results[gi] = {t: t for t in tag_lists[gi]}
         else:
             odd_rows.append((gi, mat_g, pairs_g, mat_g.shape[1]))
 
