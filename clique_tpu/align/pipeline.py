@@ -36,7 +36,8 @@ import numpy as np
 from clique_tpu.align import batch as dbatch
 from clique_tpu.align.merge import MERGE_SCORING, alignment_rate_and_consensus, unify_read
 from clique_tpu.align.scoring import AffineScoring
-from clique_tpu.config.layout import MergeStrategy, SequenceLayout
+from clique_tpu.config.layout import (AlignedReadOrientation, MergeStrategy,
+                                      SequenceLayout)
 from clique_tpu.extract.extractor import (
     alignment_rate_fast,
     extract_digit_tags_fast,
@@ -696,16 +697,36 @@ def align_reads(
             process_merged(name, seq, quals)
         merge_pending.clear()
 
-    for rsc in reader:
-        stats.total += 1
-        merged = unify_read(rsc, layout, defer_align_merge=needs_align_merge)
-        if merged.pending_pair is not None:
-            r1, q1, r2, q2 = merged.pending_pair
-            merge_pending.append((merged.name, r1, q1, r2, q2))
-            if len(merge_pending) >= batch_size * 8:
-                flush_merges()
-        else:
-            process_merged(merged.name, merged.seq, merged.quals)
+    # Fast path: with only a read1 stream, unify_read reduces to an
+    # orientation passthrough unless the layout concatenates Read1 with
+    # Spacers (merger.rs:278-294); for Forward orientation the container +
+    # decision-tree hop per read is pure overhead, so feed the records
+    # straight into process_merged. Semantics identical to the general
+    # loop (quals are NOT reversed in the R1-only branch either way).
+    declared_kinds = {p.kind for p in layout.reads if p.kind != "Spacer"}
+    concat_single = (layout.merge in (MergeStrategy.CONCATENATE,
+                                      MergeStrategy.CONCATENATE_BOTH_FORWARD)
+                     and declared_kinds <= {"Read1"})
+    r1_orientation = next(
+        (p.orientation for p in layout.reads if p.kind == "Read1"),
+        AlignedReadOrientation.FORWARD)
+    if (reader.single_stream and not concat_single
+            and r1_orientation == AlignedReadOrientation.FORWARD):
+        for rec in reader.read_one_records():
+            stats.total += 1
+            process_merged(rec.name, rec.seq, rec.qual)
+    else:
+        for rsc in reader:
+            stats.total += 1
+            merged = unify_read(rsc, layout,
+                                defer_align_merge=needs_align_merge)
+            if merged.pending_pair is not None:
+                r1, q1, r2, q2 = merged.pending_pair
+                merge_pending.append((merged.name, r1, q1, r2, q2))
+                if len(merge_pending) >= batch_size * 8:
+                    flush_merges()
+            else:
+                process_merged(merged.name, merged.seq, merged.quals)
 
     flush_merges()
     if hmm_router is not None:

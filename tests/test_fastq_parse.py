@@ -1,0 +1,103 @@
+"""Block-based FASTQ parser edge cases (io/fastq.py fastq_records).
+
+The parser replaces the reference's rust-htslib/bio record iteration
+(/root/reference/rust_cmd/src/read_strategies/read_set.rs:73-132); these
+tests pin its semantics across block boundaries, gzip, truncated trailing
+records, and name/comment splitting.
+"""
+
+import gzip
+
+import pytest
+
+from clique_tpu.io.fastq import FastqRecord, ReadIterator, fastq_records
+
+
+def _write(tmp_path, body: bytes, gz: bool = False):
+    p = tmp_path / ("reads.fastq.gz" if gz else "reads.fastq")
+    data = gzip.compress(body) if gz else body
+    p.write_bytes(data)
+    return str(p)
+
+
+def test_basic_records(tmp_path):
+    path = _write(tmp_path, b"@r1 comment here\nACGT\n+\nIIII\n"
+                            b"@r2\nGGCC\n+anything\nFFFF\n")
+    recs = list(fastq_records(path))
+    assert recs == [FastqRecord("r1", b"ACGT", b"IIII"),
+                    FastqRecord("r2", b"GGCC", b"FFFF")]
+
+
+def test_gzip_transparent(tmp_path):
+    path = _write(tmp_path, b"@a\nAC\n+\nII\n@b\nGT\n+\nFF\n", gz=True)
+    assert [r.name for r in fastq_records(path)] == ["a", "b"]
+
+
+def test_no_trailing_newline(tmp_path):
+    path = _write(tmp_path, b"@a\nAC\n+\nII\n@b\nGT\n+\nFF")
+    recs = list(fastq_records(path))
+    assert recs[-1] == FastqRecord("b", b"GT", b"FF")
+    assert len(recs) == 2
+
+
+def test_truncated_record_with_seq_still_emitted(tmp_path):
+    # header + seq but no qual: the reader emits it (matching the old
+    # line-by-line reader, which only stopped when BOTH were empty)
+    path = _write(tmp_path, b"@a\nAC\n+\nII\n@b\nGT\n")
+    recs = list(fastq_records(path))
+    assert recs[-1] == FastqRecord("b", b"GT", b"")
+
+
+def test_bare_trailing_header_dropped(tmp_path):
+    path = _write(tmp_path, b"@a\nAC\n+\nII\n@b\n")
+    assert len(list(fastq_records(path))) == 1
+
+
+def test_empty_file(tmp_path):
+    assert list(fastq_records(_write(tmp_path, b""))) == []
+
+
+def test_records_spanning_block_boundary(tmp_path, monkeypatch):
+    # force tiny read blocks so records straddle block boundaries
+    import clique_tpu.io.fastq as fq
+
+    body = b"".join(
+        b"@read%d some comment\n%s\n+\n%s\n"
+        % (i, b"ACGT" * 10, b"I" * 40) for i in range(100))
+    path = _write(tmp_path, body)
+    whole = list(fastq_records(path))
+
+    real_records = fq.fastq_records
+
+    def tiny_block_records(p):
+        with fq._open_maybe_gz(p) as fh:
+            pending = []
+            tail = b""
+            while True:
+                block = fh.read(7)   # pathological block size
+                if not block:
+                    break
+                lines = (tail + block).split(b"\n")
+                tail = lines.pop()
+                pending.extend(lines)
+                n4 = len(pending) - (len(pending) % 4)
+                for i in range(0, n4, 4):
+                    h = pending[i]
+                    yield FastqRecord(h[1:].split(b" ", 1)[0].decode(),
+                                      pending[i + 1], pending[i + 3])
+                del pending[:n4]
+
+    assert list(tiny_block_records(path)) == whole
+    assert len(whole) == 100
+    assert whole[7].name == "read7"
+
+
+def test_single_stream_detection(tmp_path):
+    r1 = _write(tmp_path, b"@a\nAC\n+\nII\n")
+    it = ReadIterator(r1)
+    assert it.single_stream
+    assert [r.name for r in it.read_one_records()] == ["a"]
+
+    (tmp_path / "r2.fastq").write_bytes(b"@a\nGG\n+\nII\n")
+    it2 = ReadIterator(r1, str(tmp_path / "r2.fastq"))
+    assert not it2.single_stream
