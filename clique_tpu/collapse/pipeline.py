@@ -650,7 +650,7 @@ def _apply_correction_one(read: SortingRead, tag: UMIConfiguration,
             not (tag.levenshtein_distance is None or
                  tag.levenshtein_distance):
         # hamming path keys its map on the raw gapless tag
-        gapless = bytes(b for b in raw if b != GAP)
+        gapless = raw.replace(b"-", b"")    # GAP == ord('-')
         corrected = correction.get(gapless)
     if corrected is None:
         if tag.sort_type == UMISortType.DEGENERATE_TAG:
@@ -838,7 +838,7 @@ def _consensus_record(group: List[SortingRead], ref_seqs: Dict[str, bytes],
         tags[f"o{sym}"] = original.decode()
 
     tags["rs"] = tags["as"]
-    seq = bytes(b for b in out_read_aligned if b != GAP)
+    seq = out_read_aligned.replace(b"-", b"")   # gap strip (GAP == ord('-'))
     return SamRecord(
         name=read_name,
         flag=0,
