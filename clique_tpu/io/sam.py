@@ -381,13 +381,20 @@ def _decode_chunk_native(lib, data: bytes, references,
     names_b = name_blob.raw
     seqs_b = seq_blob.raw
     quals_b = qual_blob.raw
+    # bulk-convert the columnar outputs to python ints once; per-record
+    # numpy scalar indexing was the dominant python cost of the decode
+    m = meta[:n].tolist()
+    noff = name_off[:n + 1].tolist()
+    coff = cigar_off[:n + 1].tolist()
+    soff = seq_off[:n + 1].tolist()
+    cw_all = cigar_blob[:coff[n] if n else 0].tolist()
     for i in range(n):
         (ref_id, pos0, flag, mapq, n_cigar, l_seq, tag_abs, tag_len,
-         qual_missing, _res) = meta[i]
-        name = names_b[name_off[i]:name_off[i + 1]].decode()
-        cw = cigar_blob[cigar_off[i]:cigar_off[i + 1]]
-        cigar = [(int(v) >> 4, CIGAR_OPS[int(v) & 0xF]) for v in cw]
-        s0, s1 = seq_off[i], seq_off[i + 1]
+         qual_missing, _res) = m[i]
+        name = names_b[noff[i]:noff[i + 1]].decode()
+        cigar = [(v >> 4, CIGAR_OPS[v & 0xF])
+                 for v in cw_all[coff[i]:coff[i + 1]]]
+        s0, s1 = soff[i], soff[i + 1]
         seq = seqs_b[s0:s1]
         qual = b"*" if qual_missing or l_seq == 0 else quals_b[s0:s1]
         tags: Dict[str, str] = {}
@@ -398,8 +405,8 @@ def _decode_chunk_native(lib, data: bytes, references,
         ref_name = references[ref_id][0] \
             if 0 <= ref_id < len(references) else None
         records.append(SamRecord(
-            name=name, flag=int(flag), reference_name=ref_name,
-            pos=int(pos0) + 1 if pos0 >= 0 else 0, mapq=int(mapq),
+            name=name, flag=flag, reference_name=ref_name,
+            pos=pos0 + 1 if pos0 >= 0 else 0, mapq=mapq,
             cigar=cigar, seq=seq, qual=qual, tags=tags,
             typed_tags=typed))
     return records, int(consumed.value) if not malformed else -1, malformed
