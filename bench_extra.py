@@ -10,6 +10,9 @@ Writes BENCH_SECONDARY.json next to this file:
 - wfa_cells_per_s / wfa_tb_cells_per_s: the B=256 x L=512 5%-divergence
   wavefront microbench (score-only and with-traceback), reported as
   DP-equivalent n*m cells/s (comparable to the 3-plane DP fill rate).
+- panel_align_reads_per_s: config 5 - multi-amplicon panel read routing
+  over the mounted 180-guide library fixture (shared backbone, unique
+  ~20bp guides), with routing accuracy.
 
 One TPU process at a time on this box (CLAUDE.md); run this after
 bench.py, never concurrently.
@@ -170,6 +173,63 @@ def bench_decoy(results):
         f"{results['decoy_routing_accuracy']}")
 
 
+def bench_panel(results):
+    """Config 5: multi-amplicon panel with read routing — the mounted
+    180-guide CRISPR library (rust_cmd/test_data/18guide1_pcr_sequence
+    .fasta), whose references share a backbone and differ only in the
+    ~20bp guide, so routing rests on the unique-kmer vote exactly as in
+    quick_alignment_search (alignment_functions.rs:693-767)."""
+    from clique_tpu.align.pipeline import align_reads
+    from clique_tpu.config.layout import SequenceLayout
+    from clique_tpu.io.fastq import read_fasta
+    from clique_tpu.io.sam import BamReader
+    from clique_tpu.reference.manager import ReferenceManager
+
+    fasta = ("/root/reference/rust_cmd/test_data/"
+             "18guide1_pcr_sequence.fasta")
+    if not os.path.exists(fasta):
+        log("panel: fixture fasta missing; skipped")
+        return
+    refs = read_fasta(fasta)
+    rng = np.random.default_rng(13)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    per_ref = max(2, int(40 * SCALE))
+    with tempfile.TemporaryDirectory() as tmp:
+        layout_path = os.path.join(tmp, "layout.yaml")
+        _write_layout(layout_path, [(n, s.decode(), False)
+                                    for n, s in refs])
+        fq = os.path.join(tmp, "reads.fastq")
+        mode = "w"
+        for ri, (_name, seq) in enumerate(refs):
+            _make_reads(fq, rng, bases, seq.decode(), per_ref, 0.05,
+                        start_idx=ri * per_ref, mode=mode)
+            mode = "a"
+        layout = SequenceLayout.from_yaml(layout_path)
+        rm = ReferenceManager.from_layout(layout)
+        warm = os.path.join(tmp, "warm.fastq")
+        with open(fq) as src, open(warm, "w") as dst:
+            for _ in range(4 * 512):
+                dst.write(src.readline())
+        align_reads(layout, rm, os.path.join(tmp, "w.bam"), read1=warm,
+                    batch_size=512)
+        t0 = time.time()
+        out_bam = os.path.join(tmp, "o.bam")
+        stats = align_reads(layout, rm, out_bam, read1=fq, batch_size=512)
+        dt = time.time() - t0
+        correct = 0
+        with BamReader(out_bam, parse_tags=False) as reader:
+            for rec in reader:
+                true_ref = refs[int(rec.name[1:]) // per_ref][0]
+                correct += rec.reference_name == true_ref
+    total = per_ref * len(refs)
+    results["panel_align_reads_per_s"] = round(stats.aligned / dt, 1)
+    results["panel_routing_accuracy"] = round(
+        correct / max(stats.aligned, 1), 4)
+    log(f"panel: {stats.aligned}/{total} reads over {len(refs)} refs in "
+        f"{dt:.1f}s -> {results['panel_align_reads_per_s']} reads/s, "
+        f"routing acc {results['panel_routing_accuracy']}")
+
+
 def bench_wfa(results):
     """WFA kernel rates at B=256, L=512, 5% divergence (the round-1
     configuration that died on device; VERDICT next-3 asks it stable)."""
@@ -210,7 +270,7 @@ def main():
 
     enable_persistent_cache()
     results = {}
-    for fn in (bench_wfa, bench_hifi, bench_decoy):
+    for fn in (bench_wfa, bench_hifi, bench_decoy, bench_panel):
         try:
             fn(results)
         except Exception as exc:  # keep partial results
