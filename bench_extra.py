@@ -79,38 +79,57 @@ def _make_reads(path, rng, bases, template: str, n_reads: int, sub_p: float,
 import numpy as np  # noqa: E402  (after docstring helpers for clarity)
 
 
-def bench_hifi(results):
-    """Config 2: HiFi low-error reads through the WFA engine."""
+def _align_bench(refs, write_reads, classify=None, **align_kw):
+    """Shared scaffolding for the align benches: temp layout + reads,
+    512-record warm run, timed align, optional per-record classification
+    over the output BAM. Returns (stats, dt, classify_result, metrics)."""
     from clique_tpu.align.pipeline import align_reads
     from clique_tpu.config.layout import SequenceLayout
+    from clique_tpu.io.sam import BamReader
     from clique_tpu.reference.manager import ReferenceManager
 
-    rng = np.random.default_rng(7)
-    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
-    ref_seq, _targets = _amplicon(rng, bases)
-    n_reads = int(8000 * SCALE)
     with tempfile.TemporaryDirectory() as tmp:
         layout_path = os.path.join(tmp, "layout.yaml")
-        _write_layout(layout_path, [("amplicon1", ref_seq, True)])
+        _write_layout(layout_path, refs)
         fq = os.path.join(tmp, "reads.fastq")
-        _make_reads(fq, rng, bases, ref_seq.replace("0", "N")
-                    .replace("1", "N"), n_reads, 0.005)
+        write_reads(fq)
         layout = SequenceLayout.from_yaml(layout_path)
         rm = ReferenceManager.from_layout(layout)
         warm = os.path.join(tmp, "warm.fastq")
         with open(fq) as src, open(warm, "w") as dst:
             for _ in range(4 * 512):
-                dst.write(src.readline())
+                line = src.readline()
+                if not line:
+                    break
+                dst.write(line)
         align_reads(layout, rm, os.path.join(tmp, "w.bam"), read1=warm,
-                    batch_size=512, mode="hifi")
-        t0 = time.time()
+                    batch_size=512, **align_kw)
         metrics = os.path.join(tmp, "m.json")
-        stats = align_reads(layout, rm, os.path.join(tmp, "o.bam"),
-                            read1=fq, batch_size=512, mode="hifi",
-                            metrics_path=metrics)
+        out_bam = os.path.join(tmp, "o.bam")
+        t0 = time.time()
+        stats = align_reads(layout, rm, out_bam, read1=fq, batch_size=512,
+                            metrics_path=metrics, **align_kw)
         dt = time.time() - t0
+        cls = None
+        if classify is not None:
+            with BamReader(out_bam, parse_tags=False) as reader:
+                cls = classify(reader)
         with open(metrics) as fh:
             m = json.load(fh)
+    return stats, dt, cls, m
+
+
+def bench_hifi(results):
+    """Config 2: HiFi low-error reads through the WFA engine."""
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ref_seq, _targets = _amplicon(rng, bases)
+    n_reads = int(8000 * SCALE)
+    template = ref_seq.replace("0", "N").replace("1", "N")
+    stats, dt, _cls, m = _align_bench(
+        [("amplicon1", ref_seq, True)],
+        lambda fq: _make_reads(fq, rng, bases, template, n_reads, 0.005),
+        mode="hifi")
     assert m["engine"] == "wfa"
     results["hifi_align_reads_per_s"] = round(stats.aligned / dt, 1)
     results["hifi_wfa_dp_fallbacks"] = m["wfa_dp_fallbacks"]
@@ -122,11 +141,6 @@ def bench_hifi(results):
 def bench_decoy(results):
     """Config 4: background decoy subtraction = decoys as extra panel
     references; reads from decoys must route away from the amplicon."""
-    from clique_tpu.align.pipeline import align_reads
-    from clique_tpu.config.layout import SequenceLayout
-    from clique_tpu.io.sam import BamReader
-    from clique_tpu.reference.manager import ReferenceManager
-
     rng = np.random.default_rng(11)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     ref_seq, _targets = _amplicon(rng, bases)
@@ -134,40 +148,29 @@ def bench_decoy(results):
     decoys = [rng.choice(bases, len(ref_seq)).tobytes().decode()
               for _ in range(n_decoys)]
     n_amp, n_per_decoy = int(6000 * SCALE), max(4, int(250 * SCALE))
-    with tempfile.TemporaryDirectory() as tmp:
-        layout_path = os.path.join(tmp, "layout.yaml")
-        refs = [("amplicon1", ref_seq, True)] + [
-            (f"decoy{d}", decoys[d], False) for d in range(n_decoys)]
-        _write_layout(layout_path, refs)
-        fq = os.path.join(tmp, "reads.fastq")
+    refs = [("amplicon1", ref_seq, True)] + [
+        (f"decoy{d}", decoys[d], False) for d in range(n_decoys)]
+
+    def write_reads(fq):
         _make_reads(fq, rng, bases, ref_seq.replace("0", "N")
                     .replace("1", "N"), n_amp, 0.05)
         for d in range(n_decoys):
             _make_reads(fq, rng, bases, decoys[d], n_per_decoy, 0.05,
                         start_idx=100000 + d * n_per_decoy, mode="a")
-        layout = SequenceLayout.from_yaml(layout_path)
-        rm = ReferenceManager.from_layout(layout)
-        warm = os.path.join(tmp, "warm.fastq")
-        with open(fq) as src, open(warm, "w") as dst:
-            for _ in range(4 * 512):
-                dst.write(src.readline())
-        align_reads(layout, rm, os.path.join(tmp, "w.bam"), read1=warm,
-                    batch_size=512)
-        t0 = time.time()
-        out_bam = os.path.join(tmp, "o.bam")
-        stats = align_reads(layout, rm, out_bam, read1=fq, batch_size=512)
-        dt = time.time() - t0
-        routed_decoy = routed_amp = 0
-        with BamReader(out_bam, parse_tags=False) as reader:
-            for rec in reader:
-                if int(rec.name[1:]) >= 100000:
-                    routed_decoy += rec.reference_name.startswith("decoy")
-                else:
-                    routed_amp += rec.reference_name == "amplicon1"
+
+    def classify(reader):
+        correct = 0
+        for rec in reader:
+            if int(rec.name[1:]) >= 100000:
+                correct += rec.reference_name.startswith("decoy")
+            else:
+                correct += rec.reference_name == "amplicon1"
+        return correct
+
+    stats, dt, correct, _m = _align_bench(refs, write_reads, classify)
     total = n_amp + n_decoys * n_per_decoy
     results["decoy_align_reads_per_s"] = round(stats.aligned / dt, 1)
-    results["decoy_routing_accuracy"] = round(
-        (routed_decoy + routed_amp) / stats.aligned, 4)
+    results["decoy_routing_accuracy"] = round(correct / stats.aligned, 4)
     log(f"decoy: {stats.aligned}/{total} reads in {dt:.1f}s -> "
         f"{results['decoy_align_reads_per_s']} reads/s, routing acc "
         f"{results['decoy_routing_accuracy']}")
@@ -179,11 +182,7 @@ def bench_panel(results):
     .fasta), whose references share a backbone and differ only in the
     ~20bp guide, so routing rests on the unique-kmer vote exactly as in
     quick_alignment_search (alignment_functions.rs:693-767)."""
-    from clique_tpu.align.pipeline import align_reads
-    from clique_tpu.config.layout import SequenceLayout
     from clique_tpu.io.fastq import read_fasta
-    from clique_tpu.io.sam import BamReader
-    from clique_tpu.reference.manager import ReferenceManager
 
     fasta = ("/root/reference/rust_cmd/test_data/"
              "18guide1_pcr_sequence.fasta")
@@ -194,33 +193,21 @@ def bench_panel(results):
     rng = np.random.default_rng(13)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     per_ref = max(2, int(40 * SCALE))
-    with tempfile.TemporaryDirectory() as tmp:
-        layout_path = os.path.join(tmp, "layout.yaml")
-        _write_layout(layout_path, [(n, s.decode(), False)
-                                    for n, s in refs])
-        fq = os.path.join(tmp, "reads.fastq")
+
+    def write_reads(fq):
         mode = "w"
         for ri, (_name, seq) in enumerate(refs):
             _make_reads(fq, rng, bases, seq.decode(), per_ref, 0.05,
                         start_idx=ri * per_ref, mode=mode)
             mode = "a"
-        layout = SequenceLayout.from_yaml(layout_path)
-        rm = ReferenceManager.from_layout(layout)
-        warm = os.path.join(tmp, "warm.fastq")
-        with open(fq) as src, open(warm, "w") as dst:
-            for _ in range(4 * 512):
-                dst.write(src.readline())
-        align_reads(layout, rm, os.path.join(tmp, "w.bam"), read1=warm,
-                    batch_size=512)
-        t0 = time.time()
-        out_bam = os.path.join(tmp, "o.bam")
-        stats = align_reads(layout, rm, out_bam, read1=fq, batch_size=512)
-        dt = time.time() - t0
-        correct = 0
-        with BamReader(out_bam, parse_tags=False) as reader:
-            for rec in reader:
-                true_ref = refs[int(rec.name[1:]) // per_ref][0]
-                correct += rec.reference_name == true_ref
+
+    def classify(reader):
+        return sum(rec.reference_name ==
+                   refs[int(rec.name[1:]) // per_ref][0]
+                   for rec in reader)
+
+    stats, dt, correct, _m = _align_bench(
+        [(n, s.decode(), False) for n, s in refs], write_reads, classify)
     total = per_ref * len(refs)
     results["panel_align_reads_per_s"] = round(stats.aligned / dt, 1)
     results["panel_routing_accuracy"] = round(

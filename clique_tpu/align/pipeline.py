@@ -710,7 +710,8 @@ def align_reads(
     r1_orientation = next(
         (p.orientation for p in layout.reads if p.kind == "Read1"),
         AlignedReadOrientation.FORWARD)
-    if (reader.single_stream and not concat_single
+    if (reader.single_stream and "Read1" in declared_kinds
+            and not concat_single
             and r1_orientation == AlignedReadOrientation.FORWARD):
         for rec in reader.read_one_records():
             stats.total += 1

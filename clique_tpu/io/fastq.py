@@ -41,15 +41,22 @@ def _open_maybe_gz(path: str):
     return open(path, "rb")
 
 
+_FASTQ_BLOCK = 1 << 22
+
+
 def fastq_records(path: str) -> Iterator[FastqRecord]:
     """Block-based FASTQ parse: one read+split per ~4MB instead of four
     readline calls per record (the per-record readline/rstrip overhead was
-    a measurable slice of align wall time at 20k reads)."""
+    a measurable slice of align wall time at 20k reads).
+
+    Termination matches the old line-by-line reader: a group whose seq
+    AND qual are both empty (blank-line runs, EOF padding) stops the
+    stream; a trailing partial group with content is still emitted."""
     with _open_maybe_gz(path) as fh:
         pending: List[bytes] = []     # complete lines of unfinished groups
         tail = b""                    # partial last line of the last block
         while True:
-            block = fh.read(1 << 22)
+            block = fh.read(_FASTQ_BLOCK)
             if not block:
                 break
             lines = (tail + block).split(b"\n")
@@ -58,9 +65,12 @@ def fastq_records(path: str) -> Iterator[FastqRecord]:
             n4 = len(pending) - (len(pending) % 4)
             for i in range(0, n4, 4):
                 h = pending[i]
-                yield FastqRecord(
-                    name=h[1:].split(b" ", 1)[0].decode(),
-                    seq=pending[i + 1], qual=pending[i + 3])
+                seq = pending[i + 1]
+                qual = pending[i + 3]
+                if not seq and not qual:
+                    return
+                yield FastqRecord(name=h[1:].split(b" ", 1)[0].decode(),
+                                  seq=seq, qual=qual)
             del pending[:n4]
         if tail:
             pending.append(tail)

@@ -58,7 +58,8 @@ def test_empty_file(tmp_path):
 
 
 def test_records_spanning_block_boundary(tmp_path, monkeypatch):
-    # force tiny read blocks so records straddle block boundaries
+    # force a pathological block size so every record straddles real
+    # block boundaries in the REAL parser
     import clique_tpu.io.fastq as fq
 
     body = b"".join(
@@ -66,30 +67,32 @@ def test_records_spanning_block_boundary(tmp_path, monkeypatch):
         % (i, b"ACGT" * 10, b"I" * 40) for i in range(100))
     path = _write(tmp_path, body)
     whole = list(fastq_records(path))
-
-    real_records = fq.fastq_records
-
-    def tiny_block_records(p):
-        with fq._open_maybe_gz(p) as fh:
-            pending = []
-            tail = b""
-            while True:
-                block = fh.read(7)   # pathological block size
-                if not block:
-                    break
-                lines = (tail + block).split(b"\n")
-                tail = lines.pop()
-                pending.extend(lines)
-                n4 = len(pending) - (len(pending) % 4)
-                for i in range(0, n4, 4):
-                    h = pending[i]
-                    yield FastqRecord(h[1:].split(b" ", 1)[0].decode(),
-                                      pending[i + 1], pending[i + 3])
-                del pending[:n4]
-
-    assert list(tiny_block_records(path)) == whole
     assert len(whole) == 100
     assert whole[7].name == "read7"
+    assert whole[7].seq == b"ACGT" * 10
+
+    monkeypatch.setattr(fq, "_FASTQ_BLOCK", 7)
+    assert list(fastq_records(path)) == whole
+
+
+def test_blank_line_run_stops_stream(tmp_path, monkeypatch):
+    # a group with empty seq AND qual terminates the stream (old
+    # line-by-line reader semantics), mid-file and as EOF padding,
+    # at any block size
+    import clique_tpu.io.fastq as fq
+
+    trailing = _write(tmp_path, b"@a\nAC\n+\nII\n\n\n\n\n")
+    assert [r.name for r in fastq_records(trailing)] == ["a"]
+
+    (tmp_path / "mid.fastq").write_bytes(
+        b"@a\nAC\n+\nII\n\n\n\n\n@b\nGT\n+\nFF\n")
+    assert [r.name for r in fastq_records(str(tmp_path / "mid.fastq"))] \
+        == ["a"]
+
+    monkeypatch.setattr(fq, "_FASTQ_BLOCK", 5)
+    assert [r.name for r in fastq_records(trailing)] == ["a"]
+    assert [r.name for r in fastq_records(str(tmp_path / "mid.fastq"))] \
+        == ["a"]
 
 
 def test_single_stream_detection(tmp_path):

@@ -297,3 +297,19 @@ def test_cigars_from_ops_batch_matches_row_rle():
     batch = cigars_from_ops_batch(ops, n_ops)
     for b in range(17):
         assert batch[b] == cigar_from_ops_row(ops[b], int(n_ops[b]))
+
+
+def test_align_rejects_layout_without_read1(tmp_path):
+    """A single read1 stream against a layout that declares only Read2
+    must still raise unify_read's unsupported-structure error — the
+    single-stream fast path may not silently treat the stream as Read1."""
+    layout_path = tmp_path / "layout.yaml"
+    layout_path.write_text(LAYOUT_YAML.replace("!Read1", "!Read2"))
+    fastq_path = tmp_path / "reads.fastq"
+    read = f"{ANCHOR5}{rand_seq(16)}{rand_seq(12)}{TARGET}{ANCHOR3}"
+    fastq_path.write_text(f"@r0\n{read}\n+\n{'I' * len(read)}\n")
+    layout = SequenceLayout.from_yaml(str(layout_path))
+    rm = ReferenceManager.from_layout(layout)
+    with pytest.raises(ValueError, match="read structure"):
+        align_reads(layout, rm, str(tmp_path / "out.sam"),
+                    read1=str(fastq_path), batch_size=4)
