@@ -109,7 +109,7 @@ references:
                     break
                 dst.write(line)
         align_reads(layout, rm, os.path.join(tmp, "warm.bam"), read1=warm,
-                    batch_size=512)
+                    batch_size=1024)
         log("warmup done; timing main run")
 
         from clique_tpu.collapse.pipeline import collapse
@@ -117,7 +117,7 @@ references:
         t0 = time.time()
         align_metrics = os.path.join(tmp, "align_metrics.json")
         stats = align_reads(layout, rm, os.path.join(tmp, "out.bam"),
-                            read1=fq, batch_size=512,
+                            read1=fq, batch_size=1024,
                             metrics_path=align_metrics)
         align_dt = time.time() - t0
         log(f"align done in {align_dt:.1f}s")
@@ -171,7 +171,7 @@ def _supervised() -> None:
     record (single runs are noisy; see CLAUDE.md TPU tunnel rules)."""
     import subprocess
 
-    healthy_min = float(os.environ.get("CLIQUE_BENCH_HEALTHY_MIN", "4200"))
+    healthy_min = float(os.environ.get("CLIQUE_BENCH_HEALTHY_MIN", "5600"))
     # kernel-code changes invalidate the persistent XLA cache; a cold run
     # recompiles every big shape variant through the remote relay (minutes
     # each), so the child budget must cover a full recompile set
