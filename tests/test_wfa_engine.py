@@ -213,3 +213,37 @@ def test_wfa_aligner_adaptive_retry_and_mem_cap(monkeypatch):
     capped = capped_engine.align_pairs(refs, reads)
     for b, r in zip(base, capped):
         assert b[2] == r[2] and b[3] == r[3]
+
+    # a budget below one floor chunk forces one-chunk-per-wave dispatch
+    # (the HBM-bounded wave loop); output must still match exactly
+    monkeypatch.setenv("CLIQUE_WFA_MEM_BUDGET", str(1 << 16))  # 64KB
+    waved = WfaAligner().align_pairs(refs, reads)
+    for b, r in zip(base, waved):
+        assert b[2] == r[2] and b[3] == r[3]
+
+
+def test_wfa_aligner_routes_ultra_long_pairs_to_dp_fallback():
+    """Pairs wider than the i16 run table (~32.7kb padded) must never
+    reach the wavefront kernels (run lengths would wrap negative); they
+    go straight to the exact-DP fallback while normal pairs in the same
+    call still take the WFA path."""
+    from clique_tpu.align.wavefront import WfaAligner
+
+    class FakeDP:
+        def __init__(self):
+            self.seen = []
+
+        def align_pairs(self, refs, reads):
+            self.seen.extend(refs)
+            return [(r, d, [(len(r), "M")], 1.0)
+                    for r, d in zip(refs, reads)]
+
+    rng = np.random.default_rng(9)
+    long_seq = rng.choice(BASES, 33000).tobytes()
+    dp = FakeDP()
+    engine = WfaAligner(dp_fallback=dp)
+    out = engine.align_pairs([long_seq, b"ACGTACGT"],
+                             [long_seq, b"ACGAACGT"])
+    assert engine.fallbacks == 1 and dp.seen == [long_seq]
+    assert out[0][3] == 1.0               # fallback result in place
+    assert out[1][2] == [(8, "M")]        # short pair aligned by WFA
