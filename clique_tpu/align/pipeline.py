@@ -29,6 +29,7 @@ import logging
 import os
 import time
 from dataclasses import dataclass, field
+from decimal import Decimal
 from typing import Dict, Iterable, List, Optional, Tuple
 
 import numpy as np
@@ -107,13 +108,27 @@ class AlignedRead:
 
 
 def _fmt(x: float) -> str:
-    """Rust f64 Display-compatible formatting ("1" for 1.0? no: Rust prints
-    1 as "1"; to_string() of 290.0 is "290"). Match that."""
+    """Render a float exactly as Rust's f64 `Display` does (used for the
+    rm/as SAM tags, reference alignment_matrix.rs:741-771).
+
+    Rust Display prints the shortest decimal that round-trips and NEVER
+    uses scientific notation: 290.0 -> "290", 1e16 -> "10000000000000000",
+    1.5e-7 -> "0.00000015", -0.0 -> "-0". Python `repr` matches the
+    shortest-round-trip digits but switches to exponent form outside
+    ~[1e-4, 1e16); expand those through Decimal (exact, since Decimal is
+    constructed from repr's digit string, not the binary float)."""
     if x != x:  # NaN
         return "NaN"
-    if x == int(x) and abs(x) < 1e15:
-        return str(int(x))
-    return repr(x)
+    if x == float("inf"):
+        return "inf"
+    if x == float("-inf"):
+        return "-inf"
+    s = repr(x)
+    if s.endswith(".0"):
+        return s[:-2]  # 290.0 -> "290", -0.0 -> "-0"
+    if "e" not in s and "E" not in s:
+        return s
+    return format(Decimal(s), "f")
 
 
 @dataclass
