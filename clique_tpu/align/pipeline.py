@@ -371,9 +371,12 @@ def align_reads(
     inter-anchor sub-DPs batched on device (linked_alignment.rs:147-266
     wiring the reference leaves unused; align/anchored.py).
 
-    engine: "dp" (exact 3-plane affine DP - reference-parity default) or
-    "wfa" (wavefront engine with traceback, align/wavefront.py). The
-    reference parses --aligner=wfa but never uses it (main.rs:127-133,
+    engine: "dp" (exact 3-plane affine DP - reference-parity default),
+    "wfa" (wavefront engine with traceback, align/wavefront.py), or
+    "convex" (the same wavefront engine under the dual-affine/"convex"
+    penalty model, WFA2-lib's affine2p — wavefront_compute_affine2p.o,
+    SURVEY 2.9: long gaps pay min(o1+n*e1, o2+n*e2)). The reference
+    parses --aligner=wfa but never uses it (main.rs:127-133,
     alignment_functions.rs:74); we honor the intent: WFA is the default
     engine for HiFi mode (low divergence = small wavefront score = O(ns)
     work) and opt-in elsewhere; scores on the WFA path are negated
@@ -394,7 +397,8 @@ def align_reads(
     max_read_size = (rm.longest_ref + 1) * max_reference_multiplier
     single_ref = len(rm.references) == 1
 
-    if single_ref and not single_ref_native and engine != "wfa":
+    if single_ref and not single_ref_native and engine not in ("wfa",
+                                                               "convex"):
         aligner = BatchAligner(RUST_BIO_COMPAT, batch_size,
                                special_mode="ref_n_only",
                                bandwidth=bandwidth)
@@ -402,10 +406,12 @@ def align_reads(
     else:
         aligner = BatchAligner(scoring, batch_size, bandwidth=bandwidth)
         report_zero_score = False
-    if engine == "wfa":
+    if engine in ("wfa", "convex"):
         from clique_tpu.align.wavefront import WfaAligner
 
-        aligner = WfaAligner(batch_size=batch_size, dp_fallback=aligner)
+        aligner = WfaAligner(
+            batch_size=batch_size, dp_fallback=aligner,
+            model="affine2p" if engine == "convex" else "affine")
     merge_aligner = BatchAligner(MERGE_SCORING, batch_size)
 
     profiler_cm = None
@@ -590,7 +596,8 @@ def align_reads(
             from clique_tpu.align.wavefront import wfa_screen_candidates
 
             pens = wfa_screen_candidates(
-                refs, reads, x=aligner.x, o=aligner.o, e=aligner.e)
+                refs, reads, x=aligner.x, o=aligner.o, e=aligner.e,
+                model=aligner.model, o2=aligner.o2, e2=aligner.e2)
             winner_refs: List[bytes] = []
             winner_reads: List[bytes] = []
             winner_best: List[int] = []

@@ -159,9 +159,11 @@ def wfa_edit_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n1", "n2", "smax", "x", "o", "e"))
+                   static_argnames=("n1", "n2", "smax", "x", "o", "e",
+                                    "wildcards"))
 def wfa_affine_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
-                     smax: int, x: int = 4, o: int = 6, e: int = 2):
+                     smax: int, x: int = 4, o: int = 6, e: int = 2,
+                     wildcards: bool = False):
     """Batched gap-affine WFA: penalties mismatch=x, gap open=o, extend=e
     (match = 0). Returns the alignment penalty [B] i32 (smax+1 censored).
 
@@ -169,7 +171,8 @@ def wfa_affine_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
     lookbacks. Diagonals are clamped to |k| <= smax: a wavefront at score
     s only reaches |k| <= s, and pairs whose length difference exceeds
     smax cost more than smax anyway (gap extend >= 1/diagonal), so they
-    censor identically."""
+    censor identically. wildcards=True makes digit/N bytes extend as
+    matches (scoring_functions.rs:100-102's special-character rule)."""
     B = refs.shape[0]
     Kmax = min(n1 + n2, smax)
     K = 2 * Kmax + 1
@@ -196,7 +199,7 @@ def wfa_affine_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
 
     neg_wf = jnp.full((B, K), NEG, jnp.int32)
     n1w = refs_i.shape[1]
-    run = _run_table(refs_i, reads_i, ks, l1, l2)
+    run = _run_table(refs_i, reads_i, ks, l1, l2, wildcards=wildcards)
     m0 = jnp.where((ks == 0)[None, :] & jnp.ones((B, 1), bool), 0, NEG)
     m0 = _table_extend(m0, run, diag_valid(0), n1w)
 
@@ -259,10 +262,10 @@ def wfa_affine_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("n1", "n2", "smax", "x", "o1", "e1",
-                                    "o2", "e2"))
+                                    "o2", "e2", "wildcards"))
 def wfa_affine2p_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
                        smax: int, x: int = 4, o1: int = 6, e1: int = 2,
-                       o2: int = 24, e2: int = 1):
+                       o2: int = 24, e2: int = 1, wildcards: bool = False):
     """Dual-affine ("convex" piecewise) WFA: gap cost is the minimum of two
     affine classes (o1 + k*e1, o2 + k*e2) - WFA2-lib's affine2p model
     (SURVEY 2.9), the practical convex-gap approximation. Returns the
@@ -294,7 +297,7 @@ def wfa_affine2p_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
 
     neg_wf = jnp.full((B, K), NEG, jnp.int32)
     n1w = refs_i.shape[1]
-    run = _run_table(refs_i, reads_i, ks, l1, l2)
+    run = _run_table(refs_i, reads_i, ks, l1, l2, wildcards=wildcards)
     m0 = jnp.where((ks == 0)[None, :] & jnp.ones((B, 1), bool), 0, NEG)
     m0 = _table_extend(m0, run, diag_valid(0), n1w)
 
@@ -488,6 +491,204 @@ def wfa_affine_tb_batch(refs, reads, ref_lens, read_lens, *, n1: int,
     s, M, I, D, ops, result = jax.lax.while_loop(
         cond, body, (jnp.int32(0), M, I, D, ops, init_result))
     return jnp.where(result < 0, smax + 1, result), ops
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n1", "n2", "smax", "x", "o1", "e1",
+                                    "o2", "e2", "wildcards"))
+def wfa_affine2p_tb_batch(refs, reads, ref_lens, read_lens, *, n1: int,
+                          n2: int, smax: int, x: int = 4, o1: int = 6,
+                          e1: int = 2, o2: int = 24, e2: int = 1,
+                          wildcards: bool = False):
+    """Dual-affine ("convex") WFA with traceback: the affine op-byte scheme
+    of wfa_affine_tb_batch extended to WFA2-lib's affine2p model
+    (wavefront_compute_affine2p.o, SURVEY 2.9) — gap cost is
+    min(o1 + n*e1, o2 + n*e2), approximating a convex gap penalty with two
+    affine classes.
+
+    Op byte per (score step, lane, diagonal):
+      bits 0-2: M source (0 = none, 1 = mismatch, 2 = I1, 3 = D1,
+                4 = I2, 5 = D2)
+      bit 3: I1 from extend   bit 4: D1 from extend
+      bit 5: I2 from extend   bit 6: D2 from extend
+    The host backtrace (wfa_backtrace_ops_2p) walks 5 states and replays
+    greedy extension exactly as the affine path does.
+
+    Returns (penalty [B] i32 (smax+1 censored), ops [smax+1, B, K] u8)."""
+    B = refs.shape[0]
+    Kmax = min(n1 + n2, smax)
+    K = 2 * Kmax + 1
+    ks = jnp.arange(K, dtype=jnp.int32) - Kmax
+    hist = max(x, o1 + e1, e1, o2 + e2, e2) + 1
+
+    refs_i = refs.astype(jnp.int32)
+    reads_i = reads.astype(jnp.int32)
+    l1 = ref_lens[:, None].astype(jnp.int32)
+    l2 = read_lens[:, None].astype(jnp.int32)
+    k_target = (l1 - l2)[:, 0]
+    target_ok = jnp.abs(k_target) <= Kmax
+    k_target_c = jnp.clip(k_target, -Kmax, Kmax)
+
+    n1w = refs_i.shape[1]
+    run = _run_table(refs_i, reads_i, ks, l1, l2, wildcards=wildcards)
+
+    def clamp(offs):
+        v = offs - ks[None, :]
+        return jnp.where((offs <= l1) & (v <= l2) & (v >= 0) &
+                         (ks[None, :] >= -l2) & (ks[None, :] <= l1),
+                         offs, NEG)
+
+    def diag_valid(s):
+        return (jnp.abs(ks)[None, :] <= s) & \
+            (ks[None, :] >= -l2) & (ks[None, :] <= l1)
+
+    neg_wf = jnp.full((B, K), NEG, jnp.int32)
+    m0 = jnp.where((ks == 0)[None, :] & jnp.ones((B, 1), bool), 0, NEG)
+    m0 = _table_extend(m0, run, diag_valid(0), n1w)
+
+    M = jnp.full((hist, B, K), NEG, jnp.int32).at[0].set(m0)
+    gap = {name: jnp.full((hist, B, K), NEG, jnp.int32)
+           for name in ("I1", "D1", "I2", "D2")}
+    ops = jnp.zeros((smax + 1, B, K), jnp.uint8)
+
+    def get(buf, s, back):
+        idx = (s - back) % hist
+        ok = s - back >= 0
+        return jnp.where(ok, buf[idx], neg_wf)
+
+    def done(m):
+        tgt = jnp.take_along_axis(
+            m, (k_target_c + Kmax)[:, None], axis=1)[:, 0]
+        return target_ok & (tgt >= l1[:, 0])
+
+    def cond(state):
+        s, M, I1, D1, I2, D2, ops, result = state
+        return (s < smax) & jnp.logical_not(jnp.all(result >= 0))
+
+    def body(state):
+        s, M, I1, D1, I2, D2, ops, result = state
+        s1 = s + 1
+
+        def sr(w):  # deletion direction: W[k-1], h+1
+            return jnp.pad(w[:, :-1], ((0, 0), (1, 0)), constant_values=NEG)
+
+        def sl(w):  # insertion direction: W[k+1], h unchanged
+            return jnp.pad(w[:, 1:], ((0, 0), (0, 1)), constant_values=NEG)
+
+        vld = diag_valid(s1)
+        new = {}
+        ext = {}
+        for suffix, gbuf_i, gbuf_d, o, e in (("1", I1, D1, o1, e1),
+                                             ("2", I2, D2, o2, e2)):
+            m_oe = get(M, s1, o + e)
+            i_e = get(gbuf_i, s1, e)
+            d_e = get(gbuf_d, s1, e)
+            d_open = sr(m_oe)
+            d_ext = sr(d_e)
+            nd = jnp.maximum(d_open, d_ext)
+            ext["D" + suffix] = d_ext > d_open      # tie -> open
+            new["D" + suffix] = clamp(jnp.where(
+                vld, jnp.where(nd > NEG, nd + 1, NEG), NEG))
+            i_open = sl(m_oe)
+            i_ext = sl(i_e)
+            ext["I" + suffix] = i_ext > i_open
+            new["I" + suffix] = clamp(jnp.where(
+                vld, jnp.maximum(i_open, i_ext), NEG))
+
+        m_x = get(M, s1, x)
+        mism = jnp.where(m_x > NEG, m_x + 1, NEG)
+        nm = jnp.maximum(
+            mism, jnp.maximum(jnp.maximum(new["I1"], new["D1"]),
+                              jnp.maximum(new["I2"], new["D2"])))
+        # tie order mismatch > I1 > D1 > I2 > D2 (any choice is optimal)
+        m_src = jnp.where(
+            nm <= NEG, 0,
+            jnp.where(mism == nm, 1,
+                      jnp.where(new["I1"] == nm, 2,
+                                jnp.where(new["D1"] == nm, 3,
+                                          jnp.where(new["I2"] == nm, 4,
+                                                    5)))))
+        nm = clamp(jnp.where(vld, nm, NEG))
+        nm = _table_extend(nm, run, vld, n1w)
+
+        op_byte = (m_src.astype(jnp.uint8)
+                   | (ext["I1"].astype(jnp.uint8) << 3)
+                   | (ext["D1"].astype(jnp.uint8) << 4)
+                   | (ext["I2"].astype(jnp.uint8) << 5)
+                   | (ext["D2"].astype(jnp.uint8) << 6))
+        ops = ops.at[s1].set(op_byte)
+
+        idx = s1 % hist
+        M = M.at[idx].set(nm)
+        I1 = I1.at[idx].set(new["I1"])
+        D1 = D1.at[idx].set(new["D1"])
+        I2 = I2.at[idx].set(new["I2"])
+        D2 = D2.at[idx].set(new["D2"])
+        result = jnp.where((result < 0) & done(nm), s1, result)
+        return s1, M, I1, D1, I2, D2, ops, result
+
+    init_result = jnp.where(done(m0), 0, -1)
+    state = (jnp.int32(0), M, gap["I1"], gap["D1"], gap["I2"], gap["D2"],
+             ops, init_result)
+    s, M, I1, D1, I2, D2, ops, result = jax.lax.while_loop(cond, body, state)
+    return jnp.where(result < 0, smax + 1, result), ops
+
+
+def wfa_backtrace_ops_2p(ops: np.ndarray, scores: np.ndarray,
+                         k_targets: np.ndarray, *, x: int, o1: int,
+                         e1: int, o2: int, e2: int) -> list:
+    """Host lockstep backtrace for the dual-affine op store
+    (wfa_affine2p_tb_batch). Walks 5 states (M, I1, D1, I2, D2); gap
+    class only changes the score decrement — the emitted skeleton ops
+    stay {'X','I','i','D','d'} so wfa_replay_cigar works unchanged.
+    Returns per-lane forward-order op lists (None for censored lanes)."""
+    S1, B, K = ops.shape
+    smax = (K - 1) // 2
+    alive = (scores >= 0) & (scores < S1)
+    s = np.where(alive, scores, 0).astype(np.int64)
+    k = np.where(alive, k_targets, 0).astype(np.int64)
+    state = np.zeros(B, dtype=np.int8)  # 0=M 1=I1 2=D1 3=I2 4=D2
+    done = ~alive
+    rev_ops: list = [[] for _ in range(B)]
+    # (state id, op char, diag step, ext-bit shift, o, e)
+    GAPS = ((1, "I", +1, 3, o1, e1), (2, "D", -1, 4, o1, e1),
+            (3, "I", +1, 5, o2, e2), (4, "D", -1, 6, o2, e2))
+    guard = 0
+    while not done.all():
+        guard += 1
+        if guard > 4 * S1 + 8:
+            raise RuntimeError("wfa affine2p backtrace failed to converge")
+        byte = ops[s, np.arange(B), k + smax]
+        m_src = byte & 7
+
+        in_m = (state == 0) & ~done
+        finish = in_m & (s == 0)
+        done |= finish
+        act_m = in_m & ~finish
+        mm = act_m & (m_src == 1)
+        for idx in np.nonzero(mm)[0]:
+            rev_ops[idx].append("X")
+        s = np.where(mm, s - x, s)
+        for st in (2, 3, 4, 5):
+            state = np.where(act_m & (m_src == st), st - 1, state)
+
+        # lanes that just switched out of M wait for the next pass (the
+        # byte re-read at the same (s, k) is correct), mirroring the
+        # affine backtrace
+        claimed = in_m
+        for st, opch, dk, shift, o, e in GAPS:
+            in_g = (state == st) & ~done & ~claimed
+            claimed = claimed | in_g
+            if not in_g.any():
+                continue
+            g_ext = (byte >> shift) & 1
+            for idx in np.nonzero(in_g)[0]:
+                rev_ops[idx].append(opch.lower() if g_ext[idx] else opch)
+            s = np.where(in_g, s - np.where(g_ext == 1, e, o + e), s)
+            k = np.where(in_g, k + dk, k)
+            state = np.where(in_g & (g_ext == 0), 0, state)
+    return [list(reversed(r)) if a else None
+            for r, a in zip(rev_ops, alive)]
 
 
 def wfa_backtrace_ops(ops: np.ndarray, scores: np.ndarray,
@@ -723,6 +924,72 @@ def affine_penalty_golden(a: bytes, b: bytes, *, x: int, o: int,
     return int(M[n1, n2])
 
 
+def cigar_penalty_2p(cigar, a: bytes, b: bytes, *, x: int, o1: int,
+                     e1: int, o2: int, e2: int,
+                     wildcards: bool = False) -> int:
+    """Dual-affine penalty of a CIGAR (match 0, mismatch x, gap of length n
+    costs min(o1 + n*e1, o2 + n*e2)) — the checkable invariant for the
+    convex traceback tests."""
+    h = v = 0
+    p = 0
+    for n, op in cigar:
+        if op == "M":
+            for _ in range(n):
+                if not (a[h] == b[v] or
+                        (wildcards and (_wild(a[h]) or _wild(b[v])))):
+                    p += x
+                h += 1
+                v += 1
+        elif op == "I":
+            p += min(o1 + n * e1, o2 + n * e2)
+            v += n
+        elif op == "D":
+            p += min(o1 + n * e1, o2 + n * e2)
+            h += n
+    return p
+
+
+def affine2p_penalty_golden(a: bytes, b: bytes, *, x: int, o1: int,
+                            e1: int, o2: int, e2: int,
+                            wildcards: bool = False) -> int:
+    """O(nm) min-penalty dual-affine DP (numpy, host): the independent
+    golden for the affine2p WFA kernels — Gotoh with five planes
+    (M, I1, D1, I2, D2), gap cost min over the two affine classes
+    (WFA2-lib's affine2p model, SURVEY 2.9)."""
+    n1, n2 = len(a), len(b)
+    INF = 1 << 29
+    av = np.frombuffer(a, dtype=np.uint8).astype(np.int32)
+    bv = np.frombuffer(b, dtype=np.uint8).astype(np.int32)
+    sub = (av[:, None] != bv[None, :]).astype(np.int64) * x
+    if wildcards:
+        wild = ((av[:, None] < 58) | (av[:, None] == 78) |
+                (bv[None, :] < 58) | (bv[None, :] == 78))
+        sub = np.where(wild, 0, sub)
+    M = np.full((n1 + 1, n2 + 1), INF, dtype=np.int64)
+    I1 = np.full((n1 + 1, n2 + 1), INF, dtype=np.int64)
+    D1 = np.full((n1 + 1, n2 + 1), INF, dtype=np.int64)
+    I2 = np.full((n1 + 1, n2 + 1), INF, dtype=np.int64)
+    D2 = np.full((n1 + 1, n2 + 1), INF, dtype=np.int64)
+    M[0, 0] = 0
+    for j in range(1, n2 + 1):
+        I1[0, j] = o1 + j * e1
+        I2[0, j] = o2 + j * e2
+        M[0, j] = min(I1[0, j], I2[0, j])
+    for i in range(1, n1 + 1):
+        D1[i, 0] = o1 + i * e1
+        D2[i, 0] = o2 + i * e2
+        M[i, 0] = min(D1[i, 0], D2[i, 0])
+    for i in range(1, n1 + 1):
+        for j in range(1, n2 + 1):
+            I1[i, j] = min(M[i, j - 1] + o1 + e1, I1[i, j - 1] + e1)
+            D1[i, j] = min(M[i - 1, j] + o1 + e1, D1[i - 1, j] + e1)
+            I2[i, j] = min(M[i, j - 1] + o2 + e2, I2[i, j - 1] + e2)
+            D2[i, j] = min(M[i - 1, j] + o2 + e2, D2[i - 1, j] + e2)
+            M[i, j] = min(M[i - 1, j - 1] + sub[i - 1, j - 1],
+                          I1[i, j], D1[i, j], I2[i, j], D2[i, j])
+    return int(M[n1, n2])
+
+
 def cigar_to_aligned(a: bytes, b: bytes, cigar) -> Tuple[bytes, bytes]:
     """Expand a [(count, op)] CIGAR over (a, b) into the gapped aligned
     pair (a_aligned, b_aligned); gaps are '-'."""
@@ -767,13 +1034,25 @@ class WfaAligner:
     (scoring_functions.rs:100-102).
 
     Reported score is the NEGATED WFA penalty (max-is-better like the DP
-    path; exact values differ from the DP scoring scheme by design)."""
+    path; exact values differ from the DP scoring scheme by design).
+
+    model="affine2p" switches to the dual-affine ("convex") penalty set
+    (x, o, e, o2, e2): gap cost min(o + n*e, o2 + n*e2) — WFA2-lib's
+    affine2p model (wavefront_compute_affine2p.o, SURVEY 2.9), exposed
+    as `clique align --engine convex`. Long gaps (structural deletions,
+    cassette drop-outs) then pay the cheap second slope instead of
+    fragmenting into mismatch runs."""
 
     def __init__(self, x: int = 4, o: int = 6, e: int = 2,
                  batch_size: int = 512, length_quantum: int = 128,
                  wildcards: bool = True, s0: Optional[int] = None,
-                 dp_fallback=None):
+                 dp_fallback=None, model: str = "affine",
+                 o2: int = 24, e2: int = 1):
+        if model not in ("affine", "affine2p"):
+            raise ValueError(f"unknown WFA penalties model: {model}")
+        self.model = model
         self.x, self.o, self.e = x, o, e
+        self.o2, self.e2 = o2, e2
         self.batch_size = batch_size
         self.quantum = length_quantum
         self.wildcards = wildcards
@@ -784,6 +1063,23 @@ class WfaAligner:
         self.device_seconds = 0.0
         self.post_seconds = 0.0
         self.fallbacks = 0
+
+    def _tb_kernel(self, a, b, la, lb, *, L, smax):
+        if self.model == "affine2p":
+            return wfa_affine2p_tb_batch(
+                a, b, la, lb, n1=L, n2=L, smax=smax, x=self.x, o1=self.o,
+                e1=self.e, o2=self.o2, e2=self.e2, wildcards=self.wildcards)
+        return wfa_affine_tb_batch(
+            a, b, la, lb, n1=L, n2=L, smax=smax, x=self.x, o=self.o,
+            e=self.e, wildcards=self.wildcards)
+
+    def _backtrace(self, ops, scores, k_targets):
+        if self.model == "affine2p":
+            return wfa_backtrace_ops_2p(ops, scores, k_targets, x=self.x,
+                                        o1=self.o, e1=self.e, o2=self.o2,
+                                        e2=self.e2)
+        return wfa_backtrace_ops(ops, scores, k_targets, x=self.x,
+                                 o=self.o, e=self.e)
 
     def _bucket_len(self, n: int) -> int:
         q = self.quantum
@@ -884,9 +1180,8 @@ class WfaAligner:
                         a[j, :len(r)] = np.frombuffer(r, dtype=np.uint8)
                         b[j, :len(d)] = np.frombuffer(d, dtype=np.uint8)
                         la[j], lb[j] = len(r), len(d)
-                    scores, ops = wfa_affine_tb_batch(
-                        a, b, la, lb, n1=L, n2=L, smax=smax, x=self.x,
-                        o=self.o, e=self.e, wildcards=self.wildcards)
+                    scores, ops = self._tb_kernel(a, b, la, lb, L=L,
+                                                  smax=smax)
                     disp.append([chunk, L, smax, la, lb, scores, ops])
                 # phase B: overlap every score transfer
                 for d in disp:
@@ -927,9 +1222,8 @@ class WfaAligner:
                         skeletons = [None] * nrem
                     else:
                         ops_np = np.asarray(win)
-                        skeletons = wfa_backtrace_ops(
-                            ops_np[:, :nrem], sc, (la - lb)[:nrem],
-                            x=self.x, o=self.o, e=self.e)
+                        skeletons = self._backtrace(
+                            ops_np[:, :nrem], sc, (la - lb)[:nrem])
                     miss = censored.setdefault((L, smax), [])
                     for j, k in enumerate(chunk):
                         if skeletons[j] is None:
@@ -958,8 +1252,43 @@ class WfaAligner:
         return results
 
     def _dp_fallback_fill(self, remaining, refs, reads, results):
-        """Exact-DP fallback for pairs beyond the WFA score cap."""
+        """Exact-DP fallback for pairs beyond the WFA score cap.
+
+        The convex model keeps its gap semantics: censored affine2p pairs
+        re-run the affine2p kernel at a guaranteed-sufficient ceiling
+        (delete-all + insert-all bounds the minimal penalty) rather than
+        silently switching to the single-affine DP; only ultra-long pairs
+        (run table i16 limit) go to the DP fallback."""
         self.fallbacks += len(remaining)
+        if self.model == "affine2p":
+            long_pairs = []
+            for k in remaining:
+                L = max(len(refs[k]), len(reads[k]))
+                if L + 1 >= (1 << 15):
+                    long_pairs.append(k)
+                    continue
+                smax = min(2 * self.o + self.e * 2 * L,
+                           2 * self.o2 + self.e2 * 2 * L) + 1
+                a = np.zeros((32, L), dtype=np.uint8)
+                b = np.zeros((32, L), dtype=np.uint8)
+                la = np.zeros(32, dtype=np.int32)
+                lb = np.zeros(32, dtype=np.int32)
+                a[0, :len(refs[k])] = np.frombuffer(refs[k], dtype=np.uint8)
+                b[0, :len(reads[k])] = np.frombuffer(reads[k],
+                                                     dtype=np.uint8)
+                la[0], lb[0] = len(refs[k]), len(reads[k])
+                sc, ops = self._tb_kernel(a, b, la, lb, L=L, smax=smax)
+                sc = np.asarray(sc)[:1]
+                skel = self._backtrace(np.asarray(ops)[:, :1], sc,
+                                       (la - lb)[:1])[0]
+                cig = wfa_replay_cigar(refs[k], reads[k], skel,
+                                       wildcards=self.wildcards)
+                ra, da = cigar_to_aligned(refs[k], reads[k], cig)
+                results[k] = (ra, da, cig, -float(sc[0]))
+                self.cells_filled += len(refs[k]) * len(reads[k])
+            remaining = long_pairs
+            if not remaining:
+                return
         if self.dp_fallback is not None:
             out = self.dp_fallback.align_pairs(
                 [refs[k] for k in remaining], [reads[k] for k in remaining])
@@ -977,11 +1306,13 @@ class WfaAligner:
 
 def wfa_screen_candidates(refs, reads, *, x: int = 4, o: int = 6,
                           e: int = 2, smax: Optional[int] = None,
-                          pad_to: int = 64) -> np.ndarray:
+                          pad_to: int = 64, model: str = "affine",
+                          o2: int = 24, e2: int = 1) -> np.ndarray:
     """Score-only candidate screen for exhaustive reference search: the
     WFA penalty of each (ref, read) pair, censored at smax (censored pairs
     return smax + 1 and rank last). One device dispatch per padded-length
-    bucket."""
+    bucket. model="affine2p" screens under the dual-affine penalties so
+    convex-engine ranking matches what the traceback pass will score."""
     if not refs:
         return np.zeros(0, dtype=np.int32)
     P = len(refs)
@@ -1000,8 +1331,16 @@ def wfa_screen_candidates(refs, reads, *, x: int = 4, o: int = 6,
         a[i, :len(r)] = np.frombuffer(r, dtype=np.uint8)
         b[i, :len(d)] = np.frombuffer(d, dtype=np.uint8)
         la[i], lb[i] = len(r), len(d)
-    pen = wfa_affine_tb_batch(a, b, la, lb, n1=L, n2=L, smax=smax,
-                              x=x, o=o, e=e, wildcards=True)[0]
+    # score-only kernels: no [smax+1, B, K] op store is allocated for a
+    # screen that never backtraces (on 180-candidate panels that store was
+    # the dominant align allocation)
+    if model == "affine2p":
+        pen = wfa_affine2p_batch(a, b, la, lb, n1=L, n2=L, smax=smax,
+                                 x=x, o1=o, e1=e, o2=o2, e2=e2,
+                                 wildcards=True)
+    else:
+        pen = wfa_affine_batch(a, b, la, lb, n1=L, n2=L, smax=smax,
+                               x=x, o=o, e=e, wildcards=True)
     return np.asarray(pen)[:P]
 
 

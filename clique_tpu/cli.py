@@ -41,9 +41,11 @@ def main(argv=None) -> int:
                               "engine ignores it too); see --engine for the "
                               "honored engine switch")
     p_align.add_argument("--engine", default="auto",
-                         choices=["auto", "dp", "wfa"],
+                         choices=["auto", "dp", "wfa", "convex"],
                          help="alignment engine: dp = exact 3-plane affine DP "
-                              "(reference parity), wfa = wavefront engine "
+                              "(reference parity), convex = wavefront engine "
+                              "under the dual-affine (piecewise convex) gap "
+                              "model, wfa = wavefront engine "
                               "(O(ns), fastest at low divergence). auto = "
                               "wfa for --mode hifi, dp otherwise")
     p_align.add_argument("--batch-size", type=int, default=256)

@@ -248,3 +248,139 @@ def test_wfa_traceback_censoring():
     out = wfa_affine_align_pairs([a], [b], smax=6)
     pen, cig = out[0]
     assert pen == 7 and cig is None
+
+
+# --- dual-affine ("convex") traceback ----------------------------------------
+
+def test_wfa_affine2p_traceback_random_pairs():
+    """wfa_affine2p_tb_batch + 5-state backtrace + replay: the CIGAR must
+    be a valid alignment whose dual-affine penalty equals the kernel's
+    returned penalty, which must equal the O(nm) 5-plane golden
+    (wavefront_compute_affine2p.o parity, SURVEY 2.9)."""
+    from clique_tpu.align.wavefront import (
+        cigar_penalty_2p,
+        wfa_affine2p_tb_batch,
+        wfa_backtrace_ops_2p,
+        wfa_replay_cigar,
+    )
+
+    x, o1, e1, o2, e2 = 4, 6, 2, 24, 1
+    pairs = []
+    for i in range(24):
+        L = int(RNG.integers(8, 48))
+        a = RNG.choice(BASES, L).tobytes()
+        if i % 3 == 0 and L > 20:
+            # long deletion: exercises the class-2 gap states
+            cut = int(RNG.integers(8, L // 2))
+            b = a[:5] + a[5 + cut:]
+        else:
+            b = mutate(a, sub=0.08, indel=0.05)
+        pairs.append((a, b))
+    Lm = max(max(len(a), len(b)) for a, b in pairs)
+    B = 32
+    arr_a = np.zeros((B, Lm), dtype=np.uint8)
+    arr_b = np.zeros((B, Lm), dtype=np.uint8)
+    la = np.zeros(B, dtype=np.int32)
+    lb = np.zeros(B, dtype=np.int32)
+    for i, (a, b) in enumerate(pairs):
+        arr_a[i, :len(a)] = np.frombuffer(a, dtype=np.uint8)
+        arr_b[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+        la[i], lb[i] = len(a), len(b)
+    pen, ops = wfa_affine2p_tb_batch(arr_a, arr_b, la, lb, n1=Lm, n2=Lm,
+                                     smax=300, x=x, o1=o1, e1=e1, o2=o2,
+                                     e2=e2)
+    pen = np.asarray(pen)[:len(pairs)]
+    skels = wfa_backtrace_ops_2p(np.asarray(ops)[:, :len(pairs)], pen,
+                                 (la - lb)[:len(pairs)], x=x, o1=o1, e1=e1,
+                                 o2=o2, e2=e2)
+    for i, (a, b) in enumerate(pairs):
+        expect = _affine2p_penalty(a, b, x, o1, e1, o2, e2)
+        assert pen[i] == expect, (i, int(pen[i]), expect)
+        cig = wfa_replay_cigar(a, b, skels[i])
+        assert cigar_penalty_2p(cig, a, b, x=x, o1=o1, e1=e1, o2=o2,
+                                e2=e2) == expect
+        assert sum(n for n, op in cig if op in "MD") == len(a)
+        assert sum(n for n, op in cig if op in "MI") == len(b)
+
+
+def test_wfa_affine2p_golden_matches_test_dp():
+    """Product golden (affine2p_penalty_golden) agrees with the
+    independently-written test DP, wildcards included."""
+    from clique_tpu.align.wavefront import affine2p_penalty_golden
+
+    for _ in range(6):
+        L = int(RNG.integers(8, 30))
+        a = RNG.choice(BASES, L).tobytes()
+        b = mutate(a, sub=0.1, indel=0.08)
+        assert affine2p_penalty_golden(
+            a, b, x=4, o1=6, e1=2, o2=24, e2=1) == \
+            _affine2p_penalty(a, b, 4, 6, 2, 24, 1)
+    ref = b"ACGT" + b"0" * 6 + b"TTGG"
+    read = b"ACGT" + b"GATCGA" + b"TTGG"
+    assert affine2p_penalty_golden(ref, read, x=4, o1=6, e1=2, o2=24,
+                                   e2=1, wildcards=True) == 0
+
+
+def test_wfa_score_only_wildcards_match_tb_kernel():
+    """Regression for the score-only screen: wfa_affine_batch with
+    wildcards=True must agree with the traceback kernel's penalties (the
+    screen used to run the tb kernel just for wildcard support,
+    allocating a dead op store per dispatch)."""
+    from clique_tpu.align.wavefront import (
+        wfa_affine_batch,
+        wfa_affine_tb_batch,
+    )
+
+    L = 48
+    B = 32
+    arr_a = np.zeros((B, L), dtype=np.uint8)
+    arr_b = np.zeros((B, L), dtype=np.uint8)
+    la = np.zeros(B, dtype=np.int32)
+    lb = np.zeros(B, dtype=np.int32)
+    n = 12
+    for i in range(n):
+        a = bytearray(RNG.choice(BASES, L).tobytes())
+        a[10:18] = b"01234567"  # capture wildcard zone
+        b = mutate(bytes(a), sub=0.06, indel=0.04)[:L]
+        arr_a[i, :len(a)] = np.frombuffer(bytes(a), dtype=np.uint8)
+        arr_b[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+        la[i], lb[i] = len(a), len(b)
+    score_only = np.asarray(wfa_affine_batch(
+        arr_a, arr_b, la, lb, n1=L, n2=L, smax=200, wildcards=True))
+    with_tb = np.asarray(wfa_affine_tb_batch(
+        arr_a, arr_b, la, lb, n1=L, n2=L, smax=200, wildcards=True)[0])
+    assert (score_only[:n] == with_tb[:n]).all()
+
+
+def test_wfa_aligner_convex_model():
+    """WfaAligner(model='affine2p'): CIGARs satisfy the dual-affine
+    penalty invariant and a long deletion stays one gap (class-2 slope)
+    instead of fragmenting."""
+    from clique_tpu.align.wavefront import WfaAligner, cigar_penalty_2p
+
+    alin = WfaAligner(model="affine2p")
+    refs, reads = [], []
+    for i in range(6):
+        L = 120
+        a = RNG.choice(BASES, L).tobytes()
+        if i % 2:
+            b = a[:30] + a[78:]  # 48bp structural deletion
+        else:
+            b = mutate(a, sub=0.05, indel=0.02)
+        refs.append(a)
+        reads.append(b)
+    out = alin.align_pairs(refs, reads)
+    for a, b, r in zip(refs, reads, out):
+        ra, da, cig, score = r
+        pen = cigar_penalty_2p(cig, a, b, x=alin.x, o1=alin.o, e1=alin.e,
+                               o2=alin.o2, e2=alin.e2, wildcards=True)
+        assert pen == -score
+        expect = _affine2p_penalty(a, b, alin.x, alin.o, alin.e,
+                                   alin.o2, alin.e2)
+        assert pen == expect
+    # the 48bp deletion must be one D run (o2 + 48*e2 = 72 beats
+    # o1 + 48*e1 = 102; either way a single run, penalty from class 2)
+    _, _, cig1, score1 = out[1]
+    dels = [(n, op) for n, op in cig1 if op == "D"]
+    assert dels == [(48, "D")]
+    assert -score1 == 24 + 48 * 1

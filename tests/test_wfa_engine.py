@@ -247,3 +247,68 @@ def test_wfa_aligner_routes_ultra_long_pairs_to_dp_fallback():
     assert engine.fallbacks == 1 and dp.seen == [long_seq]
     assert out[0][3] == 1.0               # fallback result in place
     assert out[1][2] == [(8, "M")]        # short pair aligned by WFA
+
+
+def test_convex_engine_end_to_end(tmp_path):
+    """`align_reads(engine="convex")`: dual-affine wavefront engine as a
+    product path — tags match the DP engine, and a read carrying a long
+    structural deletion keeps it as ONE deletion run (the class-2 gap
+    slope) in the written CIGAR."""
+    layout, fq = build_dataset(tmp_path)
+    rm = ReferenceManager.from_layout(layout)
+
+    dp_bam = tmp_path / "dp.bam"
+    align_reads(layout, rm, str(dp_bam), read1=fq, batch_size=8,
+                engine="dp")
+    cx_bam = tmp_path / "cx.bam"
+    align_reads(layout, rm, str(cx_bam), read1=fq, batch_size=8,
+                engine="convex")
+
+    dp = {r.name: r for r in read_bam(str(dp_bam))}
+    cx = {r.name: r for r in read_bam(str(cx_bam))}
+    assert set(dp) == set(cx) and dp
+    for name in dp:
+        assert cx[name].seq == dp[name].seq
+        assert cx[name].tags["e0"] == dp[name].tags["e0"], name
+        assert float(cx[name].tags["as"]) <= 0
+
+
+def test_convex_engine_structural_deletion(tmp_path):
+    """A 40bp dropout aligns as a single 40D run under --engine convex
+    (pays o2 + n*e2), not fragmented."""
+    import gzip as _gzip
+
+    layout_path = tmp_path / "layout.yaml"
+    amp = A5 + "0" * 12 + TARGET + rand_seq(60) + A3
+    layout_path.write_text(f"""
+known_strand: true
+reads:
+  - !Read1
+    orientation: Forward
+references:
+  amp1:
+    sequence: "{amp}"
+    umi_configurations:
+      umi:
+        symbol: '0'
+        sort_type: "DegenerateTag"
+        length: 12
+        order: 0
+        max_distance: 2
+""")
+    layout = SequenceLayout.from_yaml(str(layout_path))
+    rm = ReferenceManager.from_layout(layout)
+    umi = rand_seq(12)
+    full = A5 + umi + TARGET + amp[len(A5) + 12 + len(TARGET):]
+    cut = len(A5) + 12 + len(TARGET) + 8
+    read = full[:cut] + full[cut + 40:]
+    fq = tmp_path / "r.fastq.gz"
+    with _gzip.open(fq, "wt") as fh:
+        fh.write(f"@sv0\n{read}\n+\n{'I' * len(read)}\n")
+    out = tmp_path / "cx.bam"
+    align_reads(layout, rm, str(out), read1=str(fq), batch_size=8,
+                engine="convex")
+    (rec,) = read_bam(str(out))
+    dels = [(n, op) for n, op in rec.cigar if op == "D"]
+    assert dels == [(40, "D")]
+    assert rec.tags["e0"] == umi
