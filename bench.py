@@ -172,6 +172,7 @@ def _supervised() -> None:
     import subprocess
 
     healthy_min = float(os.environ.get("CLIQUE_BENCH_HEALTHY_MIN", "5600"))
+    attempts: list = []
     # kernel-code changes invalidate the persistent XLA cache; a cold run
     # recompiles every big shape variant through the remote relay (minutes
     # each), so the child budget must cover a full recompile set
@@ -212,6 +213,7 @@ def _supervised() -> None:
             except json.JSONDecodeError:
                 result = None
             if result is not None:
+                attempts.append(result["value"])
                 if best is None or result["value"] > best["value"]:
                     best = result
                 if result["value"] >= healthy_min:
@@ -227,6 +229,15 @@ def _supervised() -> None:
         time.sleep(180)
     if best is None:
         raise SystemExit("bench failed after 4 attempts")
+    # the JSON self-describes its statistic: `value` is the best attempt
+    # (tunnel phases swing 2x+ on identical code — CLAUDE.md), and the
+    # attempt list + median are carried so the capture is interpretable
+    att = sorted(attempts)
+    n = len(att)
+    median = att[n // 2] if n % 2 else (att[n // 2 - 1] + att[n // 2]) / 2
+    best["statistic"] = "max_of_attempts"
+    best["attempts"] = attempts
+    best["median"] = round(median, 1)
     print(json.dumps(best))
 
 

@@ -2,8 +2,14 @@
 """Secondary benchmarks (BASELINE configs 2 and 4 + WFA kernel rates).
 
 Writes BENCH_SECONDARY.json next to this file:
-- hifi_align_reads_per_s: config 2 - PacBio-HiFi low-error preset, WFA
-  engine (the `--mode hifi` default path).
+- hifi_align_reads_per_s / hifi_chain_reads_per_s: config 2 - PacBio-HiFi
+  low-error preset, WFA engine (the `--mode hifi` default path), align
+  alone and the full align+collapse chain; a CIGAR sample is verified
+  against the WFA penalty invariant.
+- convex_align_reads_per_s: the dual-affine (`--engine convex`) engine on
+  a structural-variant config (30-80bp cassette dropouts), with the
+  fraction of dropouts kept as a single D run and a dual-affine penalty
+  invariant check.
 - decoy_align_reads_per_s: config 4 - amplicon panel + background decoy
   references (hg38-fragment stand-ins); reads route via kmer vote +
   exhaustive search; decoy reads must land on decoy references.
@@ -79,10 +85,12 @@ def _make_reads(path, rng, bases, template: str, n_reads: int, sub_p: float,
 import numpy as np  # noqa: E402  (after docstring helpers for clarity)
 
 
-def _align_bench(refs, write_reads, classify=None, **align_kw):
+def _align_bench(refs, write_reads, classify=None, post=None, **align_kw):
     """Shared scaffolding for the align benches: temp layout + reads,
     512-record warm run, timed align, optional per-record classification
-    over the output BAM. Returns (stats, dt, classify_result, metrics)."""
+    over the output BAM, optional `post(out_bam, layout, tmp)` stage run
+    inside the temp context (e.g. collapse). Returns (stats, dt,
+    classify_result, metrics, post_result)."""
     from clique_tpu.align.pipeline import align_reads
     from clique_tpu.config.layout import SequenceLayout
     from clique_tpu.io.sam import BamReader
@@ -114,28 +122,157 @@ def _align_bench(refs, write_reads, classify=None, **align_kw):
         if classify is not None:
             with BamReader(out_bam, parse_tags=False) as reader:
                 cls = classify(reader)
+        post_result = None
+        if post is not None:
+            post_result = post(out_bam, layout, tmp)
         with open(metrics) as fh:
             m = json.load(fh)
-    return stats, dt, cls, m
+    return stats, dt, cls, m, post_result
+
+
+def _check_cigar_penalties(out_bam, ref_by_name, *, model="affine",
+                           x=4, o=6, e=2, o2=24, e2=1, sample=64):
+    """In-bench honesty check (VERDICT r2 item 7): a sample of the WFA/
+    convex engine's written CIGARs must satisfy the engine's penalty
+    invariant — cigar_penalty(cigar, ref, read) == -as tag."""
+    from clique_tpu.align.wavefront import cigar_penalty, cigar_penalty_2p
+    from clique_tpu.io.sam import BamReader
+
+    checked = 0
+    with BamReader(out_bam) as reader:
+        for rec in reader:
+            ref = ref_by_name[rec.reference_name]
+            if model == "affine2p":
+                pen = cigar_penalty_2p(rec.cigar, ref, rec.seq, x=x, o1=o,
+                                       e1=e, o2=o2, e2=e2, wildcards=True)
+            else:
+                pen = cigar_penalty(rec.cigar, ref, rec.seq, x=x, o=o, e=e,
+                                    wildcards=True)
+            got = -float(rec.tags["as"])
+            assert pen == got, (rec.name, pen, got)
+            checked += 1
+            if checked >= sample:
+                break
+    return checked
 
 
 def bench_hifi(results):
-    """Config 2: HiFi low-error reads through the WFA engine."""
+    """Config 2: HiFi low-error reads through the WFA engine — BOTH
+    halves: align reads/s AND the full align+collapse chain (the config
+    is "HiFi alignment + collapse", VERDICT r2 missing-6). Reads carry a
+    structured cell/UMI population (200 cells x 40 reads) so collapse
+    exercises real group clustering, and a sample of written CIGARs is
+    checked against the WFA penalty invariant."""
     rng = np.random.default_rng(7)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     ref_seq, _targets = _amplicon(rng, bases)
-    n_reads = int(8000 * SCALE)
-    template = ref_seq.replace("0", "N").replace("1", "N")
-    stats, dt, _cls, m = _align_bench(
-        [("amplicon1", ref_seq, True)],
-        lambda fq: _make_reads(fq, rng, bases, template, n_reads, 0.005),
+    n_cells = max(4, int(200 * SCALE))
+    per_cell = 40
+    n_reads = n_cells * per_cell
+    cells = rng.choice(bases, (n_cells, 16))
+    umis = rng.choice(bases, (n_cells, 4, 12))
+    base = np.frombuffer(ref_seq.replace("0", "N").replace("1", "N")
+                         .encode(), dtype=np.uint8)
+    L = len(base)
+
+    def write_reads(fq):
+        with open(fq, "w") as fh:
+            for i in range(n_reads):
+                c = i % n_cells
+                read = base.copy()
+                read[24:40] = cells[c]
+                read[40:52] = umis[c, (i // n_cells) % 4]
+                subs = rng.random(L) < 0.005
+                read[subs] = rng.choice(bases, int(subs.sum()))
+                fh.write(f"@e{i}\n{read.tobytes().decode()}\n+\n"
+                         f"{'I' * L}\n")
+
+    def post(out_bam, layout, tmp):
+        from clique_tpu.collapse.pipeline import collapse
+
+        checked = _check_cigar_penalties(
+            out_bam, {"amplicon1": ref_seq.encode()})
+        t0 = time.time()
+        n_workers = max(1, (os.cpu_count() or 2) - 1)
+        collapse(os.path.join(tmp, "c.bam"), layout, out_bam,
+                 n_workers=n_workers)
+        return time.time() - t0, checked
+
+    stats, dt, _cls, m, (collapse_dt, checked) = _align_bench(
+        [("amplicon1", ref_seq, True)], write_reads, post=post,
         mode="hifi")
     assert m["engine"] == "wfa"
     results["hifi_align_reads_per_s"] = round(stats.aligned / dt, 1)
+    results["hifi_chain_reads_per_s"] = round(
+        stats.aligned / (dt + collapse_dt), 1)
     results["hifi_wfa_dp_fallbacks"] = m["wfa_dp_fallbacks"]
-    log(f"hifi: {stats.aligned} reads in {dt:.1f}s -> "
-        f"{results['hifi_align_reads_per_s']} reads/s "
-        f"({m['wfa_dp_fallbacks']} DP fallbacks)")
+    results["hifi_cigar_invariant_checked"] = checked
+    log(f"hifi: {stats.aligned} reads in {dt:.1f}s align + "
+        f"{collapse_dt:.1f}s collapse -> "
+        f"{results['hifi_align_reads_per_s']} align reads/s, "
+        f"{results['hifi_chain_reads_per_s']} chain reads/s "
+        f"({m['wfa_dp_fallbacks']} DP fallbacks, {checked} CIGARs checked)")
+
+
+def bench_convex(results):
+    """The convex (dual-affine) engine on a structural-variant config:
+    HiFi-quality reads where half carry a 30-80bp cassette dropout — the
+    workload the second gap slope exists for. Written CIGARs are checked
+    against the dual-affine penalty invariant; the dropout reads must
+    keep their deletion as a single D run."""
+    rng = np.random.default_rng(23)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ref_seq, _targets = _amplicon(rng, bases)
+    n_reads = int(6000 * SCALE)
+    base = np.frombuffer(ref_seq.replace("0", "N").replace("1", "N")
+                         .encode(), dtype=np.uint8)
+    L = len(base)
+    body_lo = 64                      # keep anchors + tag zones intact
+    body_hi = L - 40
+
+    def write_reads(fq):
+        wild = (base < 58) | (base == ord("N"))
+        with open(fq, "w") as fh:
+            for i in range(n_reads):
+                read = base.copy()
+                read[wild] = rng.choice(bases, int(wild.sum()))
+                subs = rng.random(L) < 0.005
+                read[subs] = rng.choice(bases, int(subs.sum()))
+                if i % 2:
+                    dlen = int(rng.integers(30, 81))
+                    start = int(rng.integers(body_lo, body_hi - dlen))
+                    read = np.concatenate([read[:start],
+                                           read[start + dlen:]])
+                fh.write(f"@e{i}\n{read.tobytes().decode()}\n+\n"
+                         f"{'I' * len(read)}\n")
+
+    def classify(reader):
+        single_run = 0
+        sv = 0
+        for rec in reader:
+            if int(rec.name[1:]) % 2 == 0:
+                continue
+            sv += 1
+            dels = [n for n, op in rec.cigar if op == "D" and n >= 30]
+            single_run += len(dels) == 1
+        return single_run, sv
+
+    def post(out_bam, _layout, _tmp):
+        return _check_cigar_penalties(
+            out_bam, {"amplicon1": ref_seq.encode()}, model="affine2p")
+
+    stats, dt, (single_run, sv), m, checked = _align_bench(
+        [("amplicon1", ref_seq, True)], write_reads, classify=classify,
+        post=post, engine="convex")
+    assert m["engine"] == "convex"
+    results["convex_align_reads_per_s"] = round(stats.aligned / dt, 1)
+    results["convex_sv_single_run_frac"] = round(
+        single_run / max(sv, 1), 4)
+    results["convex_cigar_invariant_checked"] = checked
+    log(f"convex: {stats.aligned} reads in {dt:.1f}s -> "
+        f"{results['convex_align_reads_per_s']} reads/s, "
+        f"{single_run}/{sv} dropouts as one D run, "
+        f"{checked} CIGARs checked")
 
 
 def bench_decoy(results):
@@ -167,7 +304,7 @@ def bench_decoy(results):
                 correct += rec.reference_name == "amplicon1"
         return correct
 
-    stats, dt, correct, _m = _align_bench(refs, write_reads, classify)
+    stats, dt, correct, _m, _p = _align_bench(refs, write_reads, classify)
     total = n_amp + n_decoys * n_per_decoy
     results["decoy_align_reads_per_s"] = round(stats.aligned / dt, 1)
     results["decoy_routing_accuracy"] = round(correct / stats.aligned, 4)
@@ -206,7 +343,7 @@ def bench_panel(results):
                    refs[int(rec.name[1:]) // per_ref][0]
                    for rec in reader)
 
-    stats, dt, correct, _m = _align_bench(
+    stats, dt, correct, _m, _p = _align_bench(
         [(n, s.decode(), False) for n, s in refs], write_reads, classify)
     total = per_ref * len(refs)
     results["panel_align_reads_per_s"] = round(stats.aligned / dt, 1)
@@ -257,7 +394,8 @@ def main():
 
     enable_persistent_cache()
     results = {}
-    for fn in (bench_wfa, bench_hifi, bench_decoy, bench_panel):
+    for fn in (bench_wfa, bench_hifi, bench_convex, bench_decoy,
+               bench_panel):
         try:
             fn(results)
         except Exception as exc:  # keep partial results
