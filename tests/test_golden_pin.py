@@ -1,0 +1,104 @@
+"""Golden-pipeline regression pin (VERDICT r2 item 8).
+
+Re-runs the DEFAULT align -> collapse -> call chain on the frozen inputs in
+tests/data/golden/ and asserts byte-for-byte identity with the vendored
+artifacts: inflated BAM payloads (header + every record byte), the
+deterministic tag dumps, and the allele table. Any drift in alignment,
+extraction, correction, consensus, BAM encoding, or event calling fails
+here (BASELINE "bit-for-bit" clause). Intentional behavior changes must
+regenerate via tools/make_golden.py and say so in the commit message.
+"""
+
+import gzip
+import importlib.util
+import os
+import struct
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN = os.path.join(ROOT, "tests", "data", "golden")
+
+
+def _load_make_golden():
+    spec = importlib.util.spec_from_file_location(
+        "make_golden", os.path.join(ROOT, "tools", "make_golden.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _inflate_bgzf(path):
+    """Concatenated decompressed payload of every BGZF block: the BAM
+    bytes independent of block framing."""
+    out = []
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    p = 0
+    while p < len(raw):
+        assert raw[p:p + 4] == b"\x1f\x8b\x08\x04", "not a BGZF block"
+        xlen = struct.unpack_from("<H", raw, p + 10)[0]
+        xp, bsize = p + 12, None
+        while xp < p + 12 + xlen:
+            si1, si2, slen = struct.unpack_from("<BBH", raw, xp)
+            if si1 == 66 and si2 == 67:
+                bsize = struct.unpack_from("<H", raw, xp + 4)[0] + 1
+            xp += 4 + slen
+        assert bsize is not None
+        block = raw[p:p + bsize]
+        out.append(gzip.decompress(block))
+        p += bsize
+    return b"".join(out)
+
+
+@pytest.fixture(scope="module")
+def pipeline_outputs(tmp_path_factory):
+    mg = _load_make_golden()
+    workdir = str(tmp_path_factory.mktemp("golden_run"))
+    aligned, collapsed, alleles = mg.run_pipeline(workdir)
+    return mg, aligned, collapsed, alleles
+
+
+@pytest.mark.parametrize("name", ["aligned.bam", "collapsed.bam"])
+def test_bam_payload_pinned(pipeline_outputs, name):
+    _, aligned, collapsed, _ = pipeline_outputs
+    fresh = aligned if name == "aligned.bam" else collapsed
+    got = _inflate_bgzf(fresh)
+    want = _inflate_bgzf(os.path.join(GOLDEN, name))
+    assert got == want, f"{name} BAM payload drifted from the golden pin"
+
+
+@pytest.mark.parametrize("name", ["aligned.bam", "collapsed.bam"])
+def test_tag_dump_pinned(pipeline_outputs, name, tmp_path):
+    mg, aligned, collapsed, _ = pipeline_outputs
+    fresh = aligned if name == "aligned.bam" else collapsed
+    out = tmp_path / (name + ".tags.tsv")
+    mg.dump_tags(fresh, str(out))
+    with open(os.path.join(GOLDEN, name + ".tags.tsv")) as fh:
+        want = fh.read()
+    assert out.read_text() == want, f"{name} tag dump drifted"
+
+
+def test_alleles_pinned(pipeline_outputs):
+    _, _, _, alleles = pipeline_outputs
+    with open(alleles) as fh:
+        got = fh.read()
+    with open(os.path.join(GOLDEN, "alleles.tsv")) as fh:
+        want = fh.read()
+    assert got == want, "allele table drifted"
+
+
+def test_golden_inputs_frozen():
+    """The generator's input-minting is deterministic and matches the
+    vendored inputs — guards against silently regenerating a different
+    dataset."""
+    mg = _load_make_golden()
+    with open(os.path.join(GOLDEN, "reads.fastq.gz"), "rb") as fh:
+        reads_before = fh.read()
+    with open(os.path.join(GOLDEN, "allowlist.txt")) as fh:
+        allow_before = fh.read()
+    mg.write_inputs()
+    with open(os.path.join(GOLDEN, "reads.fastq.gz"), "rb") as fh:
+        assert fh.read() == reads_before
+    with open(os.path.join(GOLDEN, "allowlist.txt")) as fh:
+        assert fh.read() == allow_before

@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Mint the vendored golden pipeline artifacts (tests/data/golden/).
+
+The golden pin (tests/test_golden_pin.py) asserts the DEFAULT pipeline's
+BAM output is byte-stable: any drift in alignment, extraction, correction,
+consensus, or BAM encoding fails the test (BASELINE "bit-for-bit" clause,
+VERDICT r2 item 8). Re-run this script ONLY when an intentional behavior
+change invalidates the pin, and say so in the commit message:
+
+    env PYTHONPATH= JAX_PLATFORMS=cpu python tools/make_golden.py
+
+Dataset: one GESTALT-style amplicon, a 2-level hierarchy (cell_id
+KnownTag against a frozen 8-barcode allowlist + umi DegenerateTag), 48
+reads over 6 cells with seeded substitutions/indels including barcode
+errors within correction distance — enough to exercise align, extraction,
+known-list correction, degenerate clustering, and consensus.
+"""
+
+import gzip
+import os
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+GOLDEN = os.path.join(ROOT, "tests", "data", "golden")
+
+A5 = "TTCAGACGTGTGCTCTTCCGATCT"
+A3 = "AGATCGGAAGAGCACACGTCTGAA"
+TARGETS = ["ACGTAACGTAACGTAACGTACGG", "TGCATGCAATGCATGCAATGTGG"]
+REF_SEQ = (A5 + "0" * 16 + "1" * 12 + TARGETS[0] + "GAAA" + TARGETS[1]
+           + A3)
+
+LAYOUT_TEMPLATE = f"""known_strand: true
+reads:
+  - !Read1
+    orientation: Forward
+references:
+  amp1:
+    sequence: "{REF_SEQ}"
+    targets: ["{TARGETS[0]}", "{TARGETS[1]}"]
+    target_types: ["Cas9WT", "Cas9WT"]
+    umi_configurations:
+      cell_id:
+        symbol: '0'
+        file: "@ALLOWLIST@"
+        sort_type: "KnownTag"
+        length: 16
+        order: 0
+        max_distance: 2
+        levenshtein_distance: false
+      umi:
+        symbol: '1'
+        sort_type: "DegenerateTag"
+        length: 12
+        order: 1
+        max_distance: 2
+"""
+
+
+def write_inputs():
+    os.makedirs(GOLDEN, exist_ok=True)
+    rng = np.random.default_rng(20260818)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    allow = [rng.choice(bases, 16).tobytes().decode() for _ in range(8)]
+    with open(os.path.join(GOLDEN, "allowlist.txt"), "w") as fh:
+        fh.write("\n".join(allow) + "\n")
+
+    with open(os.path.join(GOLDEN, "layout.yaml.in"), "w") as fh:
+        fh.write(LAYOUT_TEMPLATE)
+
+    n_cells = 6
+    umis = [[rng.choice(bases, 12).tobytes().decode() for _ in range(2)]
+            for _ in range(n_cells)]
+    cut = REF_SEQ.index(TARGETS[0]) + 14  # Cas9 window
+    records = []
+    i = 0
+    for c in range(n_cells):
+        for u in range(2):
+            for k in range(4):
+                read = REF_SEQ.replace("0" * 16, allow[c]).replace(
+                    "1" * 12, umis[c][u])
+                if c % 2 == 0:
+                    # edited cells: 3bp deletion at the cut site
+                    read = read[:cut] + read[cut + 3:]
+                arr = np.frombuffer(read.encode(), np.uint8).copy()
+                subs = rng.random(len(arr)) < 0.02
+                arr[subs] = rng.choice(bases, int(subs.sum()))
+                if k == 3:
+                    # one read per group with a barcode error (1 sub in
+                    # the cell zone) to exercise known-list correction
+                    arr[24 + int(rng.integers(16))] = rng.choice(bases)
+                records.append((f"g{i}", arr.tobytes().decode()))
+                i += 1
+    # mtime=0 keeps the .gz byte-stable across regenerations
+    raw = "".join(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n"
+                  for name, seq in records).encode()
+    with open(os.path.join(GOLDEN, "reads.fastq.gz"), "wb") as out:
+        with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as fh:
+            fh.write(raw)
+
+
+def run_pipeline(workdir):
+    from clique_tpu.align.pipeline import align_reads
+    from clique_tpu.caller.events import call_events_from_bam
+    from clique_tpu.collapse.pipeline import collapse
+    from clique_tpu.config.layout import SequenceLayout
+    from clique_tpu.reference.manager import ReferenceManager
+
+    layout_path = os.path.join(workdir, "layout.yaml")
+    with open(os.path.join(GOLDEN, "layout.yaml.in")) as fh:
+        text = fh.read().replace(
+            "@ALLOWLIST@", os.path.join(GOLDEN, "allowlist.txt"))
+    with open(layout_path, "w") as fh:
+        fh.write(text)
+    layout = SequenceLayout.from_yaml(layout_path)
+    rm = ReferenceManager.from_layout(layout)
+    aligned = os.path.join(workdir, "aligned.bam")
+    align_reads(layout, rm, aligned,
+                read1=os.path.join(GOLDEN, "reads.fastq.gz"), batch_size=16)
+    collapsed = os.path.join(workdir, "collapsed.bam")
+    collapse(collapsed, layout, aligned)
+    alleles = os.path.join(workdir, "alleles.tsv")
+    call_events_from_bam(layout, collapsed, alleles, min_read_count=1)
+    return aligned, collapsed, alleles
+
+
+def dump_tags(bam_path, out_path):
+    """Deterministic per-record tag dump: name, ref, pos, cigar, seq,
+    sorted tags."""
+    from clique_tpu.io.sam import BamReader
+
+    with BamReader(bam_path) as reader, open(out_path, "w") as out:
+        for rec in reader:
+            cig = "".join(f"{n}{op}" for n, op in rec.cigar)
+            tags = ";".join(f"{k}={v}" for k, v in sorted(rec.tags.items()))
+            out.write(f"{rec.name}\t{rec.reference_name}\t{rec.pos}\t"
+                      f"{cig}\t{rec.seq.decode()}\t{tags}\n")
+
+
+def main():
+    import tempfile
+
+    write_inputs()
+    with tempfile.TemporaryDirectory() as tmp:
+        aligned, collapsed, alleles = run_pipeline(tmp)
+        for src, name in ((aligned, "aligned.bam"),
+                          (collapsed, "collapsed.bam")):
+            with open(src, "rb") as fh:
+                data = fh.read()
+            with open(os.path.join(GOLDEN, name), "wb") as fh:
+                fh.write(data)
+            dump_tags(src, os.path.join(GOLDEN, name + ".tags.tsv"))
+        with open(alleles) as fh:
+            table = fh.read()
+        with open(os.path.join(GOLDEN, "alleles.tsv"), "w") as fh:
+            fh.write(table)
+    print(f"golden artifacts written to {GOLDEN}")
+
+
+if __name__ == "__main__":
+    main()
