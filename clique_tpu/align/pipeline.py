@@ -49,6 +49,11 @@ from clique_tpu.io.sam import SamRecord, open_alignment_writer
 from clique_tpu.reference.manager import ReferenceManager, orient_by_longest_segment
 from clique_tpu.utils.seq import FASTA_N, GAP, reverse_complement
 
+# read-chunk size for multi-host striping (align_reads read_shard): large
+# enough that each process's device batches stay dense, small enough to
+# balance 2+ processes on modest inputs (env-overridable for tests)
+_SHARD_CHUNK = int(os.environ.get("CLIQUE_TPU_SHARD_CHUNK", "1024"))
+
 log = logging.getLogger(__name__)
 
 # rust-bio-compatible scoring used by the reference's single-reference path
@@ -179,13 +184,20 @@ class BatchAligner:
             self.use_pallas = jax.default_backend() == "tpu"
 
         self.mesh = None
-        n_dev = len(jax.devices())
+        # under jax.distributed (multi-host align) each process aligns its
+        # own FASTQ stripe: data parallelism across processes happens at
+        # the stripe level (align_reads read_shard), so the batch mesh
+        # must span only LOCAL devices — a global mesh would make
+        # device_put demand identical batches on every process
+        devices = jax.local_devices() if jax.process_count() > 1 \
+            else jax.devices()
+        n_dev = len(devices)
         if use_mesh is None:
             use_mesh = n_dev > 1
         if use_mesh and n_dev > 1:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-            self.mesh = Mesh(np.array(jax.devices()), axis_names=("data",))
+            self.mesh = Mesh(np.array(devices), axis_names=("data",))
             self._data_sharding = NamedSharding(self.mesh, P("data"))
             self._repl_sharding = NamedSharding(self.mesh, P())
             self.params = jax.device_put(self.params, self._repl_sharding)
@@ -357,6 +369,7 @@ def align_reads(
     pipeline_threads: bool = True,
     profile_dir: Optional[str] = None,
     bandwidth: Optional[int] = None,
+    read_shard: Optional[Tuple[int, int]] = None,
 ) -> AlignStats:
     """The `clique align` equivalent (alignment_functions.rs:63-257).
 
@@ -382,7 +395,14 @@ def align_reads(
     work) and opt-in elsewhere; scores on the WFA path are negated
     penalties, and the multi-reference exhaustive search ranks candidates
     by minimal penalty (last-minimum tie order, matching the last-maximum
-    Rust max_by quirk)."""
+    Rust max_by quirk).
+
+    read_shard: (rank, world) — process only the read chunks dealt to this
+    rank (chunks of _SHARD_CHUNK read sets, round-robin by chunk index:
+    a deterministic disjoint cover). The multi-host align driver
+    (parallel/distributed.py:align_distributed) gives each process one
+    shard and merges the per-process part BAMs; stats then cover the
+    LOCAL slice only."""
     if engine is None:
         engine = "wfa" if mode == "hifi" else "dp"
     if scoring is None:
@@ -732,14 +752,26 @@ def align_reads(
     r1_orientation = next(
         (p.orientation for p in layout.reads if p.kind == "Read1"),
         AlignedReadOrientation.FORWARD)
+    def _shard_filter(it):
+        """Yield only this rank's read chunks (see read_shard docstring)."""
+        if read_shard is None:
+            return it
+        rank, world = read_shard
+
+        def gen():
+            for i, item in enumerate(it):
+                if (i // _SHARD_CHUNK) % world == rank:
+                    yield item
+        return gen()
+
     if (reader.single_stream and "Read1" in declared_kinds
             and not concat_single
             and r1_orientation == AlignedReadOrientation.FORWARD):
-        for rec in reader.read_one_records():
+        for rec in _shard_filter(reader.read_one_records()):
             stats.total += 1
             process_merged(rec.name, rec.seq, rec.qual)
     else:
-        for rsc in reader:
+        for rsc in _shard_filter(reader):
             stats.total += 1
             merged = unify_read(rsc, layout,
                                 defer_align_merge=needs_align_merge)

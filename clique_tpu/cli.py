@@ -75,6 +75,18 @@ def main(argv=None) -> int:
     p_align.add_argument("--anchored-min-length", type=int, default=2048,
                          help="reads at least this long route through the "
                               "anchored seed-and-extend path (DP engine)")
+    p_align.add_argument("--distributed-world", type=int, default=1,
+                         help="run align as N cooperating processes over a "
+                              "shared --work-dir; launch every process with "
+                              "identical args plus a distinct "
+                              "--distributed-rank")
+    p_align.add_argument("--distributed-rank", type=int, default=0)
+    p_align.add_argument("--distributed-coordinator", default=None,
+                         help="host:port of the jax.distributed coordinator "
+                              "(rank 0's address)")
+    p_align.add_argument("--work-dir", default=None,
+                         help="shared scratch dir for part BAMs (required "
+                              "with --distributed-world > 1)")
     p_align.add_argument("--bandwidth", type=int, default=None,
                          help="banded DP half-width around the length-"
                               "proportional diagonal (alignment_matrix.rs"
@@ -146,10 +158,7 @@ def main(argv=None) -> int:
         layout = SequenceLayout.from_yaml(args.read_structure)
         rm = ReferenceManager.from_layout(layout, args.kmer_size,
                                           args.kmer_spacing)
-        stats = align_reads(
-            layout, rm, args.output_bam_file,
-            read1=args.read1, read2=args.read2,
-            index1=args.index1, index2=args.index2,
+        align_kwargs = dict(
             max_reference_multiplier=args.max_reference_multiplier,
             min_read_length=args.min_read_length,
             batch_size=args.batch_size,
@@ -163,6 +172,27 @@ def main(argv=None) -> int:
             profile_dir=args.profile_dir,
             bandwidth=args.bandwidth,
         )
+        if args.distributed_world > 1:
+            from clique_tpu.parallel.distributed import align_distributed
+
+            if not args.work_dir:
+                parser.error("--work-dir is required with "
+                             "--distributed-world > 1")
+            stats = align_distributed(
+                layout, rm, args.output_bam_file, args.work_dir,
+                read1=args.read1, read2=args.read2,
+                index1=args.index1, index2=args.index2,
+                process_id=args.distributed_rank,
+                num_processes=args.distributed_world,
+                coordinator_address=args.distributed_coordinator,
+                **align_kwargs)
+            logging.info("distributed align done: %s", stats)
+            return 0
+        stats = align_reads(
+            layout, rm, args.output_bam_file,
+            read1=args.read1, read2=args.read2,
+            index1=args.index1, index2=args.index2,
+            **align_kwargs)
         logging.info("align done: %s", stats)
         return 0
 

@@ -185,6 +185,11 @@ class BamWriter:
             nb = name.encode() + b"\x00"
             payload += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
         self._bgzf.write(payload)
+        # flush so the header occupies whole BGZF blocks: every BAM is then
+        # [header blocks][record blocks][EOF], letting part BAMs merge by
+        # raw block append (concat_bam_parts) with no recompression
+        self._bgzf.flush_pending()
+        self.header_size = self._raw.tell()
 
     def write(self, rec: SamRecord) -> None:
         ref_id = self._ref_ids.get(rec.reference_name, -1) \
@@ -651,6 +656,35 @@ def open_alignment_writer(path: str, references: List[Tuple[str, int]]):
     if str(path).endswith(".bam"):
         return BamWriter(path, references)
     return SamWriter(path, references)
+
+
+def concat_bam_parts(output_path: str, references: List[Tuple[str, int]],
+                     part_paths: List[str],
+                     header_text: Optional[str] = None) -> int:
+    """Merge per-process part BAMs into one BAM by raw BGZF-block append.
+
+    Every part must have been written by BamWriter with the SAME reference
+    list (so its compressed header bytes are identical to the one this
+    writer just minted); record blocks are self-contained BGZF, so the
+    merge is O(bytes) with no inflate/recompress — the multi-host align
+    merge (the rayon fanout of alignment_functions.rs:90-93 realized as
+    one process per host writing a part BAM). Returns bytes appended."""
+    writer = BamWriter(output_path, references, header_text)
+    hdr = writer.header_size
+    appended = 0
+    for part in part_paths:
+        with open(part, "rb") as fh:
+            raw = fh.read()
+        if raw[:4] != b"\x1f\x8b\x08\x04":
+            raise ValueError(f"not a BGZF BAM part: {part}")
+        if raw[-28:] != _BGZF_EOF:
+            raise ValueError(f"truncated part BAM (no EOF block): {part}")
+        body = raw[hdr:-28]
+        if body:
+            writer.write_bgzf_blocks(body)
+            appended += len(body)
+    writer.close()
+    return appended
 
 
 # --- BAI index: reg2bins + reader-side fetch ----------------------------------

@@ -107,6 +107,58 @@ def psum_histogram(mesh, local_hist) -> "np.ndarray":
     return np.asarray(reduce(garr))
 
 
+# --- distributed align --------------------------------------------------------
+
+def align_distributed(layout, rm, output_path: str, work_dir: str, *,
+                      read1: str, read2: Optional[str] = None,
+                      index1: Optional[str] = None,
+                      index2: Optional[str] = None,
+                      process_id: int = 0, num_processes: int = 1,
+                      coordinator_address: Optional[str] = None,
+                      **align_kwargs):
+    """Multi-host align: the north-star first clause — "read batches stream
+    data-parallel from FASTQ shards, one shard set per host" (SURVEY 2.11
+    P1; the rayon fanout of alignment_functions.rs:90-93 scaled across
+    processes).
+
+    Every process calls this with identical arguments except process_id:
+    each runs the full align_reads pipeline on its deterministic stripe of
+    read chunks (align_reads read_shard) against replicated references,
+    writing a part BAM in the shared work_dir; rank 0 merges the parts by
+    raw BGZF-block append (io/sam.py:concat_bam_parts — header written
+    once, record blocks concatenated, no recompression). Output record
+    MULTISET equals single-process align_reads; record order follows
+    (rank, stripe) order. output_path must be .bam. Returns AlignStats for
+    the LOCAL slice."""
+    from clique_tpu.align.pipeline import align_reads
+    from clique_tpu.io.sam import concat_bam_parts
+
+    if not str(output_path).endswith(".bam"):
+        raise ValueError("distributed align writes BAM output only")
+    init_distributed(coordinator_address, num_processes, process_id)
+    os.makedirs(work_dir, exist_ok=True)
+    t0 = time.time()
+    part = os.path.join(work_dir, f"part.p{process_id}.bam")
+    stats = align_reads(
+        layout, rm, part, read1=read1, read2=read2, index1=index1,
+        index2=index2,
+        read_shard=(process_id, num_processes) if num_processes > 1
+        else None,
+        **align_kwargs)
+    _barrier("align-parts", num_processes)
+    if process_id == 0:
+        references = [(r.name, len(r.sequence))
+                      for r in rm.references.values()]
+        nbytes = concat_bam_parts(
+            output_path, references,
+            [os.path.join(work_dir, f"part.p{p}.bam")
+             for p in range(num_processes)])
+        log.info("distributed align: %d processes, %d part bytes merged, "
+                 "%.1fs", num_processes, nbytes, time.time() - t0)
+    _barrier("align-done", num_processes)
+    return stats
+
+
 # --- distributed collapse -----------------------------------------------------
 
 def _ingest_slice(input_bam: str, layout, rm, process_id: int,

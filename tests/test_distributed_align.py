@@ -1,0 +1,122 @@
+"""Multi-host align: N jax.distributed processes striping FASTQ read
+chunks must produce the SAME record multiset as single-process
+align_reads (SURVEY 2.11 P1 — "FASTQ shards stream data-parallel, one
+shard set per host"; the rayon fanout of alignment_functions.rs:90-93).
+The two-process test runs the FULL north-star chain: distributed align ->
+distributed collapse, compared against the single-host chain."""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+from clique_tpu.align.pipeline import align_reads
+from clique_tpu.collapse.pipeline import collapse
+from clique_tpu.io.sam import BamReader, BamWriter, concat_bam_parts
+from clique_tpu.io.sam import SamRecord
+
+from tests.test_distributed_collapse import build_dataset, record_multiset
+
+
+def _mk_record(name, ref, pos, seq):
+    return SamRecord(name=name, flag=0, reference_name=ref, pos=pos,
+                     mapq=40, cigar=[(len(seq), "M")], seq=seq,
+                     qual=b"I" * len(seq), tags={"ar": name})
+
+
+def test_concat_bam_parts(tmp_path):
+    refs = [("amp1", 100)]
+    parts = []
+    for p, names in enumerate((["a", "b"], [], ["c"])):
+        path = str(tmp_path / f"part{p}.bam")
+        with BamWriter(path, refs) as w:
+            for i, n in enumerate(names):
+                w.write(_mk_record(n, "amp1", i + 1, b"ACGTACGT"))
+        parts.append(path)
+    out = str(tmp_path / "merged.bam")
+    concat_bam_parts(out, refs, parts)
+    with BamReader(out) as reader:
+        got = [(r.name, r.pos, r.seq) for r in reader]
+    assert got == [("a", 1, b"ACGTACGT"), ("b", 2, b"ACGTACGT"),
+                   ("c", 1, b"ACGTACGT")]
+
+
+def test_align_distributed_single_process(tmp_path):
+    from clique_tpu.parallel.distributed import align_distributed
+    from clique_tpu.config.layout import SequenceLayout
+    from clique_tpu.reference.manager import ReferenceManager
+
+    layout, layout_path, aligned = build_dataset(tmp_path)
+    rm = ReferenceManager.from_layout(layout)
+    fq = str(tmp_path / "reads.fastq.gz")
+    out = str(tmp_path / "dist_align1.bam")
+    align_distributed(layout, rm, out, str(tmp_path / "workA"),
+                      read1=fq, process_id=0, num_processes=1, batch_size=8)
+    assert record_multiset(out) == record_multiset(aligned)
+
+
+_WORKER = textwrap.dedent("""
+    import sys
+    (layout_path, fq, work, out_bam, cwork, cout,
+     pid, nproc, port) = sys.argv[1:10]
+    from clique_tpu.config.layout import SequenceLayout
+    from clique_tpu.reference.manager import ReferenceManager
+    from clique_tpu.parallel.distributed import (align_distributed,
+                                                 collapse_distributed)
+    layout = SequenceLayout.from_yaml(layout_path)
+    rm = ReferenceManager.from_layout(layout)
+    align_distributed(layout, rm, out_bam, work, read1=fq,
+                      process_id=int(pid), num_processes=int(nproc),
+                      coordinator_address=f"localhost:{port}",
+                      batch_size=8)
+    # chain straight into distributed collapse on the merged BAM: the
+    # full multi-host align -> collapse path in one process set
+    collapse_distributed(cout, layout, out_bam, cwork,
+                         process_id=int(pid), num_processes=int(nproc))
+""")
+
+
+def test_distributed_chain_two_processes(tmp_path):
+    layout, layout_path, aligned = build_dataset(tmp_path)
+
+    fq = str(tmp_path / "reads.fastq.gz")
+    work = tmp_path / "work_align"
+    cwork = tmp_path / "work_collapse"
+    work.mkdir()
+    cwork.mkdir()
+    out_bam = str(tmp_path / "dist_align2.bam")
+    cout_bam = str(tmp_path / "dist_collapsed2.bam")
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # small stripe chunks so 30 reads actually split across ranks
+    env["CLIQUE_TPU_SHARD_CHUNK"] = "8"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), layout_path, fq, str(work),
+             out_bam, str(cwork), cout_bam, str(p), "2", str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for p in range(2)]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out.decode(errors="replace")
+
+    # both ranks produced part BAMs with records (stripe really split)
+    for p in range(2):
+        with BamReader(str(work / f"part.p{p}.bam")) as reader:
+            assert sum(1 for _ in reader) > 0
+    assert record_multiset(out_bam) == record_multiset(aligned)
+    # collapse parity is judged on the SAME input BAM: group-member order
+    # (consensus read name, ar tag order) follows input order in the
+    # reference too, and the merged distributed BAM interleaves stripes
+    ref_collapsed = tmp_path / "ref_collapsed.bam"
+    collapse(str(ref_collapsed), layout, out_bam)
+    assert record_multiset(cout_bam) == record_multiset(str(ref_collapsed))
