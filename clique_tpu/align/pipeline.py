@@ -794,6 +794,12 @@ def align_reads(
         if writer_error:
             raise writer_error[0]
     writer.close()
+    if hasattr(writer, "chunk_offsets"):
+        # chunk-index sidecar: lets distributed collapse deal byte ranges
+        # of this BAM (each process inflates only its share)
+        from clique_tpu.io.sam import write_cqi
+
+        write_cqi(output_path, writer.chunk_offsets)
     if profiler_cm is not None:
         profiler_cm.__exit__(None, None, None)
     elapsed = time.time() - start

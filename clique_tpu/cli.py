@@ -215,6 +215,7 @@ def main(argv=None) -> int:
                 coordinator_address=args.distributed_coordinator,
                 correct_only=args.correct_only,
                 downsample_cap=args.downsample_cap,
+                out_of_core=args.out_of_core or None,
             )
             return 0
         collapse(

@@ -81,6 +81,11 @@ class SortingRead:
     # them, and consensus workers rehydrate from the blob file
     # (collapse/workers.py) instead of shipping ~1.5KB/read over pipes.
     blob: Optional[Tuple[str, int, int]] = None
+    # monotone input-BAM position (per reference): group members are
+    # sorted by it before consensus in every path, so member order (the
+    # consensus read name, ar tag order, downsample cap) equals input
+    # order whether the run was in-RAM, out-of-core, or distributed
+    ordinal: int = 0
 
     def key_tuple(self) -> Tuple[bytes, ...]:
         return tuple(corrected for _s, _o, corrected in self.sorting_keys)
@@ -202,6 +207,10 @@ class _RefIngest:
         self.min_aligned_bases = min_aligned_bases
         self.min_identical = min_identical
         self._buf: List[SamRecord] = []
+        self._buf_ords: List[int] = []
+        # next read's input-position stamp; the distributed ingest resets
+        # it per byte-range chunk so ordinals stay globally monotone
+        self._next_ordinal = 0
         # per-symbol wildcard positions in the native reference (the
         # stretched reference equals the native one for gapless alignments,
         # so digit capture is a fixed column gather for the whole class)
@@ -215,6 +224,8 @@ class _RefIngest:
 
     def ingest(self, rec: SamRecord, stats: "CollapseStats") -> None:
         self._buf.append(rec)
+        self._buf_ords.append(self._next_ordinal)
+        self._next_ordinal += 1
         if len(self._buf) >= self._DRAIN_AT:
             self._drain(stats)
 
@@ -306,6 +317,7 @@ class _RefIngest:
         if not self._buf:
             return
         buf, self._buf = self._buf, []
+        ords, self._buf_ords = self._buf_ords, []
         results: List[Optional[SortingRead]] = [None] * len(buf)
         slow: List[int] = []
         classes: Dict[Tuple[int, int], List[int]] = {}
@@ -326,10 +338,11 @@ class _RefIngest:
             self._ingest_class(buf, idxs, pos, n, results)
         for i in slow:
             results[i] = self._ingest_one(buf[i])
-        for r in results:
+        for r, o in zip(results, ords):
             if r is None:
                 stats.invalid_tags += 1
             else:
+                r.ordinal = o
                 self.out.append(r)
         if self.spill is not None and len(self.out) >= 8192:
             self.n_passing += _filter_chunk(self.out, stats, self.spill,

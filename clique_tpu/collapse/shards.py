@@ -168,7 +168,10 @@ def iter_sorted_groups(directory
         items: List[Tuple[Any, Any]] = []
         for path in by_name[name]:
             items.extend(_read_shard(path))
-        items.sort(key=lambda kv: kv[0])
+        # ordinal tiebreak: group members come out in input-BAM order
+        # regardless of which spill stream (level hash / worker /
+        # process) delivered them — matching the in-RAM path exactly
+        items.sort(key=lambda kv: (kv[0], getattr(kv[1], "ordinal", 0)))
         current_key = None
         bucket: List[Any] = []
         for key, item in items:

@@ -11,6 +11,7 @@ as/rs (score), rc (read count), dc (downsampled count), ar (read names).
 from __future__ import annotations
 
 import gzip
+import os
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -147,6 +148,12 @@ class BgzfWriter:
             self._flush_block(bytes(self._buf))
             self._buf.clear()
 
+    def voffset(self) -> int:
+        """BGZF virtual offset of the next byte to be written:
+        (compressed offset of the pending block << 16) | in-block offset.
+        Valid because write() keeps the pending buffer < MAX_BLOCK."""
+        return (self._fh.tell() << 16) | len(self._buf)
+
     def close(self) -> None:
         self.flush_pending()
         self._fh.write(_BGZF_EOF)
@@ -190,8 +197,33 @@ class BamWriter:
         # raw block append (concat_bam_parts) with no recompression
         self._bgzf.flush_pending()
         self.header_size = self._raw.tell()
+        # record-boundary (virtual offset, record ordinal) pairs, minted
+        # for free as we write: every ~_CQI_EVERY records, plus a trailing
+        # sentinel at close. write_cqi() persists them so distributed
+        # collapse can inflate only its byte range of the BAM AND stamp
+        # globally monotone read ordinals (the shardio/indexed-access
+        # boundary of collapse.rs:437-491 scaled to O(filesize/P)).
+        self.chunk_offsets: List[Tuple[int, int]] = [(self._bgzf.voffset(), 0)]
+        self._recs_since_chunk = 0
+        self._total_records = 0
+        self._closed = False
+
+    # chunk-index granularity in records (env-overridable so tiny test
+    # datasets still split into multiple distributed ingest chunks)
+    _CQI_EVERY = int(os.environ.get("CLIQUE_TPU_CQI_EVERY", "2048"))
+
+    def _mark_boundary(self, n_records: int) -> None:
+        """Called at the start of every write call (always a record
+        boundary): emit a chunk offset once ~_CQI_EVERY records passed."""
+        if self._recs_since_chunk >= self._CQI_EVERY:
+            self.chunk_offsets.append(
+                (self._bgzf.voffset(), self._total_records))
+            self._recs_since_chunk = 0
+        self._recs_since_chunk += n_records
+        self._total_records += n_records
 
     def write(self, rec: SamRecord) -> None:
+        self._mark_boundary(1)
         ref_id = self._ref_ids.get(rec.reference_name, -1) \
             if rec.reference_name else -1
         pos0 = rec.pos - 1 if rec.pos > 0 else -1
@@ -246,11 +278,13 @@ class BamWriter:
             for rec in records:
                 self.write(rec)
             return
+        self._mark_boundary(len(records))
         self._bgzf.write(encoded)
 
-    def write_encoded(self, encoded: bytes) -> None:
+    def write_encoded(self, encoded: bytes, n_records: int = 256) -> None:
         """Append a pre-encoded raw record stream (from
         encode_records_bytes, e.g. produced in a worker process)."""
+        self._mark_boundary(n_records)
         self._bgzf.write(encoded)
 
     def write_bgzf_blocks(self, blocks: bytes) -> None:
@@ -261,6 +295,13 @@ class BamWriter:
         self._raw.write(blocks)
 
     def close(self) -> None:
+        if not self._closed:
+            # trailing sentinel: (end-of-records voffset, total records) —
+            # gives the chunk index a final range bound and part totals
+            self._bgzf.flush_pending()
+            self.chunk_offsets.append(
+                (self._bgzf.voffset(), self._total_records))
+            self._closed = True
         self._bgzf.close()
         self._raw.close()
 
@@ -658,6 +699,84 @@ def open_alignment_writer(path: str, references: List[Tuple[str, int]]):
     return SamWriter(path, references)
 
 
+_CQI_MAGIC = b"CQI2"
+
+
+def write_cqi(bam_path: str, chunk_offsets: List[Tuple[int, int]]) -> str:
+    """Persist a chunk index sidecar (<bam>.cqi): record-boundary
+    (BGZF virtual offset, record ordinal) pairs every
+    ~BamWriter._CQI_EVERY records, ending with a sentinel
+    (end-of-records voffset, total records). Lets distributed collapse
+    deal byte ranges — each process inflates only O(1/P) of the file
+    (collapse.rs:437-491's indexed access, scaled across hosts) — and
+    stamp globally monotone read ordinals for order-stable grouping."""
+    path = str(bam_path) + ".cqi"
+    flat = [x for pair in chunk_offsets for x in pair]
+    with open(path, "wb") as fh:
+        fh.write(_CQI_MAGIC + struct.pack("<I", len(chunk_offsets)))
+        fh.write(struct.pack(f"<{len(flat)}Q", *flat))
+    return path
+
+
+def read_cqi(bam_path: str) -> Optional[List[Tuple[int, int]]]:
+    """Chunk-index (voffset, ordinal) pairs for a BAM (sentinel-last), or
+    None if no sidecar exists."""
+    path = str(bam_path) + ".cqi"
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as fh:
+        head = fh.read(8)
+        if head[:4] != _CQI_MAGIC:
+            return None
+        (n,) = struct.unpack_from("<I", head, 4)
+        flat = struct.unpack(f"<{2 * n}Q", fh.read(16 * n))
+        return list(zip(flat[0::2], flat[1::2]))
+
+
+def read_voffset_range(bam_path: str, vbeg: int,
+                       vend: Optional[int] = None) -> bytes:
+    """Inflate ONLY the BGZF blocks covering virtual range [vbeg, vend)
+    and return the uncompressed record-stream bytes in that range (both
+    bounds must be record boundaries, e.g. from read_cqi). vend=None
+    reads to end of file. O(range bytes), independent of file size."""
+    cbeg, ubeg = vbeg >> 16, vbeg & 0xFFFF
+    cend = None if vend is None else vend >> 16
+    uend = None if vend is None else vend & 0xFFFF
+    chunks: List[bytes] = []
+    size_before_last = 0
+    with open(bam_path, "rb") as fh:
+        fh.seek(cbeg)
+        while True:
+            pos = fh.tell()
+            if cend is not None and pos > cend:
+                break
+            head = fh.read(12)
+            if len(head) < 12:
+                break
+            if head[:4] != b"\x1f\x8b\x08\x04":
+                raise ValueError(f"not a BGZF block at offset {pos}")
+            (xlen,) = struct.unpack_from("<H", head, 10)
+            extra = fh.read(xlen)
+            bsize_m1, xp = None, 0
+            while xp + 4 <= xlen:
+                si1, si2, slen = struct.unpack_from("<BBH", extra, xp)
+                if si1 == 66 and si2 == 67:
+                    (bsize_m1,) = struct.unpack_from("<H", extra, xp + 4)
+                xp += 4 + slen
+            if bsize_m1 is None:
+                raise ValueError(f"BGZF block without BC subfield at {pos}")
+            rest = fh.read(bsize_m1 + 1 - 12 - xlen)
+            data = zlib.decompress(rest[:-8], -15)
+            size_before_last = sum(map(len, chunks))
+            chunks.append(data)
+            if cend is not None and pos == cend:
+                break
+    buf = b"".join(chunks)
+    if uend is not None:
+        buf = buf[:size_before_last + uend]
+    return buf[ubeg:]
+
+
 def concat_bam_parts(output_path: str, references: List[Tuple[str, int]],
                      part_paths: List[str],
                      header_text: Optional[str] = None) -> int:
@@ -672,6 +791,8 @@ def concat_bam_parts(output_path: str, references: List[Tuple[str, int]],
     writer = BamWriter(output_path, references, header_text)
     hdr = writer.header_size
     appended = 0
+    base_ord = 0
+    merged_cqi: Optional[List[Tuple[int, int]]] = []
     for part in part_paths:
         with open(part, "rb") as fh:
             raw = fh.read()
@@ -680,10 +801,28 @@ def concat_bam_parts(output_path: str, references: List[Tuple[str, int]],
         if raw[-28:] != _BGZF_EOF:
             raise ValueError(f"truncated part BAM (no EOF block): {part}")
         body = raw[hdr:-28]
-        if body:
-            writer.write_bgzf_blocks(body)
-            appended += len(body)
+        part_cqi = read_cqi(part)
+        if part_cqi is None or len(part_cqi) < 1:
+            merged_cqi = None  # can't cover this part; skip the sidecar
+        if not body:
+            continue
+        base = writer._raw.tell()  # body appends at a block boundary
+        if merged_cqi is not None:
+            # translate part entries (sentinel dropped): compressed
+            # offsets shift by (base - hdr), in-block offsets unchanged,
+            # ordinals shift by the records of earlier parts
+            merged_cqi.extend(
+                (((base + (off >> 16) - hdr) << 16) | (off & 0xFFFF),
+                 base_ord + ordn)
+                for off, ordn in part_cqi[:-1] if (off >> 16) >= hdr)
+            base_ord += part_cqi[-1][1]
+        writer.write_bgzf_blocks(body)
+        appended += len(body)
     writer.close()
+    if merged_cqi is not None:
+        merged_cqi.append(((os.path.getsize(output_path) - 28) << 16,
+                           base_ord))
+        write_cqi(output_path, merged_cqi)
     return appended
 
 
