@@ -940,7 +940,7 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
     import tempfile
     import time
 
-    if n_workers and n_workers > 1 and not checkpoint and not out_of_core:
+    if n_workers and n_workers > 1 and not checkpoint:
         try:
             big = os.path.getsize(input_bam) > 4 << 30
         except OSError:
@@ -948,19 +948,28 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
         caps = any(cfg.maximum_subsequences is not None
                    for ref in layout.references.values()
                    for cfg in ref.umi_configurations.values())
-        if not big and not caps:
-            from clique_tpu.collapse.workers import collapse_parallel
+        if big or caps or out_of_core:
+            # workers + spill unified: the shard-parallel streaming
+            # driver honors maximum_subsequences (O(1) per-bin residency)
+            # while every stage still fans out over the pool
+            from clique_tpu.collapse.workers import collapse_parallel_spill
 
-            return collapse_parallel(
+            return collapse_parallel_spill(
                 output_path, layout, input_bam, temp_dir=temp_dir,
                 correct_only=correct_only, downsample_cap=downsample_cap,
                 metrics_path=metrics_path, n_workers=n_workers,
                 min_aligned_bases=min_aligned_bases,
                 min_identical=min_identical,
-                gap_call_threshold=gap_call_threshold)
-        log.info("n_workers=%d requested but the out-of-core path is "
-                 "required; running single-process", n_workers)
-        out_of_core = True
+                gap_call_threshold=gap_call_threshold, shards=shards)
+        from clique_tpu.collapse.workers import collapse_parallel
+
+        return collapse_parallel(
+            output_path, layout, input_bam, temp_dir=temp_dir,
+            correct_only=correct_only, downsample_cap=downsample_cap,
+            metrics_path=metrics_path, n_workers=n_workers,
+            min_aligned_bases=min_aligned_bases,
+            min_identical=min_identical,
+            gap_call_threshold=gap_call_threshold)
 
     rm = ReferenceManager.from_layout(layout)
     known_lists = load_known_lists(layout)

@@ -82,10 +82,23 @@ def iter_record_chunks(input_bam: str, chunk_target: int = _CHUNK_TARGET
 
 # --- worker tasks (top-level: picklable for the spawn context) ---------------
 
+def _count_chunk_records(chunk: bytes) -> int:
+    """Record count of a decompressed BAM record-stream chunk (cheap
+    block_size walk — used to keep read ordinals globally monotone
+    across chunk tasks)."""
+    p, n = 0, 0
+    while p + 4 <= len(chunk):
+        (sz,) = struct.unpack_from("<i", chunk, p)
+        p += 4 + sz
+        n += 1
+    return n
+
+
 def ingest_chunk_task(args) -> Tuple[str, Dict[str, int], Tuple[int, ...]]:
     """Decode + ingest one record chunk into a task-private shard dir.
     Returns (shard_dir, per-ref passing counts, stats tuple)."""
-    (chunk, references, layout_blob, spill_dir, n_shards) = args
+    (chunk, references, layout_blob, spill_dir, n_shards, base_ord,
+     min_aligned_bases, min_identical) = args
     from clique_tpu.collapse.pipeline import CollapseStats, _RefIngest
     from clique_tpu.collapse.shards import ShardWriter
     from clique_tpu.io.sam import decode_record_stream
@@ -95,10 +108,12 @@ def ingest_chunk_task(args) -> Tuple[str, Dict[str, int], Tuple[int, ...]]:
     rm = ReferenceManager.from_layout(layout)
     stats = CollapseStats()
     with ShardWriter(spill_dir, n_shards=n_shards) as sw:
-        ingests = {name: _RefIngest(name, rm, layout, spill=sw)
+        ingests = {name: _RefIngest(name, rm, layout, spill=sw,
+                                    min_aligned_bases=min_aligned_bases,
+                                    min_identical=min_identical)
                    for name in layout.references}
-        for rec in decode_record_stream(chunk, references,
-                                        parse_tags=False):
+        for j, rec in enumerate(decode_record_stream(chunk, references,
+                                                     parse_tags=False)):
             ing = ingests.get(rec.reference_name or "")
             if ing is None:
                 continue
@@ -109,6 +124,7 @@ def ingest_chunk_task(args) -> Tuple[str, Dict[str, int], Tuple[int, ...]]:
             if rec.flag & 0x4:
                 stats.unmapped += 1
                 continue
+            ing._next_ordinal = base_ord + j
             ing.ingest(rec, stats)
         for ing in ingests.values():
             ing.finish(stats)
@@ -126,8 +142,8 @@ def ingest_chunk_reads_task(args) -> Tuple[bytes, Tuple[int, ...]]:
     (name, tags, blob pointer), so the pipe back to the main process
     carries ~10x less. Correction levels only need the light fields;
     consensus workers rehydrate from the blob files."""
-    (chunk, references, layout_blob, blob_path, min_aligned_bases,
-     min_identical) = args
+    (chunk, references, layout_blob, blob_path, base_ord,
+     min_aligned_bases, min_identical) = args
     from clique_tpu.collapse.pipeline import CollapseStats, _RefIngest
     from clique_tpu.io.sam import decode_record_stream
     from clique_tpu.reference.manager import ReferenceManager
@@ -139,7 +155,8 @@ def ingest_chunk_reads_task(args) -> Tuple[bytes, Tuple[int, ...]]:
                                 min_aligned_bases=min_aligned_bases,
                                 min_identical=min_identical)
                for name in layout.references}
-    for rec in decode_record_stream(chunk, references, parse_tags=False):
+    for j, rec in enumerate(decode_record_stream(chunk, references,
+                                                 parse_tags=False)):
         ing = ingests.get(rec.reference_name or "")
         if ing is None:
             continue
@@ -150,6 +167,7 @@ def ingest_chunk_reads_task(args) -> Tuple[bytes, Tuple[int, ...]]:
         if rec.flag & 0x4:
             stats.unmapped += 1
             continue
+        ing._next_ordinal = base_ord + j
         ing.ingest(rec, stats)
     reads = {name: ing.finish(stats) for name, ing in ingests.items()}
     with open(blob_path, "wb") as fh:
@@ -234,7 +252,9 @@ def consensus_shard_task(args) -> Tuple[int, bytes, int]:
     items: List = []
     for p in paths:
         items.extend(_read_shard(p))
-    items.sort(key=lambda kv: kv[0])
+    # ordinal tiebreak: group members in input-BAM order regardless of
+    # which worker/level stream spilled them
+    items.sort(key=lambda kv: (kv[0], getattr(kv[1], "ordinal", 0)))
 
     records = []
     i = 0
@@ -259,6 +279,66 @@ def consensus_shard_task(args) -> Tuple[int, bytes, int]:
         # process to encode
         return shard_idx, pickle.dumps(records, protocol=4), len(records)
     return shard_idx, _bgzf_compress_bytes(encoded), len(records)
+
+
+def level_count_task(args) -> Tuple[int, bytes, int]:
+    """Pass 1 of one correction level for ONE shard id: stream the
+    shard's frames (across ingest/level dirs) and accumulate one tag
+    Counter per correction bin. A bin CAN span shards (the spill hash
+    includes the raw next tag, the bin key does not), so the driver
+    merges the returned per-shard counters per bin before clustering.
+    Returns (shard_idx, pickled {bin_key: Counter}, reads_seen)."""
+    (shard_idx, paths, tag_map_blob) = args
+    from collections import Counter
+
+    from clique_tpu.collapse.pipeline import _gate_tag
+    from clique_tpu.collapse.shards import ShardReader
+
+    tag_map = pickle.loads(tag_map_blob)
+    counts: Dict[Tuple, Counter] = {}
+    n = 0
+    for p in paths:
+        for _k, read in ShardReader(p):
+            n += 1
+            tag = tag_map.get(read.reference_name)
+            if tag is None:
+                continue
+            gapless = _gate_tag(read, tag)
+            if gapless is not None:
+                bin_key = (read.reference_name,) + read.key_tuple()
+                counts.setdefault(bin_key, Counter())[gapless] += 1
+    return shard_idx, pickle.dumps(counts, protocol=4), n
+
+
+def level_apply_task(args) -> Tuple[str, int]:
+    """Pass 2 of one correction level for ONE shard id: stream again,
+    apply the main process's precomputed correction maps, respill into a
+    task-private dir keyed by the NEXT spill_key. Reads whose reference
+    has no tag at this level (shorter hierarchies in multi-ref layouts)
+    pass through unchanged. Returns (out_dir, reads_out)."""
+    (shard_idx, paths, tag_map_blob, corr_blob, out_dir, n_shards) = args
+    from clique_tpu.collapse.pipeline import _apply_correction_one, _gate_tag
+    from clique_tpu.collapse.shards import ShardReader, ShardWriter
+
+    tag_map = pickle.loads(tag_map_blob)
+    corr = pickle.loads(corr_blob)
+    n_out = 0
+    with ShardWriter(out_dir, n_shards=n_shards) as sw:
+        for p in paths:
+            for _k, read in ShardReader(p):
+                tag = tag_map.get(read.reference_name)
+                if tag is None:
+                    sw.push(read.spill_key(), read)
+                    n_out += 1
+                    continue
+                if _gate_tag(read, tag) is None:
+                    continue
+                bin_key = (read.reference_name,) + read.key_tuple()
+                applied = _apply_correction_one(read, tag, corr[bin_key])
+                if applied is not None:
+                    sw.push(applied.spill_key(), applied)
+                    n_out += 1
+    return out_dir, n_out
 
 
 def _bgzf_compress_bytes(data: bytes) -> bytes:
@@ -319,16 +399,21 @@ def make_pool(n_workers: int):
 
 
 def parallel_ingest(pool, input_bam: str, layout, spill_root: str,
-                    n_shards: int, stats) -> Tuple[List[str], Dict[str, int]]:
+                    n_shards: int, stats, min_aligned_bases: int = 45,
+                    min_identical: float = 0.8
+                    ) -> Tuple[List[str], Dict[str, int]]:
     """Fan the BAM's record chunks over the pool. Returns (list of worker
     shard dirs, per-reference passing counts); stats is updated in place."""
     references, chunks = iter_record_chunks(input_bam)
     layout_blob = pickle.dumps(layout, protocol=4)
 
     def tasks():
+        base_ord = 0
         for i, chunk in enumerate(chunks):
             yield (chunk, references, layout_blob,
-                   os.path.join(spill_root, f"ing{i:04d}"), n_shards)
+                   os.path.join(spill_root, f"ing{i:04d}"), n_shards,
+                   base_ord, min_aligned_bases, min_identical)
+            base_ord += _count_chunk_records(chunk)
 
     dirs: List[str] = []
     per_ref: Dict[str, int] = {}
@@ -356,10 +441,12 @@ def parallel_ingest_inram(pool, input_bam: str, layout, blob_dir: str,
     layout_blob = pickle.dumps(layout, protocol=4)
 
     def tasks():
+        base_ord = 0
         for i, chunk in enumerate(chunks):
             yield (chunk, references, layout_blob,
                    os.path.join(blob_dir, f"ingest{i:04d}.blob"),
-                   min_aligned_bases, min_identical)
+                   base_ord, min_aligned_bases, min_identical)
+            base_ord += _count_chunk_records(chunk)
 
     reads_by_ref: Dict[str, List] = {name: [] for name in layout.references}
     for blob, st in pool.imap_unordered(ingest_chunk_reads_task, tasks()):
@@ -371,6 +458,11 @@ def parallel_ingest_inram(pool, input_bam: str, layout, blob_dir: str,
         stats.failed_filters += st[3]
         stats.invalid_tags += st[4]
         stats.passing += st[5]
+    # chunk tasks complete in ANY order (imap_unordered): restore global
+    # input-BAM order via the per-record ordinals so group-member order
+    # matches the single-process path exactly
+    for reads in reads_by_ref.values():
+        reads.sort(key=lambda r: r.ordinal)
     return reads_by_ref
 
 
@@ -521,6 +613,193 @@ def collapse_parallel(output_path: str, layout, input_bam: str,
         pool.close()
         pool.join()
         shutil.rmtree(blob_dir, ignore_errors=True)
+
+    writer.close()
+    metrics["elapsed_s"] = round(time.time() - metrics["started"], 3)
+    metrics["read_stats"] = {
+        "total": stats.total_reads, "unmapped": stats.unmapped,
+        "secondary": stats.secondary, "failed_filters": stats.failed_filters,
+        "invalid_tags": stats.invalid_tags, "passing": stats.passing}
+    mpath = metrics_path or (str(output_path) + ".collapse_metrics.json")
+    with open(mpath, "w") as fh:
+        json.dump(metrics, fh, indent=2)
+    return stats
+
+
+def collapse_parallel_spill(output_path: str, layout, input_bam: str,
+                            temp_dir: Optional[str] = None,
+                            correct_only: bool = False,
+                            downsample_cap: int = 40,
+                            metrics_path: Optional[str] = None,
+                            n_workers: Optional[int] = None,
+                            min_aligned_bases: int = 45,
+                            min_identical: float = 0.8,
+                            gap_call_threshold: float = 0.75,
+                            shards: Optional[int] = None):
+    """Host-parallel OUT-OF-CORE collapse: the worker pool and the spill
+    path unified (VERDICT r2 item 6 — previously n_workers>1 silently
+    downgraded to single-process whenever maximum_subsequences or a >4GB
+    BAM forced out-of-core, exactly the runs that need workers most).
+
+    Stages, all shard-parallel over the pool:
+    - ingest: record chunks fan out; each task spills passing reads into
+      its own hash-partitioned dir (parallel_ingest);
+    - levels: per level, workers stream shard ids for pass 1 (bin tag
+      counters) — bins never span shards — the MAIN process builds every
+      correction map with the device kernels, then workers stream pass 2
+      (apply + respill). Per-bin resident reads stay O(1), honoring
+      maximum_subsequences (collapse.rs:884-888);
+    - outputs: final shard ids fan out for consensus + BGZF encoding
+      (parallel_outputs).
+
+    Output records match single-process collapse(): read ordinals keep
+    group-member order equal to input-BAM order in every path."""
+    import json
+    import shutil
+    import tempfile
+    import time
+
+    from clique_tpu.collapse.pipeline import (
+        CollapseStats,
+        _known_correction,
+        load_known_lists,
+        ref_seq_map,
+    )
+    from clique_tpu.collapse.shards import shard_paths
+    from clique_tpu.config.layout import UMISortType
+    from clique_tpu.io.sam import open_alignment_writer
+    from clique_tpu.reference.manager import ReferenceManager
+
+    n_workers = n_workers or max(1, (os.cpu_count() or 2) - 1)
+    rm = ReferenceManager.from_layout(layout)
+    known_lists = load_known_lists(layout)
+    references = [(r.name, len(r.sequence)) for r in rm.references.values()]
+    writer = open_alignment_writer(output_path, references)
+    stats = CollapseStats()
+    metrics = {"input_bam": input_bam, "references": {},
+               "n_workers": n_workers, "out_of_core": True,
+               "started": time.time()}
+    ref_seqs = ref_seq_map(rm)
+
+    try:
+        bam_bytes = os.path.getsize(input_bam)
+    except OSError:
+        bam_bytes = 0
+    n_shards = shards or max(32, int(4 * bam_bytes / (256 << 20)) + 1)
+    spill_root = tempfile.mkdtemp(prefix="clique_spill.", dir=temp_dir)
+    pool = make_pool(n_workers)
+    pool.map_async(warmup_task, range(n_workers), chunksize=1)
+    try:
+        log.info("processing reads from input BAM file: %s (%d references,"
+                 " %d workers, out-of-core, %d shards)", input_bam,
+                 len(rm.references), n_workers, n_shards)
+        t0 = time.time()
+        dirs, _per_ref = parallel_ingest(
+            pool, input_bam, layout, os.path.join(spill_root, "l0"),
+            n_shards, stats, min_aligned_bases, min_identical)
+        metrics["ingest_s"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        configs = {name: layout.get_sorted_umi_configurations(name)
+                   for name in layout.references}
+        n_levels = max((len(c) for c in configs.values()), default=0)
+        level_metrics = []
+        for lvl in range(n_levels):
+            tag_map = {name: (c[lvl] if lvl < len(c) else None)
+                       for name, c in configs.items()}
+            tag_map_blob = pickle.dumps(tag_map, protocol=4)
+            by_name: Dict[str, List[str]] = {}
+            for d in dirs:
+                for p in shard_paths(d):
+                    by_name.setdefault(os.path.basename(p), []).append(p)
+            shard_jobs = sorted(by_name.items())
+
+            # pass 1 (workers): per-shard bin counters
+            count_jobs = [(i, paths, tag_map_blob)
+                          for i, (_n, paths) in enumerate(shard_jobs)]
+            counts_by_shard: Dict[int, Dict] = {}
+            reads_in = 0
+            for idx, blob, n in pool.imap_unordered(level_count_task,
+                                                    count_jobs):
+                counts_by_shard[idx] = pickle.loads(blob)
+                reads_in += n
+
+            # correction maps (main process, device kernels). A bin (the
+            # correction unit: reference + corrected prefix) SPANS shards
+            # — the spill hash includes the raw next tag — so per-shard
+            # counters merge per bin before clustering, and the built map
+            # fans back out to every shard holding part of the bin.
+            from collections import Counter as _Counter
+
+            merged: Dict[Tuple, _Counter] = {}
+            holders: Dict[Tuple, List[int]] = {}
+            for i, counts in counts_by_shard.items():
+                for bk, counter in counts.items():
+                    if bk in merged:
+                        merged[bk].update(counter)
+                    else:
+                        merged[bk] = _Counter(counter)
+                    holders.setdefault(bk, []).append(i)
+            corr_by_shard: Dict[int, Dict] = {i: {} for i in counts_by_shard}
+            for name, tag in tag_map.items():
+                if tag is None:
+                    continue
+                bins = [bk for bk in merged if bk[0] == name]
+                if not bins:
+                    continue
+                if tag.sort_type == UMISortType.DEGENERATE_TAG:
+                    from clique_tpu.collapse.correct import (
+                        correct_degenerate_groups,
+                    )
+
+                    corrections = correct_degenerate_groups(
+                        [merged[bk] for bk in bins], tag.max_distance,
+                        tag.length,
+                        tag.minimum_collapsing_difference or 5.0)
+                else:
+                    corrections = [_known_correction(merged[bk], tag,
+                                                     known_lists)
+                                   for bk in bins]
+                for bk, corr in zip(bins, corrections):
+                    for i in holders[bk]:
+                        corr_by_shard[i][bk] = corr
+
+            # pass 2 (workers): apply + respill
+            next_root = os.path.join(spill_root, f"l{lvl + 1}")
+            apply_jobs = [
+                (i, paths, tag_map_blob,
+                 pickle.dumps(corr_by_shard.get(i, {}), protocol=4),
+                 os.path.join(next_root, f"s{i:04d}"), n_shards)
+                for i, (_n, paths) in enumerate(shard_jobs)]
+            new_dirs: List[str] = []
+            reads_out = 0
+            for out_dir, n_out in pool.imap_unordered(level_apply_task,
+                                                      apply_jobs):
+                new_dirs.append(out_dir)
+                reads_out += n_out
+            level_metrics.append({
+                "level": lvl, "reads_in": reads_in, "reads_out": reads_out,
+                "bins": sum(len(c) for c in counts_by_shard.values())})
+            for d in dirs:
+                shutil.rmtree(d, ignore_errors=True)
+            dirs = new_dirs
+            log.info("level %d (parallel out-of-core): %d -> %d reads",
+                     lvl, reads_in, reads_out)
+        metrics["levels"] = level_metrics
+        metrics["levels_s"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        written = parallel_outputs(pool, dirs, writer, ref_seqs,
+                                   correct_only, downsample_cap,
+                                   gap_call_threshold)
+        metrics["outputs_s"] = round(time.time() - t0, 3)
+        metrics["output_records"] = written
+        log.info("wrote %d records (%d workers, out-of-core)", written,
+                 n_workers)
+    finally:
+        pool.close()
+        pool.join()
+        shutil.rmtree(spill_root, ignore_errors=True)
 
     writer.close()
     metrics["elapsed_s"] = round(time.time() - metrics["started"], 3)

@@ -193,6 +193,85 @@ def test_collapse_parallel_equivalent(tmp_path):
     assert m["read_stats"]["passing"] == s1.passing
 
 
+def _build_umi_dataset(tmp_path, n_cells=3, n_umis=3, reads_per=5):
+    cells = [rand_seq(16) for _ in range(n_cells)]
+    umis = [rand_seq(12) for _ in range(n_umis)]
+    layout_path = build_layout(tmp_path)
+    fq = tmp_path / "reads.fastq.gz"
+    idx = 0
+    with gzip.open(fq, "wt") as fh:
+        for cell in cells:
+            for umi in umis:
+                for k in range(reads_per):
+                    u = umi
+                    if k == reads_per - 1:
+                        u = ("A" if umi[0] != "A" else "C") + umi[1:]
+                    read = A5 + cell + u + TARGET + A3
+                    fh.write(f"@r{idx}\n{read}\n+\n{'I' * len(read)}\n")
+                    idx += 1
+    layout = SequenceLayout.from_yaml(layout_path)
+    rm = ReferenceManager.from_layout(layout)
+    aligned_bam = tmp_path / "aligned.bam"
+    align_reads(layout, rm, str(aligned_bam), read1=str(fq), batch_size=8)
+    return layout, str(aligned_bam)
+
+
+def _snapshot(path):
+    with BamReader(str(path)) as reader:
+        return sorted(
+            (r.name, r.seq, r.qual, r.cigar_string,
+             tuple(sorted(r.tags.items())))
+            for r in reader)
+
+
+def test_collapse_parallel_spill_equivalent(tmp_path):
+    """Workers + out-of-core unified (collapse_parallel_spill): an
+    explicit out_of_core + n_workers>1 run fans every stage over the
+    pool while streaming, with records identical to the in-RAM path."""
+    import json
+
+    layout, aligned_bam = _build_umi_dataset(tmp_path)
+    ram_bam = tmp_path / "ram.bam"
+    par_bam = tmp_path / "par_spill.bam"
+    s1 = collapse(str(ram_bam), layout, aligned_bam)
+    s2 = collapse(str(par_bam), layout, aligned_bam,
+                  temp_dir=str(tmp_path), n_workers=2, out_of_core=True)
+    assert s1.passing == s2.passing
+    assert _snapshot(ram_bam) == _snapshot(par_bam)
+    with open(str(par_bam) + ".collapse_metrics.json") as fh:
+        m = json.load(fh)
+    assert m["n_workers"] == 2 and m["out_of_core"] is True
+
+
+def test_collapse_caps_keep_workers(tmp_path):
+    """maximum_subsequences + n_workers>1 no longer downgrades to
+    single-process: it routes through collapse_parallel_spill, honors
+    the cap (nothing dropped), and matches the unbounded in-RAM run."""
+    import json
+
+    layout, aligned_bam = _build_umi_dataset(tmp_path, n_cells=2,
+                                             n_umis=2, reads_per=7)
+    capped_layout_path = build_layout(tmp_path)
+    text = open(capped_layout_path).read().replace(
+        "max_distance: 2",
+        "max_distance: 2\n        maximum_subsequences: 2")
+    open(capped_layout_path, "w").write(text)
+    capped_layout = SequenceLayout.from_yaml(capped_layout_path)
+
+    ram_bam = tmp_path / "ram.bam"
+    cap_bam = tmp_path / "cap_workers.bam"
+    s1 = collapse(str(ram_bam), layout, aligned_bam)
+    s2 = collapse(str(cap_bam), capped_layout, aligned_bam,
+                  temp_dir=str(tmp_path), n_workers=2)
+    assert s1.passing == s2.passing
+    assert _snapshot(ram_bam) == _snapshot(cap_bam)
+    with open(str(cap_bam) + ".collapse_metrics.json") as fh:
+        m = json.load(fh)
+    assert m["n_workers"] == 2 and m["out_of_core"] is True
+    with BamReader(str(cap_bam)) as reader:
+        assert all(r.tags["rc"] == "7" for r in reader)
+
+
 def test_collapse_correct_only(tmp_path):
     layout_path = build_layout(tmp_path)
     fq = tmp_path / "reads.fastq.gz"
