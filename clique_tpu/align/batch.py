@@ -108,7 +108,7 @@ def _shift_down(arr):
 @functools.partial(jax.jit, static_argnames=("n1", "n2", "local",
                                              "special_mode", "use_pallas",
                                              "return_traceback",
-                                             "tie_order"))
+                                             "tie_order", "mesh"))
 def align_batch_device(
     refs: jax.Array,
     reads: jax.Array,
@@ -125,13 +125,18 @@ def align_batch_device(
     return_traceback: bool = True,
     band_centers: Optional[jax.Array] = None,
     tie_order: str = "ref",
+    mesh=None,
 ):
     """Full device alignment: fill + corner extraction + traceback walk.
 
     use_pallas routes the fill through the fused Mosaic kernel
     (pallas_kernel.pallas_fill, bit-identical; requires local=False,
     B % 8 == 0 and a bandwidth that covers the full rectangle - the
-    caller's responsibility); the traceback walk is shared.
+    caller's responsibility); the traceback walk is shared. With a data
+    `mesh` (static), the Mosaic fill runs under shard_map with the batch
+    dim sharded over "data" (XLA cannot partition a pallas_call on its
+    own), so multi-chip runs keep the fused-kernel advantage; the caller
+    must make B divisible by 8 x mesh devices.
 
     Returns BatchAlignment (ops in forward order) and the packed traceback
     (for debugging/tests).
@@ -172,11 +177,31 @@ def align_batch_device(
             raise ValueError("use_pallas supports global mode only")
         from clique_tpu.align.pallas_kernel import pallas_fill, unpack_words
 
-        words, corner = pallas_fill(
+        interp = jax.default_backend() != "tpu"
+
+        def _fill(rx_c, rd, rl, dl, sp):
+            return pallas_fill(rx_c, rd, rl, dl, sp, n1=n1, n2=n2,
+                               special_mode=special_mode, packed=True,
+                               interpret=interp)
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            try:
+                from jax import shard_map          # jax >= 0.8
+                smap_kw = {"check_vma": False}     # pallas outputs lack vma
+            except ImportError:
+                from jax.experimental.shard_map import shard_map
+                smap_kw = {"check_rep": False}
+
+            fill = shard_map(
+                _fill, mesh=mesh,
+                in_specs=(P("data"), P("data"), P("data"), P("data"), P()),
+                out_specs=(P("data"), P("data")), **smap_kw)
+        else:
+            fill = _fill
+        words, corner = fill(
             rx_const, reads, ref_lens.astype(jnp.int32),
-            read_lens.astype(jnp.int32), scoring_params,
-            n1=n1, n2=n2, special_mode=special_mode, packed=True,
-            interpret=jax.default_backend() != "tpu")
+            read_lens.astype(jnp.int32), scoring_params)
         # walk the packed words directly (word-major); the uint8 unpack is
         # debug/test-only and skipped when return_traceback=False
         res = _finish_from_packed_traceback(

@@ -201,11 +201,10 @@ class BatchAligner:
             self._data_sharding = NamedSharding(self.mesh, P("data"))
             self._repl_sharding = NamedSharding(self.mesh, P())
             self.params = jax.device_put(self.params, self._repl_sharding)
-            if env_pallas != "1":
-                # XLA cannot partition a pallas_call over a mesh; keep the
-                # scan fill for data-parallel multi-chip until the kernel
-                # is wrapped in shard_map (round 2)
-                self.use_pallas = False
+            # the Mosaic fill stays on under a mesh: align_batch_device
+            # wraps it in shard_map over "data" (XLA cannot partition a
+            # pallas_call itself); _dispatch_group falls back to the XLA
+            # scan only when the padded batch cannot split 8-per-device
 
     def _bucket_len(self, n: int) -> int:
         q = self.quantum
@@ -324,17 +323,26 @@ class BatchAligner:
             band_centers = dbatch.band_centers_f64(ref_lens, read_lens, n1)
             use_pallas = False   # Mosaic fill is full-band only
         args = (refs_arr, reads_arr, ref_lens, read_lens, bw)
+        mesh_arg = None
         if self.mesh is not None:
             args = tuple(jax.device_put(a, self._data_sharding)
                          for a in args)
             if band_centers is not None:
                 band_centers = jax.device_put(band_centers,
                                               self._data_sharding)
+            if use_pallas:
+                # shard_map needs the batch to split evenly, 8 rows per
+                # device (the Mosaic tile floor); B is a power of two
+                # >= 32, so any power-of-two mesh up to B // 8 divides
+                if B % (8 * self.mesh.size) == 0:
+                    mesh_arg = self.mesh
+                else:
+                    use_pallas = False
         res, _tb = dbatch.align_batch_device(
             *args, self.params,
             n1=n1, n2=n2, special_mode=self.special_mode,
             use_pallas=use_pallas, return_traceback=False,
-            band_centers=band_centers)
+            band_centers=band_centers, mesh=mesh_arg)
         return group, refs_arr, reads_arr, res
 
 
