@@ -100,10 +100,12 @@ references:
         rm = ReferenceManager.from_layout(layout)
         log("dataset written; warming up (compiles device kernels)")
 
-        # warm-up: compile the device kernels on a small prefix
+        # warm-up: compile the device kernels on a prefix long enough to
+        # hit BOTH compiled shapes — the single-group (1024, n1, n2)
+        # variant and the 8-group wave variant (one flush = 8192 reads)
         warm = os.path.join(tmp, "warm.fastq")
         with open(fq) as src, open(warm, "w") as dst:
-            for _ in range(4 * 512):
+            for _ in range(4 * 8704):
                 line = src.readline()
                 if not line:
                     break

@@ -138,10 +138,15 @@ def align_batch_device(
     own), so multi-chip runs keep the fused-kernel advantage; the caller
     must make B divisible by 8 x mesh devices.
 
+    refs may have leading dim 1 with B reads (a uniform-reference batch):
+    the reference row broadcasts on DEVICE, so single-amplicon pipelines
+    ship ~n1 bytes per dispatch instead of B x n1 (the tunnel's
+    host->device payload halves).
+
     Returns BatchAlignment (ops in forward order) and the packed traceback
     (for debugging/tests).
     """
-    B = refs.shape[0]
+    B = reads.shape[0]
     D = n1 + n2 - 1
     f32 = jnp.float32
 
@@ -159,7 +164,10 @@ def align_batch_device(
     # rx (ref byte per DP row) is constant across diagonals - hoist it;
     # ry (read byte at y-1 = d-x-1) is a rolling window: shift down one
     # lane per diagonal and insert read[d-1] at lane 0 (systolic layout)
-    rx_const = jnp.pad(refs_i[:, :n1 - 1], ((0, 0), (1, 0)))   # [B, n1]
+    rx_const = jnp.pad(refs_i[:, :n1 - 1], ((0, 0), (1, 0)))   # [B|1, n1]
+    if rx_const.shape[0] != B:
+        # uniform-reference batch: broadcast the single row on device
+        rx_const = jnp.broadcast_to(rx_const, (B, n1))
 
     # band centers are constant across diagonals - hoist them. The exact
     # reference formula is f64 truncation int((x/(l1+1))*(l2+1))
@@ -491,6 +499,56 @@ def _corner_to_z0_score(corner):
         jnp.where(corner[:, 1] >= corner[:, 0], 1, 0)).astype(jnp.int32)
     score = jnp.take_along_axis(corner, z0[:, None], axis=1)[:, 0]
     return z0, score
+
+
+@jax.jit
+def fuse_result(ops_packed, n_ops, score):
+    """Pack (n_ops i32, score f32, ops_packed u8[P]) into ONE uint8
+    buffer [..., 8 + P]: the tunneled device's result-fetch latency is
+    per-array, so pulling one fused buffer instead of three cuts the
+    align phase's fetch rounds 3x. Host side: unfuse_result."""
+    head_shape = n_ops.shape
+    a = jax.lax.bitcast_convert_type(
+        n_ops.astype(jnp.int32), jnp.uint8).reshape(*head_shape, 4)
+    b = jax.lax.bitcast_convert_type(
+        score.astype(jnp.float32), jnp.uint8).reshape(*head_shape, 4)
+    return jnp.concatenate([a, b, ops_packed], axis=-1)
+
+
+def unfuse_result(buf: np.ndarray):
+    """Host inverse of fuse_result: (ops_packed, n_ops, score) views."""
+    n_ops = np.ascontiguousarray(buf[..., 0:4]).view(np.int32)[..., 0]
+    score = np.ascontiguousarray(buf[..., 4:8]).view(np.float32)[..., 0]
+    return buf[..., 8:], n_ops, score
+
+
+@functools.partial(jax.jit, static_argnames=("n1", "n2", "special_mode",
+                                             "use_pallas", "tie_order",
+                                             "mesh"))
+def align_batch_device_wave(ref_row, reads, ref_lens, read_lens, bandwidth,
+                            scoring_params, *, n1: int, n2: int,
+                            special_mode: str = "both",
+                            use_pallas: bool = False,
+                            tie_order: str = "ref", mesh=None):
+    """W same-shape uniform-reference batches in ONE device call.
+
+    ref_row [1, n1-1] (the shared reference); reads [W, B, n2-1];
+    lens/bandwidth [W, B]. lax.scan over the wave axis reuses one compiled
+    inner fill+walk, so a tunneled single chip pays one dispatch + one
+    result pull for W groups instead of W of each — the align phase is
+    RTT-bound, not fill-bound (CLAUDE.md), so fewer, larger transfers are
+    the lever. Returns BatchAlignment with [W, B, ...] leaves."""
+    def body(carry, xs):
+        rd, rl, dl, bw = xs
+        res, _tb = align_batch_device(
+            ref_row, rd, rl, dl, bw, scoring_params, n1=n1, n2=n2,
+            special_mode=special_mode, use_pallas=use_pallas,
+            return_traceback=False, tie_order=tie_order, mesh=mesh)
+        return carry, res
+
+    _c, res = jax.lax.scan(body, None,
+                           (reads, ref_lens, read_lens, bandwidth))
+    return res
 
 
 def _finish_from_packed_traceback(words, corner, ref_lens, read_lens,

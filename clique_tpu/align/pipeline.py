@@ -168,6 +168,13 @@ class BatchAligner:
         # against the XLA path. CLIQUE_TPU_PALLAS=0/1 overrides; interpret
         # mode makes it unusable on CPU backends, so non-TPU stays XLA.
         env_pallas = os.environ.get("CLIQUE_TPU_PALLAS")
+        # wave width: how many same-shape groups fuse into one scan
+        # dispatch (align_pairs_raw). Default 1 (off): on the tunneled
+        # chip, 8 pipelined async dispatches move data in parallel
+        # streams and beat one big serial transfer 2.5x (A/B r3: device
+        # 0.495s at wave=1 vs 1.245s at wave=8 on the 20k bench); the
+        # fused path remains for dispatch-overhead-bound local devices
+        self.wave = int(os.environ.get("CLIQUE_TPU_WAVE", "1"))
         self._compiled_b: Dict[Tuple[int, int], int] = {}
         self.device_seconds = 0.0   # dispatch + sync time
         self.post_seconds = 0.0     # host-side expansion
@@ -210,13 +217,11 @@ class BatchAligner:
         q = self.quantum
         return max(q, -(-n // q) * q)
 
-    def align_pairs_raw(self, refs: List[bytes], reads: List[bytes]):
-        """Align ref[i] x read[i] pairwise; yields per shape-bucketed group
-        (group_indices, aligned_ref [G,T], aligned_read [G,T], valid [G,T],
-        ops [G,T], n_ops [G], scores [G]) with G = len(group_indices) (the
-        dispatch pads the batch dim; rows are sliced back here). Matrix form
-        lets the caller batch record construction instead of paying per-read
-        numpy overhead.
+    def align_pairs_entries(self, refs: List[bytes], reads: List[bytes]):
+        """Dispatch + pull WITHOUT host expansion: returns pulled entries
+        (group/wave metadata + the fused result bytes) for expand_entry.
+        The align_reads writer thread expands them off the critical path;
+        align_pairs_raw expands inline for everyone else.
 
         All device dispatches go out before any result is pulled back
         (JAX dispatch is async), so transfers overlap compute - important on
@@ -229,7 +234,7 @@ class BatchAligner:
                       key=lambda k: (self._bucket_len(len(refs[k]) + 1),
                                      self._bucket_len(len(reads[k]) + 1)))
         t0 = time.time()
-        inflight = []
+        buckets = []
         while i < len(idxs):
             n1 = self._bucket_len(len(refs[idxs[i]]) + 1)
             n2 = self._bucket_len(len(reads[idxs[i]]) + 1)
@@ -239,35 +244,93 @@ class BatchAligner:
                     self._bucket_len(len(reads[idxs[i]]) + 1) == n2:
                 group.append(idxs[i])
                 i += 1
-            inflight.append(self._dispatch_group(group, refs, reads, n1, n2))
+            buckets.append((group, n1, n2))
             self.cells_filled += len(group) * (n1 - 1) * (n2 - 1)
         self.pairs_aligned += len(idxs)
 
+        # coalesce runs of same-shape uniform-reference groups into waves:
+        # ONE scan-dispatch covers up to self.wave groups (one dispatch +
+        # one pull instead of W of each — the tunnel is RTT-bound)
+        inflight = []
+        j = 0
+        while j < len(buckets):
+            group, n1, n2 = buckets[j]
+            run = 1
+            if self.wave > 1 and self.bandwidth is None:
+                r0 = refs[group[0]]
+                while (run < self.wave and j + run < len(buckets)
+                       and buckets[j + run][1] == n1
+                       and buckets[j + run][2] == n2):
+                    run += 1
+                uniform = all(refs[k] is r0
+                              for jj in range(j, j + run)
+                              for k in buckets[jj][0])
+                if run > 1 and uniform:
+                    inflight.append(self._dispatch_wave(
+                        [buckets[jj][0] for jj in range(j, j + run)],
+                        refs, reads, n1, n2))
+                    j += run
+                    continue
+            inflight.append(self._dispatch_group(group, refs, reads, n1, n2))
+            j += 1
+
         # start every device->host copy before blocking on any: the tunnel
         # occasionally stalls a transfer ~30s, and overlapped copies make
-        # stalls concurrent instead of serial
-        for _g, _ra, _da, res in inflight:
-            for arr in (res.ops_packed, res.n_ops, res.score):
-                try:
-                    arr.copy_to_host_async()
-                except Exception:
-                    pass
+        # stalls concurrent instead of serial. Each entry carries ONE
+        # fused result buffer (fuse_result) — the tunnel's fetch latency
+        # is per-array, so one pull per dispatch instead of three.
+        for entry in inflight:
+            try:
+                entry[-1].copy_to_host_async()
+            except Exception:
+                pass
 
+        self.device_seconds += time.time() - t0
+
+        def pulls():
+            # lazy per-entry pulls: align_pairs_raw expands one entry
+            # while the next async copy completes (pacing the tunnel)
+            for entry in inflight:
+                t1 = time.time()
+                fused_np = np.asarray(jax.device_get(entry[-1]))
+                self.device_seconds += time.time() - t1
+                yield entry[:-1] + (fused_np,)
+        return pulls()
+
+    def expand_entry(self, entry):
+        """Expand one pulled entry (align_pairs_entries) into per-group
+        raw tuples (group, a_ref, a_read, valid, ops, n_ops, scores).
+        Pure host numpy — safe to run on the writer thread so expansion
+        overlaps the next chunk's parse + dispatch."""
+        t1 = time.time()
         out = []
-        for group, refs_arr, reads_arr, res in inflight:
-            packed, n_ops, scores = jax.device_get(
-                (res.ops_packed, res.n_ops, res.score))
-            T = int(res.ops.shape[1])
+        if entry[0] == "wave":
+            _tag, groups_run, refs_host, reads_w, T, fused = entry
+            packed_w, n_ops_w, scores_w = dbatch.unfuse_result(fused)
+            for w, group in enumerate(groups_run):
+                ops = dbatch.unpack_ops(packed_w[w], T)
+                a_ref, a_read, valid = dbatch.ops_to_alignments_batch(
+                    ops, n_ops_w[w], refs_host, reads_w[w])
+                g = len(group)
+                out.append((group, a_ref[:g], a_read[:g], valid[:g],
+                            ops[:g], n_ops_w[w][:g], scores_w[w][:g]))
+        else:
+            _tag, group, refs_arr, reads_arr, T, fused = entry
+            packed, n_ops, scores = dbatch.unfuse_result(fused)
             ops = dbatch.unpack_ops(packed, T)
-            t1 = time.time()
-            self.device_seconds += t1 - t0
             a_ref, a_read, valid = dbatch.ops_to_alignments_batch(
                 ops, n_ops, refs_arr, reads_arr)
             g = len(group)
             out.append((group, a_ref[:g], a_read[:g], valid[:g], ops[:g],
                         n_ops[:g], scores[:g]))
-            t0 = time.time()
-            self.post_seconds += t0 - t1
+        self.post_seconds += time.time() - t1
+        return out
+
+    def align_pairs_raw(self, refs: List[bytes], reads: List[bytes]):
+        """Expanded view of align_pairs_entries (see expand_entry)."""
+        out = []
+        for entry in self.align_pairs_entries(refs, reads):
+            out.extend(self.expand_entry(entry))
         return out
 
     def align_pairs(self, refs: List[bytes], reads: List[bytes]
@@ -305,6 +368,8 @@ class BatchAligner:
             B = prev
         else:
             self._compiled_b[key] = B
+        r0 = refs[group[0]]
+        uniform_ref = all(refs[k] is r0 for k in group)
         refs_arr = np.zeros((B, n1 - 1), dtype=np.uint8)
         reads_arr = np.zeros((B, n2 - 1), dtype=np.uint8)
         ref_lens = np.zeros(B, dtype=np.int32)
@@ -315,6 +380,10 @@ class BatchAligner:
             reads_arr[j, :len(d)] = np.frombuffer(d, dtype=np.uint8)
             ref_lens[j] = len(r)
             read_lens[j] = len(d)
+        # uniform-reference batch (the single-amplicon hot path): ship ONE
+        # reference row; align_batch_device broadcasts it on device, so the
+        # tunnel's host->device payload nearly halves
+        dev_refs = refs_arr[:1] if uniform_ref else refs_arr
         bw = np.maximum(ref_lens, np.maximum(read_lens, 1))
         band_centers = None
         use_pallas = self.use_pallas
@@ -322,11 +391,14 @@ class BatchAligner:
             bw = np.minimum(bw, np.int32(self.bandwidth))
             band_centers = dbatch.band_centers_f64(ref_lens, read_lens, n1)
             use_pallas = False   # Mosaic fill is full-band only
-        args = (refs_arr, reads_arr, ref_lens, read_lens, bw)
+        args = (dev_refs, reads_arr, ref_lens, read_lens, bw)
         mesh_arg = None
         if self.mesh is not None:
-            args = tuple(jax.device_put(a, self._data_sharding)
-                         for a in args)
+            # a single-row uniform reference replicates; batch args shard
+            ref_sharding = self._repl_sharding if uniform_ref \
+                else self._data_sharding
+            args = (jax.device_put(dev_refs, ref_sharding),) + tuple(
+                jax.device_put(a, self._data_sharding) for a in args[1:])
             if band_centers is not None:
                 band_centers = jax.device_put(band_centers,
                                               self._data_sharding)
@@ -343,7 +415,67 @@ class BatchAligner:
             n1=n1, n2=n2, special_mode=self.special_mode,
             use_pallas=use_pallas, return_traceback=False,
             band_centers=band_centers, mesh=mesh_arg)
-        return group, refs_arr, reads_arr, res
+        fused = dbatch.fuse_result(res.ops_packed, res.n_ops, res.score)
+        return "single", group, refs_arr, reads_arr, int(res.ops.shape[-1]), \
+            fused
+
+    def _dispatch_wave(self, groups: List[List[int]], refs, reads, n1, n2):
+        """One device call for a run of same-shape groups sharing ONE
+        reference object (the single-amplicon hot path): stack reads
+        [W, B, n2-1], ship the reference once, and lax.scan the fill+walk
+        over the wave axis (dbatch.align_batch_device_wave). The run pads
+        up to self.wave with empty groups so exactly one (W, B, n1, n2)
+        variant ever compiles; empty rows cost one zero-length fill."""
+        import jax
+
+        W = self.wave
+        B = 32
+        while B < max(len(g) for g in groups):
+            B *= 2
+        key = (n1, n2)
+        prev = self._compiled_b.get(key, 0)
+        if B < prev:
+            B = prev
+        else:
+            self._compiled_b[key] = B
+
+        r0 = refs[groups[0][0]]
+        ref_row = np.zeros((1, n1 - 1), dtype=np.uint8)
+        ref_row[0, :len(r0)] = np.frombuffer(r0, dtype=np.uint8)
+        reads_w = np.zeros((W, B, n2 - 1), dtype=np.uint8)
+        ref_lens = np.zeros((W, B), dtype=np.int32)
+        read_lens = np.zeros((W, B), dtype=np.int32)
+        for w, group in enumerate(groups):
+            for j, k in enumerate(group):
+                d = reads[k]
+                reads_w[w, j, :len(d)] = np.frombuffer(d, dtype=np.uint8)
+                ref_lens[w, j] = len(refs[k])
+                read_lens[w, j] = len(d)
+        bw = np.maximum(ref_lens, np.maximum(read_lens, 1))
+        # host-side reference matrix for post-processing (never shipped)
+        refs_host = np.broadcast_to(ref_row, (B, n1 - 1))
+
+        use_pallas = self.use_pallas
+        args = (reads_w, ref_lens, read_lens, bw)
+        mesh_arg = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # wave axis stays whole; batch axis shards over the mesh
+            wave_sharding = NamedSharding(self.mesh, P(None, "data"))
+            args = tuple(jax.device_put(a, wave_sharding) for a in args)
+            if use_pallas:
+                if B % (8 * self.mesh.size) == 0:
+                    mesh_arg = self.mesh
+                else:
+                    use_pallas = False
+        res = dbatch.align_batch_device_wave(
+            ref_row, *args, self.params, n1=n1, n2=n2,
+            special_mode=self.special_mode, use_pallas=use_pallas,
+            mesh=mesh_arg)
+        fused = dbatch.fuse_result(res.ops_packed, res.n_ops, res.score)
+        return "wave", groups, refs_host, reads_w, int(res.ops.shape[-1]), \
+            fused
 
 
 @dataclass
@@ -478,6 +610,17 @@ def align_reads(
                                                rm, report_zero_score)
                     item = recs
                 elif isinstance(item, tuple) and item and \
+                        item[0] == "fused":
+                    # deferred expansion AND record construction: the
+                    # main thread only dispatched + pulled bytes
+                    _tag, algn, entries, pend = item
+                    recs = [None] * len(pend)
+                    for entry in entries:
+                        for raw in algn.expand_entry(entry):
+                            _fill_records_from_raw(raw, pend, recs, layout,
+                                                   rm, report_zero_score)
+                    item = recs
+                elif isinstance(item, tuple) and item and \
                         item[0] == "aligned":
                     # deferred per-read record construction (WFA /
                     # anchored engine outputs)
@@ -543,7 +686,10 @@ def align_reads(
             # fast path: build records from the raw group matrices with
             # batch-level numpy (no per-read expansion); with the writer
             # thread running, construction is deferred to it so it
-            # overlaps the next chunk's parse + dispatch
+            # overlaps the next chunk's parse + dispatch. (Deferring the
+            # EXPANSION too was A/B'd r3 and lost ~0.2s device wall: the
+            # expansion between pulls paces the tunnel's async copies,
+            # and the writer thread saturates on this 4-core host.)
             raws = aligner.align_pairs_raw(refs, reads)
             if writer_thread is not None and not long_pending:
                 write_queue.put(("raw", raws, list(pending)))
