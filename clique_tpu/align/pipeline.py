@@ -304,25 +304,30 @@ class BatchAligner:
         overlaps the next chunk's parse + dispatch."""
         t1 = time.time()
         out = []
+
+        def expand(group, packed, n_ops, scores, refs_host, reads_host):
+            # trim to real rows and to the batch's longest op sequence:
+            # T is padded to the worst case n1+n2-1, but typical
+            # alignments use ~half — halves every expansion pass
+            g = len(group)
+            n_o = n_ops[:g]
+            P = max(1, (int(n_o.max(initial=0)) + 3) // 4)
+            ops = dbatch.unpack_ops(packed[:g, :P], P * 4)
+            a_ref, a_read, valid = dbatch.ops_to_alignments_batch(
+                ops, n_o, refs_host[:g], reads_host[:g])
+            out.append((group, a_ref, a_read, valid, ops, n_o,
+                        scores[:g]))
+
         if entry[0] == "wave":
             _tag, groups_run, refs_host, reads_w, T, fused = entry
             packed_w, n_ops_w, scores_w = dbatch.unfuse_result(fused)
             for w, group in enumerate(groups_run):
-                ops = dbatch.unpack_ops(packed_w[w], T)
-                a_ref, a_read, valid = dbatch.ops_to_alignments_batch(
-                    ops, n_ops_w[w], refs_host, reads_w[w])
-                g = len(group)
-                out.append((group, a_ref[:g], a_read[:g], valid[:g],
-                            ops[:g], n_ops_w[w][:g], scores_w[w][:g]))
+                expand(group, packed_w[w], n_ops_w[w], scores_w[w],
+                       refs_host, reads_w[w])
         else:
             _tag, group, refs_arr, reads_arr, T, fused = entry
             packed, n_ops, scores = dbatch.unfuse_result(fused)
-            ops = dbatch.unpack_ops(packed, T)
-            a_ref, a_read, valid = dbatch.ops_to_alignments_batch(
-                ops, n_ops, refs_arr, reads_arr)
-            g = len(group)
-            out.append((group, a_ref[:g], a_read[:g], valid[:g], ops[:g],
-                        n_ops[:g], scores[:g]))
+            expand(group, packed, n_ops, scores, refs_arr, reads_arr)
         self.post_seconds += time.time() - t1
         return out
 
