@@ -615,17 +615,6 @@ def align_reads(
                                                rm, report_zero_score)
                     item = recs
                 elif isinstance(item, tuple) and item and \
-                        item[0] == "fused":
-                    # deferred expansion AND record construction: the
-                    # main thread only dispatched + pulled bytes
-                    _tag, algn, entries, pend = item
-                    recs = [None] * len(pend)
-                    for entry in entries:
-                        for raw in algn.expand_entry(entry):
-                            _fill_records_from_raw(raw, pend, recs, layout,
-                                                   rm, report_zero_score)
-                    item = recs
-                elif isinstance(item, tuple) and item and \
                         item[0] == "aligned":
                     # deferred per-read record construction (WFA /
                     # anchored engine outputs)

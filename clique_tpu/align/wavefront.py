@@ -1261,31 +1261,54 @@ class WfaAligner:
         (run table i16 limit) go to the DP fallback."""
         self.fallbacks += len(remaining)
         if self.model == "affine2p":
+            # batch censored pairs by BUCKETED length with a quantized
+            # guaranteed-sufficient ceiling so reruns reuse a small set
+            # of compiled (32, L, smax) variants (every distinct shape is
+            # a multi-minute relay compile — CLAUDE.md), and respect the
+            # kernel memory budget: buckets whose ceiling op store would
+            # blow CLIQUE_WFA_MEM_BUDGET go to the exact DP instead.
             long_pairs = []
+            rerun_buckets: dict = {}
             for k in remaining:
-                L = max(len(refs[k]), len(reads[k]))
+                L = self._bucket_len(max(len(refs[k]), len(reads[k])))
                 if L + 1 >= (1 << 15):
                     long_pairs.append(k)
                     continue
-                smax = min(2 * self.o + self.e * 2 * L,
-                           2 * self.o2 + self.e2 * 2 * L) + 1
-                a = np.zeros((32, L), dtype=np.uint8)
-                b = np.zeros((32, L), dtype=np.uint8)
-                la = np.zeros(32, dtype=np.int32)
-                lb = np.zeros(32, dtype=np.int32)
-                a[0, :len(refs[k])] = np.frombuffer(refs[k], dtype=np.uint8)
-                b[0, :len(reads[k])] = np.frombuffer(reads[k],
-                                                     dtype=np.uint8)
-                la[0], lb[0] = len(refs[k]), len(reads[k])
-                sc, ops = self._tb_kernel(a, b, la, lb, L=L, smax=smax)
-                sc = np.asarray(sc)[:1]
-                skel = self._backtrace(np.asarray(ops)[:, :1], sc,
-                                       (la - lb)[:1])[0]
-                cig = wfa_replay_cigar(refs[k], reads[k], skel,
-                                       wildcards=self.wildcards)
-                ra, da = cigar_to_aligned(refs[k], reads[k], cig)
-                results[k] = (ra, da, cig, -float(sc[0]))
-                self.cells_filled += len(refs[k]) * len(reads[k])
+                rerun_buckets.setdefault(L, []).append(k)
+            for L, idxs in rerun_buckets.items():
+                smax = max(
+                    min(2 * self.o + self.e * 2
+                        * max(len(refs[k]), len(reads[k])),
+                        2 * self.o2 + self.e2 * 2
+                        * max(len(refs[k]), len(reads[k])))
+                    for k in idxs) + 1
+                smax = -(-smax // 1024) * 1024   # quantize the variant
+                if self._chunk_bytes(32, L, smax) > self._budget():
+                    long_pairs.extend(idxs)
+                    continue
+                for c0 in range(0, len(idxs), 32):
+                    chunk = idxs[c0:c0 + 32]
+                    a = np.zeros((32, L), dtype=np.uint8)
+                    b = np.zeros((32, L), dtype=np.uint8)
+                    la = np.zeros(32, dtype=np.int32)
+                    lb = np.zeros(32, dtype=np.int32)
+                    for j, k in enumerate(chunk):
+                        a[j, :len(refs[k])] = np.frombuffer(refs[k],
+                                                            dtype=np.uint8)
+                        b[j, :len(reads[k])] = np.frombuffer(
+                            reads[k], dtype=np.uint8)
+                        la[j], lb[j] = len(refs[k]), len(reads[k])
+                    sc, ops = self._tb_kernel(a, b, la, lb, L=L, smax=smax)
+                    g = len(chunk)
+                    sc = np.asarray(sc)[:g]
+                    skels = self._backtrace(np.asarray(ops)[:, :g], sc,
+                                            (la - lb)[:g])
+                    for j, k in enumerate(chunk):
+                        cig = wfa_replay_cigar(refs[k], reads[k], skels[j],
+                                               wildcards=self.wildcards)
+                        ra, da = cigar_to_aligned(refs[k], reads[k], cig)
+                        results[k] = (ra, da, cig, -float(sc[j]))
+                        self.cells_filled += len(refs[k]) * len(reads[k])
             remaining = long_pairs
             if not remaining:
                 return

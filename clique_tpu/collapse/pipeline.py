@@ -917,8 +917,10 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
     spawned jax-free processes handle BAM decode/ingestion and consensus
     building while this process runs the device correction kernels — the
     TPU answer to the reference's rayon `--threads` fanout
-    (alignment_functions.rs:90-93). Incompatible with checkpoint/
-    out_of_core (those fall back to the single-process paths here).
+    (alignment_functions.rs:90-93). With out_of_core (or caps/big BAMs
+    forcing it), workers route through the shard-parallel streaming
+    driver (collapse_parallel_spill); only checkpoint falls back to the
+    single-process path.
 
     Also emits collapse_metrics.json (the reference README promises this,
     README.md:66-69, but never writes it): per-reference read accounting,

@@ -207,15 +207,18 @@ class BamWriter:
         self._recs_since_chunk = 0
         self._total_records = 0
         self._closed = False
+        self._cqi_every = int(os.environ.get("CLIQUE_TPU_CQI_EVERY",
+                                             str(self._CQI_EVERY)))
 
-    # chunk-index granularity in records (env-overridable so tiny test
-    # datasets still split into multiple distributed ingest chunks)
-    _CQI_EVERY = int(os.environ.get("CLIQUE_TPU_CQI_EVERY", "2048"))
+    # chunk-index granularity in records (class default; the env var is
+    # read per-writer in __init__ so setting it later still works —
+    # tiny test datasets need multiple distributed ingest chunks)
+    _CQI_EVERY = 2048
 
     def _mark_boundary(self, n_records: int) -> None:
         """Called at the start of every write call (always a record
         boundary): emit a chunk offset once ~_CQI_EVERY records passed."""
-        if self._recs_since_chunk >= self._CQI_EVERY:
+        if self._recs_since_chunk >= self._cqi_every:
             self.chunk_offsets.append(
                 (self._bgzf.voffset(), self._total_records))
             self._recs_since_chunk = 0
@@ -281,9 +284,11 @@ class BamWriter:
         self._mark_boundary(len(records))
         self._bgzf.write(encoded)
 
-    def write_encoded(self, encoded: bytes, n_records: int = 256) -> None:
+    def write_encoded(self, encoded: bytes, n_records: int) -> None:
         """Append a pre-encoded raw record stream (from
-        encode_records_bytes, e.g. produced in a worker process)."""
+        encode_records_bytes, e.g. produced in a worker process).
+        n_records must be the stream's true record count — it feeds the
+        chunk index's ordinals and totals."""
         self._mark_boundary(n_records)
         self._bgzf.write(encoded)
 
@@ -720,7 +725,11 @@ def write_cqi(bam_path: str, chunk_offsets: List[Tuple[int, int]]) -> str:
 
 def read_cqi(bam_path: str) -> Optional[List[Tuple[int, int]]]:
     """Chunk-index (voffset, ordinal) pairs for a BAM (sentinel-last), or
-    None if no sidecar exists."""
+    None if no sidecar exists or the sidecar is STALE: the sentinel's
+    virtual offset must equal the end-of-records position of the BAM as
+    it exists NOW (filesize minus the EOF block) — a BAM rewritten by any
+    other tool beside an old sidecar would otherwise yield silently wrong
+    byte ranges."""
     path = str(bam_path) + ".cqi"
     if not os.path.exists(path):
         return None
@@ -730,7 +739,15 @@ def read_cqi(bam_path: str) -> Optional[List[Tuple[int, int]]]:
             return None
         (n,) = struct.unpack_from("<I", head, 4)
         flat = struct.unpack(f"<{2 * n}Q", fh.read(16 * n))
-        return list(zip(flat[0::2], flat[1::2]))
+        pairs = list(zip(flat[0::2], flat[1::2]))
+    if pairs:
+        try:
+            expect = (os.path.getsize(str(bam_path)) - len(_BGZF_EOF)) << 16
+        except OSError:
+            return None
+        if pairs[-1][0] != expect:
+            return None
+    return pairs
 
 
 def read_voffset_range(bam_path: str, vbeg: int,

@@ -146,6 +146,12 @@ def align_distributed(layout, rm, output_path: str, work_dir: str, *,
     init_distributed(coordinator_address, num_processes, process_id)
     os.makedirs(work_dir, exist_ok=True)
     t0 = time.time()
+    if num_processes > 1 and align_kwargs.get("metrics_path"):
+        # per-rank metrics: every process reports its LOCAL slice — a
+        # shared path would race and misreport one rank's stats as the
+        # run's
+        align_kwargs["metrics_path"] = \
+            f"{align_kwargs['metrics_path']}.rank{process_id}"
     part = os.path.join(work_dir, f"part.p{process_id}.bam")
     stats = align_reads(
         layout, rm, part, read1=read1, read2=read2, index1=index1,
@@ -180,10 +186,9 @@ def _iter_slice_chunks(input_bam: str, process_id: int,
     (collapse.rs:437-491's indexed access scaled across hosts). Without
     one, every process walks the whole stream and keeps chunks i with
     i % P == rank (O(P x filesize) total inflation — the fallback)."""
-    import struct
-
     from clique_tpu.io.sam import read_cqi, read_voffset_range
-    from clique_tpu.collapse.workers import iter_record_chunks
+    from clique_tpu.collapse.workers import (_count_chunk_records,
+                                             iter_record_chunks)
 
     pairs = read_cqi(input_bam)
     if pairs and len(pairs) >= 2:
@@ -210,12 +215,7 @@ def _iter_slice_chunks(input_bam: str, process_id: int,
                 yield chunk, base_ord
             # count records in every chunk (cheap block_size walk over
             # the already-inflated bytes) so ordinals stay global
-            p, n = 0, 0
-            while p + 4 <= len(chunk):
-                (sz,) = struct.unpack_from("<i", chunk, p)
-                p += 4 + sz
-                n += 1
-            base_ord += n
+            base_ord += _count_chunk_records(chunk)
     return references, dealt()
 
 
