@@ -650,6 +650,18 @@ def align_reads(
         else:
             emit_records([_make_record(alr, layout) for alr in aligned_out])
 
+    # deferred fast-path flushes: [(entries generator, pending copy)] —
+    # drained one flush behind so fetches overlap the next parse
+    deferred_flush: List = []
+
+    def drain_deferred(keep: int = 0):
+        while len(deferred_flush) > keep:
+            entries, pend = deferred_flush.pop(0)
+            raws = []
+            for entry in entries:
+                raws.extend(aligner.expand_entry(entry))
+            write_queue.put(("raw", raws, pend))
+
     reader = ReadIterator(read1, read2, index1, index2)
     needs_align_merge = layout.merge == MergeStrategy.ALIGN
 
@@ -685,14 +697,23 @@ def align_reads(
             # EXPANSION too was A/B'd r3 and lost ~0.2s device wall: the
             # expansion between pulls paces the tunnel's async copies,
             # and the writer thread saturates on this 4-core host.)
-            raws = aligner.align_pairs_raw(refs, reads)
             if writer_thread is not None and not long_pending:
-                write_queue.put(("raw", raws, list(pending)))
+                # defer draining THIS flush's results until the next
+                # flush has parsed + dispatched: the async device->host
+                # copies complete while the main thread parses, so the
+                # eventual device_get barely waits (the fetch latency —
+                # the tunnel's dominant cost — hides behind FASTQ parse)
+                deferred_flush.append(
+                    (aligner.align_pairs_entries(refs, reads),
+                     list(pending)))
                 stats.aligned += len(pending)
+                if len(deferred_flush) > 1:
+                    drain_deferred(1)
                 if stats.aligned % 1_000_000 < len(pending):
                     log.info("Time elapsed in aligning reads (%d) is: %.1fs",
                              stats.aligned, time.time() - start)
                 return
+            raws = aligner.align_pairs_raw(refs, reads)
             batch_records = [None] * len(pending)
             for raw in raws:
                 _fill_records_from_raw(raw, pending, batch_records,
@@ -937,6 +958,7 @@ def align_reads(
         flush_routes()
     flush_exhaustive()
     flush(pending)
+    drain_deferred()
     if writer_thread is not None:
         write_queue.put(None)
         writer_thread.join()
