@@ -79,6 +79,17 @@ def test_tag_dump_pinned(pipeline_outputs, name, tmp_path):
     assert out.read_text() == want, f"{name} tag dump drifted"
 
 
+@pytest.mark.parametrize("engine", ["wfa", "convex"])
+def test_engine_bam_pinned(engine, tmp_path):
+    """Per-engine byte pins: the wavefront engines' aligned BAMs must
+    stay byte-stable too (CIGARs, scores, extracted tags)."""
+    mg = _load_make_golden()
+    fresh = mg.run_engine(str(tmp_path), engine)
+    got = _inflate_bgzf(fresh)
+    want = _inflate_bgzf(os.path.join(GOLDEN, f"aligned_{engine}.bam"))
+    assert got == want, f"{engine} engine BAM payload drifted"
+
+
 def test_alleles_pinned(pipeline_outputs):
     _, _, _, alleles = pipeline_outputs
     with open(alleles) as fh:

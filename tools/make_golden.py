@@ -127,6 +127,28 @@ def run_pipeline(workdir):
     return aligned, collapsed, alleles
 
 
+def run_engine(workdir, engine):
+    """Align-only run under a non-default engine (wfa/convex) for the
+    per-engine byte pins."""
+    from clique_tpu.align.pipeline import align_reads
+    from clique_tpu.config.layout import SequenceLayout
+    from clique_tpu.reference.manager import ReferenceManager
+
+    layout_path = os.path.join(workdir, f"layout_{engine}.yaml")
+    with open(os.path.join(GOLDEN, "layout.yaml.in")) as fh:
+        text = fh.read().replace(
+            "@ALLOWLIST@", os.path.join(GOLDEN, "allowlist.txt"))
+    with open(layout_path, "w") as fh:
+        fh.write(text)
+    layout = SequenceLayout.from_yaml(layout_path)
+    rm = ReferenceManager.from_layout(layout)
+    out = os.path.join(workdir, f"aligned_{engine}.bam")
+    align_reads(layout, rm, out,
+                read1=os.path.join(GOLDEN, "reads.fastq.gz"),
+                batch_size=16, engine=engine)
+    return out
+
+
 def dump_tags(bam_path, out_path):
     """Deterministic per-record tag dump: name, ref, pos, cigar, seq,
     sorted tags."""
@@ -146,8 +168,11 @@ def main():
     write_inputs()
     with tempfile.TemporaryDirectory() as tmp:
         aligned, collapsed, alleles = run_pipeline(tmp)
-        for src, name in ((aligned, "aligned.bam"),
-                          (collapsed, "collapsed.bam")):
+        outputs = [(aligned, "aligned.bam"), (collapsed, "collapsed.bam")]
+        for engine in ("wfa", "convex"):
+            outputs.append((run_engine(tmp, engine),
+                            f"aligned_{engine}.bam"))
+        for src, name in outputs:
             with open(src, "rb") as fh:
                 data = fh.read()
             with open(os.path.join(GOLDEN, name), "wb") as fh:
