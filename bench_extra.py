@@ -104,12 +104,15 @@ def _align_bench(refs, write_reads, classify=None, post=None, **align_kw):
         layout = SequenceLayout.from_yaml(layout_path)
         rm = ReferenceManager.from_layout(layout)
         warm = os.path.join(tmp, "warm.fastq")
-        with open(fq) as src, open(warm, "w") as dst:
-            for _ in range(4 * 512):
-                line = src.readline()
-                if not line:
-                    break
-                dst.write(line)
+        with open(fq) as src:
+            lines = src.readlines()
+        # warm on BOTH ends of the dataset: configs that append a second
+        # read class (e.g. decoy reads) must compile that class's shapes
+        # and routing paths during warmup, not inside the timed run
+        with open(warm, "w") as dst:
+            dst.writelines(lines[:4 * 256])
+            if len(lines) > 4 * 512:
+                dst.writelines(lines[-4 * 256:])
         align_reads(layout, rm, os.path.join(tmp, "w.bam"), read1=warm,
                     batch_size=512, **align_kw)
         metrics = os.path.join(tmp, "m.json")
