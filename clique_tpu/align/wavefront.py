@@ -1091,9 +1091,16 @@ class WfaAligner:
             b *= 2
         return b
 
-    @staticmethod
-    def _budget() -> int:
-        return int(os.environ.get("CLIQUE_WFA_MEM_BUDGET", str(512 << 20)))
+    def _budget(self) -> int:
+        # affine2p defaults to 2GB (16GB HBM on v5e; the wave loop holds
+        # <= 2x this live): its escalated rounds have wide K, so bigger
+        # chunks mean fewer result pulls — and per-pull fetch latency
+        # dominates the convex/SV path (A/B r3: 470 -> 616 reads/s going
+        # 512MB -> 2GB). The affine model keeps 512MB: its proven chunk
+        # shapes are already latency-amortized, and a budget-driven shape
+        # change would recompile the big HiFi variants through the relay.
+        default = (2 << 30) if self.model == "affine2p" else (512 << 20)
+        return int(os.environ.get("CLIQUE_WFA_MEM_BUDGET", str(default)))
 
     @staticmethod
     def _chunk_bytes(B: int, L: int, smax: int) -> int:
@@ -1141,7 +1148,16 @@ class WfaAligner:
                 fallback.extend(buckets[L])
                 continue
             smax = self.s0 if self.s0 is not None else max(64, L // 4)
-            work.append((L, smax, buckets[L]))
+            # order pairs by |len(ref) - len(read)|: the length gap
+            # lower-bounds the penalty (every net indel costs >= e), so
+            # memory-capped chunks group similar-penalty pairs and each
+            # chunk's backtrace window (sized by ITS max score in phase
+            # C) stays tight instead of inheriting the batch's worst
+            # structural-variant lane — the convex SV bench spent ~95%
+            # of wall pulling windows sized by the dropout lanes
+            idxs = sorted(buckets[L],
+                          key=lambda k: abs(len(refs[k]) - len(reads[k])))
+            work.append((L, smax, idxs))
         wave_budget = 2 * self._budget()
         while work:
             # flatten this round's chunks, then run them in WAVES: chunks
