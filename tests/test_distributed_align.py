@@ -77,6 +77,62 @@ _WORKER = textwrap.dedent("""
 """)
 
 
+def test_align_distributed_paired_end(tmp_path):
+    """Paired-end (R1+R2 align-merge) striping goes through the general
+    reader loop: 1-process distributed == plain align_reads on merged
+    pairs."""
+    import gzip
+
+    import numpy as np
+
+    from clique_tpu.config.layout import SequenceLayout
+    from clique_tpu.parallel.distributed import align_distributed
+    from clique_tpu.reference.manager import ReferenceManager
+    from clique_tpu.utils.seq import reverse_complement
+
+    rng = np.random.default_rng(88)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    a5 = "TTCAGACGTGTGCTCTTCCGATCT"
+    a3 = "AGATCGGAAGAGCACACGTCTGAA"
+    amp = a5 + "".join("ACGT"[i] for i in rng.integers(0, 4, 52)) + a3
+    layout_path = tmp_path / "layout.yaml"
+    layout_path.write_text(f"""
+known_strand: true
+merge: Align
+reads:
+  - !Read1
+    orientation: Forward
+  - !Read2
+    orientation: Reverse
+references:
+  amp1:
+    sequence: "{amp}"
+    targets: []
+    target_types: []
+    umi_configurations: {{}}
+""")
+    r1p, r2p = tmp_path / "r1.fastq.gz", tmp_path / "r2.fastq.gz"
+    with gzip.open(r1p, "wt") as f1, gzip.open(r2p, "wt") as f2:
+        for i in range(12):
+            read = amp
+            r1 = read[:70]
+            r2 = reverse_complement(read[30:].encode()).decode()
+            f1.write(f"@p{i}\n{r1}\n+\n{'I' * len(r1)}\n")
+            f2.write(f"@p{i}\n{r2}\n+\n{'I' * len(r2)}\n")
+
+    layout = SequenceLayout.from_yaml(str(layout_path))
+    rm = ReferenceManager.from_layout(layout)
+    ref_bam = str(tmp_path / "ref.bam")
+    align_reads(layout, rm, ref_bam, read1=str(r1p), read2=str(r2p),
+                batch_size=8)
+    out = str(tmp_path / "dist.bam")
+    align_distributed(layout, rm, out, str(tmp_path / "wk"),
+                      read1=str(r1p), read2=str(r2p),
+                      process_id=0, num_processes=1, batch_size=8)
+    got, want = record_multiset(out), record_multiset(ref_bam)
+    assert got == want and len(got) == 12
+
+
 def test_distributed_chain_two_processes(tmp_path):
     layout, layout_path, aligned = build_dataset(tmp_path)
 
