@@ -106,13 +106,18 @@ def _align_bench(refs, write_reads, classify=None, post=None, **align_kw):
         warm = os.path.join(tmp, "warm.fastq")
         with open(fq) as src:
             lines = src.readlines()
-        # warm on BOTH ends of the dataset: configs that append a second
-        # read class (e.g. decoy reads) must compile that class's shapes
-        # and routing paths during warmup, not inside the timed run
+        # warm on BOTH ends of the dataset at FULL batch width (512 reads
+        # per end): configs that append a second read class (e.g. decoy
+        # reads) must compile that class's shapes, and each class must
+        # warm the same padded lane count the timed run uses — a narrower
+        # warm batch compiles a different (B, n1, n2) variant and leaves
+        # the real one to the timed region
         with open(warm, "w") as dst:
-            dst.writelines(lines[:4 * 256])
-            if len(lines) > 4 * 512:
-                dst.writelines(lines[-4 * 256:])
+            if len(lines) <= 4 * 1024:
+                dst.writelines(lines)
+            else:
+                dst.writelines(lines[:4 * 512])
+                dst.writelines(lines[-4 * 512:])
         align_reads(layout, rm, os.path.join(tmp, "w.bam"), read1=warm,
                     batch_size=512, **align_kw)
         metrics = os.path.join(tmp, "m.json")

@@ -634,6 +634,9 @@ def align_reads(
         writer_thread.start()
 
     def emit_records(records):
+        # any non-deferred emission must first drain deferred fast-path
+        # flushes so output record order stays input order
+        drain_deferred()
         if writer_thread is not None:
             write_queue.put(records)
         elif hasattr(writer, "write_batch"):
@@ -645,6 +648,7 @@ def align_reads(
     def emit_aligned(aligned_out):
         """Emit AlignedReads; record construction defers to the writer
         thread when one is running so it overlaps the next batch."""
+        drain_deferred()
         if writer_thread is not None:
             write_queue.put(("aligned", aligned_out))
         else:

@@ -1113,7 +1113,8 @@ class WfaAligner:
 
     def _mem_cap(self, L: int, smax: int) -> int:
         """Largest power-of-2 lane count whose chunk footprint fits the
-        budget (CLIQUE_WFA_MEM_BUDGET, default 512MB) — long-read buckets
+        budget (_budget: CLIQUE_WFA_MEM_BUDGET, default 512MB affine /
+        2GB affine2p) — long-read buckets
         run in smaller slices instead of OOMing. Floors at 32 lanes; a
         floor chunk can exceed the budget, which the wave loop in
         align_pairs accounts for by running it alone."""

@@ -21,8 +21,7 @@ def _write_bam(path, n, cqi_every=4):
         w._cqi_every = cqi_every
         for i in range(n):
             w.write(_rec(f"r{i}"))
-        offsets = w.chunk_offsets
-    # close() appended the sentinel
+    # close() appended the (end, total) sentinel
     write_cqi(str(path), w.chunk_offsets)
     return w.chunk_offsets
 

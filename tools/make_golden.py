@@ -102,21 +102,28 @@ def write_inputs():
             fh.write(raw)
 
 
-def run_pipeline(workdir):
-    from clique_tpu.align.pipeline import align_reads
-    from clique_tpu.caller.events import call_events_from_bam
-    from clique_tpu.collapse.pipeline import collapse
+def _load_layout(workdir, name="layout.yaml"):
+    """Template the frozen layout (allowlist path substituted) and parse
+    it, returning (layout, ReferenceManager)."""
     from clique_tpu.config.layout import SequenceLayout
     from clique_tpu.reference.manager import ReferenceManager
 
-    layout_path = os.path.join(workdir, "layout.yaml")
+    layout_path = os.path.join(workdir, name)
     with open(os.path.join(GOLDEN, "layout.yaml.in")) as fh:
         text = fh.read().replace(
             "@ALLOWLIST@", os.path.join(GOLDEN, "allowlist.txt"))
     with open(layout_path, "w") as fh:
         fh.write(text)
     layout = SequenceLayout.from_yaml(layout_path)
-    rm = ReferenceManager.from_layout(layout)
+    return layout, ReferenceManager.from_layout(layout)
+
+
+def run_pipeline(workdir):
+    from clique_tpu.align.pipeline import align_reads
+    from clique_tpu.caller.events import call_events_from_bam
+    from clique_tpu.collapse.pipeline import collapse
+
+    layout, rm = _load_layout(workdir)
     aligned = os.path.join(workdir, "aligned.bam")
     align_reads(layout, rm, aligned,
                 read1=os.path.join(GOLDEN, "reads.fastq.gz"), batch_size=16)
@@ -131,17 +138,8 @@ def run_engine(workdir, engine):
     """Align-only run under a non-default engine (wfa/convex) for the
     per-engine byte pins."""
     from clique_tpu.align.pipeline import align_reads
-    from clique_tpu.config.layout import SequenceLayout
-    from clique_tpu.reference.manager import ReferenceManager
 
-    layout_path = os.path.join(workdir, f"layout_{engine}.yaml")
-    with open(os.path.join(GOLDEN, "layout.yaml.in")) as fh:
-        text = fh.read().replace(
-            "@ALLOWLIST@", os.path.join(GOLDEN, "allowlist.txt"))
-    with open(layout_path, "w") as fh:
-        fh.write(text)
-    layout = SequenceLayout.from_yaml(layout_path)
-    rm = ReferenceManager.from_layout(layout)
+    layout, rm = _load_layout(workdir, f"layout_{engine}.yaml")
     out = os.path.join(workdir, f"aligned_{engine}.bam")
     align_reads(layout, rm, out,
                 read1=os.path.join(GOLDEN, "reads.fastq.gz"),
