@@ -179,8 +179,9 @@ def _supervised() -> None:
     # recompiles every big shape variant through the remote relay (minutes
     # each), so the child budget must cover a full recompile set
     child_timeout = float(os.environ.get("CLIQUE_BENCH_TIMEOUT", "900"))
+    n_attempts = int(os.environ.get("CLIQUE_BENCH_ATTEMPTS", "6"))
     best = None
-    for attempt in range(4):
+    for attempt in range(n_attempts):
         env = dict(os.environ, BENCH_CHILD="1")
         # IMPORTANT: redirect to files, not pipes - a wedged TPU claim can
         # leave orphaned helper processes holding pipe ends open, which
@@ -224,13 +225,16 @@ def _supervised() -> None:
                       f"{result['value']} reads/s - below the healthy band "
                       f"({healthy_min}); retrying for a healthy phase",
                       file=sys.stderr, flush=True)
-                time.sleep(60)
+                # degraded tunnel/host phases last minutes to tens of
+                # minutes (CLAUDE.md); later retries wait longer so the
+                # attempt set samples genuinely different phases
+                time.sleep(60 if attempt < 2 else 240)
                 continue
         print(f"[bench] attempt {attempt + 1} produced no result "
               f"(rc={rc}); retrying", file=sys.stderr, flush=True)
         time.sleep(180)
     if best is None:
-        raise SystemExit("bench failed after 4 attempts")
+        raise SystemExit("bench failed after all attempts")
     # the JSON self-describes its statistic: `value` is the best attempt
     # (tunnel phases swing 2x+ on identical code — CLAUDE.md), and the
     # attempt list + median are carried so the capture is interpretable
