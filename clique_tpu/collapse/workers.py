@@ -170,13 +170,21 @@ def ingest_chunk_reads_task(args) -> Tuple[bytes, Tuple[int, ...]]:
         ing._next_ordinal = base_ord + j
         ing.ingest(rec, stats)
     reads = {name: ing.finish(stats) for name, ing in ingests.items()}
+    native_seqs = {name: ing.sequence for name, ing in ingests.items()}
     with open(blob_path, "wb") as fh:
         off = 0
-        for passing in reads.values():
+        for name, passing in reads.items():
+            native = native_seqs[name]
             for r in passing:
+                # the dominant read class (gapless amplicon alignments)
+                # has reference_aligned == the native reference; store a
+                # None marker instead of duplicating ~L bytes per read
+                # in the blob (rehydrate_reads restores from ref_seqs)
+                ra = None if r.reference_aligned == native \
+                    else r.reference_aligned
                 payload = pickle.dumps(
-                    (r.reference_aligned, r.read_aligned, r.read_quals,
-                     r.cigar), protocol=4)
+                    (ra, r.read_aligned, r.read_quals, r.cigar),
+                    protocol=4)
                 fh.write(payload)
                 r.blob = (blob_path, off, len(payload))
                 off += len(payload)
@@ -189,9 +197,12 @@ def ingest_chunk_reads_task(args) -> Tuple[bytes, Tuple[int, ...]]:
              stats.failed_filters, stats.invalid_tags, stats.passing))
 
 
-def rehydrate_reads(reads) -> None:
+def rehydrate_reads(reads, ref_seqs: Optional[Dict[str, bytes]] = None
+                    ) -> None:
     """Load heavy payloads back into light SortingReads from their blob
-    files (grouped by file, sequential-ish preads)."""
+    files (grouped by file, sequential-ish preads). A None
+    reference_aligned in the payload means it equals the native
+    reference (the gapless hot class) — restored from ref_seqs."""
     by_path: Dict[str, List] = {}
     for r in reads:
         if r.blob is not None:
@@ -202,8 +213,10 @@ def rehydrate_reads(reads) -> None:
             for r in rs:
                 _p, off, size = r.blob
                 fh.seek(off)
-                (r.reference_aligned, r.read_aligned, r.read_quals,
+                (ra, r.read_aligned, r.read_quals,
                  r.cigar) = pickle.loads(fh.read(size))
+                r.reference_aligned = ra if ra is not None \
+                    else (ref_seqs or {})[r.reference_name]
                 r.blob = None
 
 
@@ -221,7 +234,7 @@ def consensus_groups_task(args) -> Tuple[int, bytes, int]:
     from clique_tpu.io.sam import encode_records_bytes
 
     groups = pickle.loads(groups_blob)
-    rehydrate_reads([r for g in groups for r in g])
+    rehydrate_reads([r for g in groups for r in g], ref_seqs)
     pre = _precompute_group_consensus(groups, ref_seqs, gap_call_threshold) \
         if not correct_only else {}
     records = []
