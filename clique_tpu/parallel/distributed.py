@@ -137,9 +137,17 @@ def align_distributed(layout, rm, output_path: str, work_dir: str, *,
     once, record blocks concatenated, no recompression). Output record
     MULTISET equals single-process align_reads; record order follows
     (rank, stripe) order. output_path must be .bam. Returns AlignStats for
-    the LOCAL slice."""
+    the LOCAL slice.
+
+    Part BAMs are explicit RESUME points (SURVEY section 5's "natural
+    resume points ... should become persistable artifacts"): a restarted
+    rank whose part is already complete — EOF block present and the .cqi
+    sidecar's sentinel matches the file — skips its alignment and goes
+    straight to the barrier, so one failed host re-runs only its own
+    stripe. An interrupted part fails this validation (the sentinel is
+    written at close) and is redone."""
     from clique_tpu.align.pipeline import align_reads
-    from clique_tpu.io.sam import concat_bam_parts
+    from clique_tpu.io.sam import concat_bam_parts, read_cqi
 
     if not str(output_path).endswith(".bam"):
         raise ValueError("distributed align writes BAM output only")
@@ -153,12 +161,17 @@ def align_distributed(layout, rm, output_path: str, work_dir: str, *,
         align_kwargs["metrics_path"] = \
             f"{align_kwargs['metrics_path']}.rank{process_id}"
     part = os.path.join(work_dir, f"part.p{process_id}.bam")
-    stats = align_reads(
-        layout, rm, part, read1=read1, read2=read2, index1=index1,
-        index2=index2,
-        read_shard=(process_id, num_processes) if num_processes > 1
-        else None,
-        **align_kwargs)
+    if os.path.exists(part) and read_cqi(part) is not None:
+        log.info("p%d: part BAM already complete, resuming past align",
+                 process_id)
+        stats = None
+    else:
+        stats = align_reads(
+            layout, rm, part, read1=read1, read2=read2, index1=index1,
+            index2=index2,
+            read_shard=(process_id, num_processes) if num_processes > 1
+            else None,
+            **align_kwargs)
     _barrier("align-parts", num_processes)
     if process_id == 0:
         references = [(r.name, len(r.sequence))

@@ -77,6 +77,38 @@ _WORKER = textwrap.dedent("""
 """)
 
 
+def test_align_distributed_resume_skips_complete_part(tmp_path):
+    """Part BAMs are resume points: a rerun with a complete part skips
+    its alignment (the part file is untouched); an interrupted part
+    (truncated, no valid cqi sentinel) is redone."""
+    from clique_tpu.config.layout import SequenceLayout
+    from clique_tpu.parallel.distributed import align_distributed
+    from clique_tpu.reference.manager import ReferenceManager
+
+    layout, _lp, aligned = build_dataset(tmp_path)
+    rm = ReferenceManager.from_layout(layout)
+    fq = str(tmp_path / "reads.fastq.gz")
+    work = tmp_path / "wkr"
+    out = str(tmp_path / "resume.bam")
+    align_distributed(layout, rm, out, str(work), read1=fq,
+                      process_id=0, num_processes=1, batch_size=8)
+    part = work / "part.p0.bam"
+    before = part.stat().st_mtime_ns
+    stats2 = align_distributed(layout, rm, out, str(work), read1=fq,
+                               process_id=0, num_processes=1, batch_size=8)
+    assert stats2 is None                       # resumed, no re-align
+    assert part.stat().st_mtime_ns == before    # part untouched
+    assert record_multiset(out) == record_multiset(aligned)
+
+    # truncate the part (simulate a crash mid-write): it must be redone
+    raw = part.read_bytes()
+    part.write_bytes(raw[:len(raw) // 2])
+    stats3 = align_distributed(layout, rm, out, str(work), read1=fq,
+                               process_id=0, num_processes=1, batch_size=8)
+    assert stats3 is not None
+    assert record_multiset(out) == record_multiset(aligned)
+
+
 def test_align_distributed_paired_end(tmp_path):
     """Paired-end (R1+R2 align-merge) striping goes through the general
     reader loop: 1-process distributed == plain align_reads on merged
