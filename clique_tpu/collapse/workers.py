@@ -134,6 +134,21 @@ def ingest_chunk_task(args) -> Tuple[str, Dict[str, int], Tuple[int, ...]]:
                                 stats.invalid_tags, stats.passing)
 
 
+def ingest_range_reads_task(args) -> Tuple[bytes, Tuple[int, ...]]:
+    """ingest_chunk_reads_task over a BGZF byte range: the worker seeks
+    and inflates its own slice of the BAM (read_voffset_range via the
+    .cqi chunk index align mints), so the main process neither inflates
+    the stream nor ships chunk bytes through the task pipe."""
+    (bam_path, vbeg, vend, references, layout_blob, blob_path, base_ord,
+     min_aligned_bases, min_identical) = args
+    from clique_tpu.io.sam import read_voffset_range
+
+    chunk = read_voffset_range(bam_path, vbeg, vend)
+    return ingest_chunk_reads_task(
+        (chunk, references, layout_blob, blob_path, base_ord,
+         min_aligned_bases, min_identical))
+
+
 def ingest_chunk_reads_task(args) -> Tuple[bytes, Tuple[int, ...]]:
     """Decode + ingest one record chunk for the in-RAM parallel path.
 
@@ -449,20 +464,44 @@ def parallel_ingest_inram(pool, input_bam: str, layout, blob_dir: str,
                           min_identical: float = 0.8) -> Dict[str, List]:
     """Fan the BAM's record chunks over the pool; merge the returned
     per-reference passing reads (light records whose heavy payloads live
-    in per-task blob files under blob_dir). stats is updated in place."""
-    references, chunks = iter_record_chunks(input_bam)
-    layout_blob = pickle.dumps(layout, protocol=4)
+    in per-task blob files under blob_dir). stats is updated in place.
 
-    def tasks():
-        base_ord = 0
-        for i, chunk in enumerate(chunks):
-            yield (chunk, references, layout_blob,
-                   os.path.join(blob_dir, f"ingest{i:04d}.blob"),
-                   base_ord, min_aligned_bases, min_identical)
-            base_ord += _count_chunk_records(chunk)
+    With a .cqi chunk index (minted by align), workers seek + inflate
+    their OWN byte ranges — the main process ships only (path, range)
+    tuples instead of inflating the stream and piping chunk bytes.
+    Without one, falls back to main-process chunking."""
+    from clique_tpu.io.sam import read_cqi
+
+    layout_blob = pickle.dumps(layout, protocol=4)
+    pairs = read_cqi(input_bam)
+    if pairs and len(pairs) >= 2:
+        from clique_tpu.io.sam import BamReader
+
+        reader = BamReader(input_bam, parse_tags=False)
+        references = reader.references
+        reader.close()
+
+        def tasks():
+            for i in range(len(pairs) - 1):
+                yield (input_bam, pairs[i][0], pairs[i + 1][0],
+                       references, layout_blob,
+                       os.path.join(blob_dir, f"ingest{i:04d}.blob"),
+                       pairs[i][1], min_aligned_bases, min_identical)
+        task_fn = ingest_range_reads_task
+    else:
+        references, chunks = iter_record_chunks(input_bam)
+
+        def tasks():
+            base_ord = 0
+            for i, chunk in enumerate(chunks):
+                yield (chunk, references, layout_blob,
+                       os.path.join(blob_dir, f"ingest{i:04d}.blob"),
+                       base_ord, min_aligned_bases, min_identical)
+                base_ord += _count_chunk_records(chunk)
+        task_fn = ingest_chunk_reads_task
 
     reads_by_ref: Dict[str, List] = {name: [] for name in layout.references}
-    for blob, st in pool.imap_unordered(ingest_chunk_reads_task, tasks()):
+    for blob, st in pool.imap_unordered(task_fn, tasks()):
         for name, reads in pickle.loads(blob).items():
             reads_by_ref[name].extend(reads)
         stats.total_reads += st[0]

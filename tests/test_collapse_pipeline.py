@@ -243,6 +243,25 @@ def test_collapse_parallel_spill_equivalent(tmp_path):
     assert m["n_workers"] == 2 and m["out_of_core"] is True
 
 
+def test_collapse_parallel_fanout_range_ingest(tmp_path, monkeypatch):
+    """Force the worker ingest fanout on a small BAM (inline threshold
+    0): with the .cqi sidecar present, workers seek + inflate their own
+    byte ranges (ingest_range_reads_task); records must match the
+    single-process path exactly."""
+    from clique_tpu.io.sam import read_cqi
+
+    layout, aligned_bam = _build_umi_dataset(tmp_path)
+    assert read_cqi(aligned_bam)            # align minted the index
+    monkeypatch.setenv("CLIQUE_PAR_INGEST_MIN", "0")
+    ram_bam = tmp_path / "ram.bam"
+    par_bam = tmp_path / "par_range.bam"
+    s1 = collapse(str(ram_bam), layout, aligned_bam)
+    s2 = collapse(str(par_bam), layout, aligned_bam,
+                  temp_dir=str(tmp_path), n_workers=2)
+    assert s1.passing == s2.passing
+    assert _snapshot(ram_bam) == _snapshot(par_bam)
+
+
 def test_collapse_caps_keep_workers(tmp_path):
     """maximum_subsequences + n_workers>1 no longer downgrades to
     single-process: it routes through collapse_parallel_spill, honors
