@@ -94,6 +94,19 @@ def _count_chunk_records(chunk: bytes) -> int:
     return n
 
 
+def ingest_range_task(args) -> Tuple[str, Dict[str, int], Tuple[int, ...]]:
+    """ingest_chunk_task over a BGZF byte range (see
+    ingest_range_reads_task): the worker inflates its own BAM slice."""
+    (bam_path, vbeg, vend, references, layout_blob, spill_dir, n_shards,
+     base_ord, min_aligned_bases, min_identical) = args
+    from clique_tpu.io.sam import read_voffset_range
+
+    chunk = read_voffset_range(bam_path, vbeg, vend)
+    return ingest_chunk_task(
+        (chunk, references, layout_blob, spill_dir, n_shards, base_ord,
+         min_aligned_bases, min_identical))
+
+
 def ingest_chunk_task(args) -> Tuple[str, Dict[str, int], Tuple[int, ...]]:
     """Decode + ingest one record chunk into a task-private shard dir.
     Returns (shard_dir, per-ref passing counts, stats tuple)."""
@@ -431,21 +444,42 @@ def parallel_ingest(pool, input_bam: str, layout, spill_root: str,
                     min_identical: float = 0.8
                     ) -> Tuple[List[str], Dict[str, int]]:
     """Fan the BAM's record chunks over the pool. Returns (list of worker
-    shard dirs, per-reference passing counts); stats is updated in place."""
-    references, chunks = iter_record_chunks(input_bam)
-    layout_blob = pickle.dumps(layout, protocol=4)
+    shard dirs, per-reference passing counts); stats is updated in place.
+    With a .cqi chunk index, workers inflate their own byte ranges (see
+    parallel_ingest_inram)."""
+    from clique_tpu.io.sam import read_cqi
 
-    def tasks():
-        base_ord = 0
-        for i, chunk in enumerate(chunks):
-            yield (chunk, references, layout_blob,
-                   os.path.join(spill_root, f"ing{i:04d}"), n_shards,
-                   base_ord, min_aligned_bases, min_identical)
-            base_ord += _count_chunk_records(chunk)
+    layout_blob = pickle.dumps(layout, protocol=4)
+    pairs = read_cqi(input_bam)
+    if pairs and len(pairs) >= 2:
+        from clique_tpu.io.sam import BamReader
+
+        reader = BamReader(input_bam, parse_tags=False)
+        references = reader.references
+        reader.close()
+
+        def tasks():
+            for i in range(len(pairs) - 1):
+                yield (input_bam, pairs[i][0], pairs[i + 1][0],
+                       references, layout_blob,
+                       os.path.join(spill_root, f"ing{i:04d}"), n_shards,
+                       pairs[i][1], min_aligned_bases, min_identical)
+        task_fn = ingest_range_task
+    else:
+        references, chunks = iter_record_chunks(input_bam)
+
+        def tasks():
+            base_ord = 0
+            for i, chunk in enumerate(chunks):
+                yield (chunk, references, layout_blob,
+                       os.path.join(spill_root, f"ing{i:04d}"), n_shards,
+                       base_ord, min_aligned_bases, min_identical)
+                base_ord += _count_chunk_records(chunk)
+        task_fn = ingest_chunk_task
 
     dirs: List[str] = []
     per_ref: Dict[str, int] = {}
-    for spill_dir, ref_counts, st in pool.imap_unordered(ingest_chunk_task,
+    for spill_dir, ref_counts, st in pool.imap_unordered(task_fn,
                                                          tasks()):
         dirs.append(spill_dir)
         for name, c in ref_counts.items():
