@@ -692,10 +692,11 @@ def ops_to_alignments_batch(ops: np.ndarray, n_ops: np.ndarray,
     np.subtract(d_idx, 1, out=d_idx)
     np.clip(r_idx, 0, refs_arr.shape[1] - 1, out=r_idx)
     np.clip(d_idx, 0, reads_arr.shape[1] - 1, out=d_idx)
-    # flat fancy gather ~2x faster than take_along_axis at these shapes
-    rows = np.arange(B, dtype=np.intp)[:, None]
-    ref_g = refs_arr.ravel()[r_idx + rows * refs_arr.shape[1]]
-    read_g = reads_arr.ravel()[d_idx + rows * reads_arr.shape[1]]
+    # flat fancy gather ~2x faster than take_along_axis at these shapes;
+    # int32 index arithmetic avoids an int64 upcast pass
+    rows = np.arange(B, dtype=np.int32)[:, None]
+    ref_g = refs_arr.ravel()[r_idx + rows * np.int32(refs_arr.shape[1])]
+    read_g = reads_arr.ravel()[d_idx + rows * np.int32(reads_arr.shape[1])]
     aligned_ref = np.where(r_step, ref_g, GAP).astype(np.uint8)
     aligned_read = np.where(d_step, read_g, GAP).astype(np.uint8)
     aligned_ref[~valid] = 0

@@ -391,9 +391,11 @@ def _bgzf_compress_bytes(data: bytes) -> bytes:
     if lib is not None and data:
         import ctypes
 
+        from clique_tpu.io.sam import BgzfWriter
+
         cap = len(data) + (len(data) // 0xFF00 + 2) * 1024 + 1024
         out = ctypes.create_string_buffer(cap)
-        written = lib.bgzf_compress(data, len(data), 6,
+        written = lib.bgzf_compress(data, len(data), BgzfWriter.LEVEL,
                                     ctypes.addressof(out), cap)
         if written > 0:
             return out.raw[:written]

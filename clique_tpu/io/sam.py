@@ -125,8 +125,13 @@ class BgzfWriter:
             self._flush_block(self._buf[: self.MAX_BLOCK])
             del self._buf[: self.MAX_BLOCK]
 
+    # BGZF deflate level (htslib exposes the same knob via -l); level 6
+    # matches htslib's default, lower levels trade ~4-15% larger BAMs
+    # for ~2-4x faster writer-thread compression
+    LEVEL = int(os.environ.get("CLIQUE_TPU_BGZF_LEVEL", "6"))
+
     def _flush_block(self, data: bytes) -> None:
-        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        co = zlib.compressobj(self.LEVEL, zlib.DEFLATED, -15)
         cdata = co.compress(bytes(data)) + co.flush()
         # BSIZE field = total block length - 1 (SAM spec 4.1); total =
         # header(18) + cdata + crc(4) + isize(4). Storing the full length
