@@ -393,9 +393,11 @@ def _bgzf_compress_bytes(data: bytes) -> bytes:
 
         from clique_tpu.io.sam import BgzfWriter
 
+        level = int(os.environ.get("CLIQUE_TPU_BGZF_LEVEL",
+                                   str(BgzfWriter.LEVEL)))
         cap = len(data) + (len(data) // 0xFF00 + 2) * 1024 + 1024
         out = ctypes.create_string_buffer(cap)
-        written = lib.bgzf_compress(data, len(data), BgzfWriter.LEVEL,
+        written = lib.bgzf_compress(data, len(data), level,
                                     ctypes.addressof(out), cap)
         if written > 0:
             return out.raw[:written]
@@ -449,23 +451,16 @@ def parallel_ingest(pool, input_bam: str, layout, spill_root: str,
     shard dirs, per-reference passing counts); stats is updated in place.
     With a .cqi chunk index, workers inflate their own byte ranges (see
     parallel_ingest_inram)."""
-    from clique_tpu.io.sam import read_cqi
+    from clique_tpu.io.sam import bam_ingest_ranges
 
     layout_blob = pickle.dumps(layout, protocol=4)
-    pairs = read_cqi(input_bam)
-    if pairs and len(pairs) >= 2:
-        from clique_tpu.io.sam import BamReader
-
-        reader = BamReader(input_bam, parse_tags=False)
-        references = reader.references
-        reader.close()
-
+    references, ranges = bam_ingest_ranges(input_bam)
+    if ranges:
         def tasks():
-            for i in range(len(pairs) - 1):
-                yield (input_bam, pairs[i][0], pairs[i + 1][0],
-                       references, layout_blob,
+            for i, (vbeg, vend, base_ord) in enumerate(ranges):
+                yield (input_bam, vbeg, vend, references, layout_blob,
                        os.path.join(spill_root, f"ing{i:04d}"), n_shards,
-                       pairs[i][1], min_aligned_bases, min_identical)
+                       base_ord, min_aligned_bases, min_identical)
         task_fn = ingest_range_task
     else:
         references, chunks = iter_record_chunks(input_bam)
@@ -506,23 +501,16 @@ def parallel_ingest_inram(pool, input_bam: str, layout, blob_dir: str,
     their OWN byte ranges — the main process ships only (path, range)
     tuples instead of inflating the stream and piping chunk bytes.
     Without one, falls back to main-process chunking."""
-    from clique_tpu.io.sam import read_cqi
+    from clique_tpu.io.sam import bam_ingest_ranges
 
     layout_blob = pickle.dumps(layout, protocol=4)
-    pairs = read_cqi(input_bam)
-    if pairs and len(pairs) >= 2:
-        from clique_tpu.io.sam import BamReader
-
-        reader = BamReader(input_bam, parse_tags=False)
-        references = reader.references
-        reader.close()
-
+    references, ranges = bam_ingest_ranges(input_bam)
+    if ranges:
         def tasks():
-            for i in range(len(pairs) - 1):
-                yield (input_bam, pairs[i][0], pairs[i + 1][0],
-                       references, layout_blob,
+            for i, (vbeg, vend, base_ord) in enumerate(ranges):
+                yield (input_bam, vbeg, vend, references, layout_blob,
                        os.path.join(blob_dir, f"ingest{i:04d}.blob"),
-                       pairs[i][1], min_aligned_bases, min_identical)
+                       base_ord, min_aligned_bases, min_identical)
         task_fn = ingest_range_reads_task
     else:
         references, chunks = iter_record_chunks(input_bam)
@@ -867,7 +855,7 @@ def collapse_parallel_spill(output_path: str, layout, input_bam: str,
                 reads_out += n_out
             level_metrics.append({
                 "level": lvl, "reads_in": reads_in, "reads_out": reads_out,
-                "bins": sum(len(c) for c in counts_by_shard.values())})
+                "bins": len(merged)})
             for d in dirs:
                 shutil.rmtree(d, ignore_errors=True)
             dirs = new_dirs

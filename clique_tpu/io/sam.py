@@ -118,6 +118,8 @@ class BgzfWriter:
     def __init__(self, fh):
         self._fh = fh
         self._buf = bytearray()
+        self._level = int(os.environ.get("CLIQUE_TPU_BGZF_LEVEL",
+                                         str(self.LEVEL)))
 
     def write(self, data: bytes) -> None:
         self._buf += data
@@ -125,13 +127,14 @@ class BgzfWriter:
             self._flush_block(self._buf[: self.MAX_BLOCK])
             del self._buf[: self.MAX_BLOCK]
 
-    # BGZF deflate level (htslib exposes the same knob via -l); level 6
-    # matches htslib's default, lower levels trade ~4-15% larger BAMs
-    # for ~2-4x faster writer-thread compression
-    LEVEL = int(os.environ.get("CLIQUE_TPU_BGZF_LEVEL", "6"))
+    # BGZF deflate level default (htslib exposes the same knob via -l);
+    # level 6 matches htslib, lower levels trade ~4-15% larger BAMs for
+    # ~2-4x faster writer-thread compression. The env var is read per
+    # writer in __init__ so setting it after import still works.
+    LEVEL = 6
 
     def _flush_block(self, data: bytes) -> None:
-        co = zlib.compressobj(self.LEVEL, zlib.DEFLATED, -15)
+        co = zlib.compressobj(self._level, zlib.DEFLATED, -15)
         cdata = co.compress(bytes(data)) + co.flush()
         # BSIZE field = total block length - 1 (SAM spec 4.1); total =
         # header(18) + cdata + crc(4) + isize(4). Storing the full length
@@ -722,9 +725,10 @@ def write_cqi(bam_path: str, chunk_offsets: List[Tuple[int, int]]) -> str:
     stamp globally monotone read ordinals for order-stable grouping."""
     path = str(bam_path) + ".cqi"
     flat = [x for pair in chunk_offsets for x in pair]
-    with open(path, "wb") as fh:
+    with open(path + ".tmp", "wb") as fh:
         fh.write(_CQI_MAGIC + struct.pack("<I", len(chunk_offsets)))
         fh.write(struct.pack(f"<{len(flat)}Q", *flat))
+    os.replace(path + ".tmp", path)  # atomic: no truncated sidecars
     return path
 
 
@@ -738,13 +742,16 @@ def read_cqi(bam_path: str) -> Optional[List[Tuple[int, int]]]:
     path = str(bam_path) + ".cqi"
     if not os.path.exists(path):
         return None
-    with open(path, "rb") as fh:
-        head = fh.read(8)
-        if head[:4] != _CQI_MAGIC:
-            return None
-        (n,) = struct.unpack_from("<I", head, 4)
-        flat = struct.unpack(f"<{2 * n}Q", fh.read(16 * n))
-        pairs = list(zip(flat[0::2], flat[1::2]))
+    try:
+        with open(path, "rb") as fh:
+            head = fh.read(8)
+            if head[:4] != _CQI_MAGIC:
+                return None
+            (n,) = struct.unpack_from("<I", head, 4)
+            flat = struct.unpack(f"<{2 * n}Q", fh.read(16 * n))
+            pairs = list(zip(flat[0::2], flat[1::2]))
+    except (struct.error, OSError):
+        return None  # truncated/unreadable sidecar -> treat as absent
     if pairs:
         try:
             expect = (os.path.getsize(str(bam_path)) - len(_BGZF_EOF)) << 16
@@ -753,6 +760,22 @@ def read_cqi(bam_path: str) -> Optional[List[Tuple[int, int]]]:
         if pairs[-1][0] != expect:
             return None
     return pairs
+
+
+def bam_ingest_ranges(bam_path: str):
+    """(references, ranges) for byte-range-parallel ingest: ranges is
+    [(vbeg, vend, base_ordinal)] from the chunk-index sidecar, or
+    (None, None) when no valid sidecar exists (callers fall back to
+    walking the whole stream). One place for the cqi-vs-fallback
+    decision shared by the worker pools and the distributed ingest."""
+    pairs = read_cqi(bam_path)
+    if not pairs or len(pairs) < 2:
+        return None, None
+    reader = BamReader(bam_path, parse_tags=False)
+    references = reader.references
+    reader.close()
+    return references, [(pairs[i][0], pairs[i + 1][0], pairs[i][1])
+                        for i in range(len(pairs) - 1)]
 
 
 def read_voffset_range(bam_path: str, vbeg: int,
@@ -766,6 +789,7 @@ def read_voffset_range(bam_path: str, vbeg: int,
     uend = None if vend is None else vend & 0xFFFF
     chunks: List[bytes] = []
     size_before_last = 0
+    total = 0
     with open(bam_path, "rb") as fh:
         fh.seek(cbeg)
         while True:
@@ -789,7 +813,8 @@ def read_voffset_range(bam_path: str, vbeg: int,
                 raise ValueError(f"BGZF block without BC subfield at {pos}")
             rest = fh.read(bsize_m1 + 1 - 12 - xlen)
             data = zlib.decompress(rest[:-8], -15)
-            size_before_last = sum(map(len, chunks))
+            size_before_last = total
+            total += len(data)
             chunks.append(data)
             if cend is not None and pos == cend:
                 break
@@ -826,6 +851,18 @@ def concat_bam_parts(output_path: str, references: List[Tuple[str, int]],
         part_cqi = read_cqi(part)
         if part_cqi is None or len(part_cqi) < 1:
             merged_cqi = None  # can't cover this part; skip the sidecar
+        # the part's compressed header must match this writer's byte for
+        # byte (same references, same deflate settings) or the raw-block
+        # append would start mid-block and silently corrupt the merge
+        if part_cqi is not None and (part_cqi[0][0] >> 16) != hdr:
+            raise ValueError(
+                f"part {part} header size {(part_cqi[0][0] >> 16)} != "
+                f"merged writer header {hdr} (different references or "
+                f"BGZF settings?)")
+        if body and body[:4] != b"\x1f\x8b\x08\x04":
+            raise ValueError(
+                f"part {part} does not start a BGZF block at offset "
+                f"{hdr} — header mismatch, refusing to merge")
         if not body:
             continue
         base = writer._raw.tell()  # body appends at a block boundary

@@ -161,9 +161,32 @@ def align_distributed(layout, rm, output_path: str, work_dir: str, *,
         align_kwargs["metrics_path"] = \
             f"{align_kwargs['metrics_path']}.rank{process_id}"
     part = os.path.join(work_dir, f"part.p{process_id}.bam")
+
+    # resume requires BOTH internal completeness (EOF + cqi sentinel) and
+    # a matching run signature — a stale part from a different world size
+    # or input set must be redone, not silently merged
+    def _sig(p):
+        try:
+            st = os.stat(p)
+            return [str(p), st.st_size, int(st.st_mtime)]
+        except OSError:
+            return [str(p), -1, -1]
+    run_sig = {"world": num_processes,
+               "inputs": [_sig(p) for p in (read1, read2, index1, index2)
+                          if p and p != "NONE"]}
+    sig_path = part + ".run"
+    resume_ok = False
     if os.path.exists(part) and read_cqi(part) is not None:
-        log.info("p%d: part BAM already complete, resuming past align",
-                 process_id)
+        try:
+            import json
+
+            with open(sig_path) as fh:
+                resume_ok = json.load(fh) == run_sig
+        except (OSError, ValueError):
+            resume_ok = False
+    if resume_ok:
+        log.info("p%d: part BAM already complete for this run signature, "
+                 "resuming past align", process_id)
         stats = None
     else:
         stats = align_reads(
@@ -172,6 +195,11 @@ def align_distributed(layout, rm, output_path: str, work_dir: str, *,
             read_shard=(process_id, num_processes) if num_processes > 1
             else None,
             **align_kwargs)
+        import json
+
+        with open(sig_path + ".tmp", "w") as fh:
+            json.dump(run_sig, fh)
+        os.replace(sig_path + ".tmp", sig_path)
     _barrier("align-parts", num_processes)
     if process_id == 0:
         references = [(r.name, len(r.sequence))
@@ -199,23 +227,15 @@ def _iter_slice_chunks(input_bam: str, process_id: int,
     (collapse.rs:437-491's indexed access scaled across hosts). Without
     one, every process walks the whole stream and keeps chunks i with
     i % P == rank (O(P x filesize) total inflation — the fallback)."""
-    from clique_tpu.io.sam import read_cqi, read_voffset_range
+    from clique_tpu.io.sam import bam_ingest_ranges, read_voffset_range
     from clique_tpu.collapse.workers import (_count_chunk_records,
                                              iter_record_chunks)
 
-    pairs = read_cqi(input_bam)
-    if pairs and len(pairs) >= 2:
-        from clique_tpu.io.sam import BamReader
-
-        reader = BamReader(input_bam, parse_tags=False)
-        references = reader.references
-        reader.close()
-
+    references, ranges = bam_ingest_ranges(input_bam)
+    if ranges:
         def chunks():
-            # last entry is the (end, total) sentinel bounding range i
-            for i in range(process_id, len(pairs) - 1, num_processes):
-                vbeg, base_ord = pairs[i]
-                vend = pairs[i + 1][0]
+            for i in range(process_id, len(ranges), num_processes):
+                vbeg, vend, base_ord = ranges[i]
                 yield read_voffset_range(input_bam, vbeg, vend), base_ord
         return references, chunks()
 

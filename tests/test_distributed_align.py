@@ -108,6 +108,19 @@ def test_align_distributed_resume_skips_complete_part(tmp_path):
     assert stats3 is not None
     assert record_multiset(out) == record_multiset(aligned)
 
+    # changed input (new mtime/size signature): stale part must be redone
+    # even though it is internally complete
+    import gzip as _gzip
+    import os as _os
+
+    data = _gzip.open(fq).read()
+    with _gzip.open(fq, "wb") as fh:
+        fh.write(data)
+    _os.utime(fq, (0, 0))
+    stats4 = align_distributed(layout, rm, out, str(work), read1=fq,
+                               process_id=0, num_processes=1, batch_size=8)
+    assert stats4 is not None
+
 
 def test_align_distributed_paired_end(tmp_path):
     """Paired-end (R1+R2 align-merge) striping goes through the general
