@@ -202,8 +202,16 @@ def _supervised() -> None:
     # each), so the child budget must cover a full recompile set
     child_timeout = float(os.environ.get("CLIQUE_BENCH_TIMEOUT", "900"))
     n_attempts = int(os.environ.get("CLIQUE_BENCH_ATTEMPTS", "6"))
+    # total wall deadline: stop retrying and emit the best-so-far well
+    # before any outer harness timeout could kill the capture entirely
+    deadline = time.time() + float(os.environ.get("CLIQUE_BENCH_DEADLINE",
+                                                  "1500"))
     best = None
     for attempt in range(n_attempts):
+        if best is not None and time.time() > deadline:
+            print(f"[bench] deadline reached after attempt {attempt}; "
+                  f"emitting best-so-far", file=sys.stderr, flush=True)
+            break
         env = dict(os.environ, BENCH_CHILD="1")
         # IMPORTANT: redirect to files, not pipes - a wedged TPU claim can
         # leave orphaned helper processes holding pipe ends open, which
