@@ -57,6 +57,27 @@ def test_stale_cqi_rejected(tmp_path):
     assert read_cqi(str(bam)) is None
 
 
+def test_truncated_cqi_treated_as_absent(tmp_path):
+    bam = tmp_path / "a.bam"
+    _write_bam(bam, 10)
+    cqi = tmp_path / "a.bam.cqi"
+    raw = cqi.read_bytes()
+    cqi.write_bytes(raw[: len(raw) // 2])   # crash mid-write
+    assert read_cqi(str(bam)) is None
+
+
+def test_concat_refuses_mismatched_part_header(tmp_path):
+    import pytest
+
+    part = tmp_path / "part.bam"
+    _write_bam(part, 3)
+    out = tmp_path / "m.bam"
+    # different reference list -> different compressed header size: the
+    # raw block append would corrupt silently, so the merge must refuse
+    with pytest.raises(ValueError, match="header"):
+        concat_bam_parts(str(out), [("other_ref", 999)], [str(part)])
+
+
 def test_concat_translates_cqi(tmp_path):
     parts = []
     for p, n in enumerate((9, 0, 14)):
