@@ -837,6 +837,13 @@ def concat_bam_parts(output_path: str, references: List[Tuple[str, int]],
     one process per host writing a part BAM). Returns bytes appended."""
     writer = BamWriter(output_path, references, header_text)
     hdr = writer.header_size
+    # freshly-minted header bytes: every part's first hdr bytes must equal
+    # them exactly (exact and O(header) cheap, independent of the sidecar) -
+    # a part written with a different reference list whose compressed header
+    # happens to be the same size must not merge with misattributed ref_ids
+    writer._raw.flush()
+    with open(output_path, "rb") as _hf:
+        minted_header = _hf.read(hdr)
     appended = 0
     base_ord = 0
     merged_cqi: Optional[List[Tuple[int, int]]] = []
@@ -847,6 +854,11 @@ def concat_bam_parts(output_path: str, references: List[Tuple[str, int]],
             raise ValueError(f"not a BGZF BAM part: {part}")
         if raw[-28:] != _BGZF_EOF:
             raise ValueError(f"truncated part BAM (no EOF block): {part}")
+        if raw[:hdr] != minted_header:
+            raise ValueError(
+                f"part {part} header bytes differ from the merged writer's "
+                f"(different references or BGZF settings?), refusing to "
+                f"merge")
         body = raw[hdr:-28]
         part_cqi = read_cqi(part)
         if part_cqi is None or len(part_cqi) < 1:

@@ -97,20 +97,22 @@ static void align_one(worker_t *w, const uint8_t *a, const uint8_t *b)
             tm[row + y] = d;
             /* read-gap plane (up): open from m / extend ix */
             {
-                double open = m[prow + y] + w->gap_open * gm
+                /* open cost unscaled: x1 = gap_open + gap_extend * gm
+                 * (update_3d_score, alignment_matrix.rs:618-665) */
+                double open = m[prow + y] + w->gap_open
                               + w->gap_ext * gm;
                 double ext = ix[prow + y] + w->gap_ext * gm;
-                double cross = iy[prow + y] + w->gap_open * gm
+                double cross = iy[prow + y] + w->gap_open
                                + w->gap_ext * gm;
                 ix[row + y] = max3(ext, cross, open, &d);
                 tx[row + y] = d;
             }
             /* ref-gap plane (left) */
             {
-                double open = m[row + y - 1] + w->gap_open * gm
+                double open = m[row + y - 1] + w->gap_open
                               + w->gap_ext * gm;
                 double ext = iy[row + y - 1] + w->gap_ext * gm;
-                double cross = ix[row + y - 1] + w->gap_open * gm
+                double cross = ix[row + y - 1] + w->gap_open
                                + w->gap_ext * gm;
                 iy[row + y] = max3(ext, cross, open, &d);
                 ty[row + y] = d;

@@ -99,17 +99,16 @@ def test_alleles_pinned(pipeline_outputs):
     assert got == want, "allele table drifted"
 
 
-def test_golden_inputs_frozen():
+def test_golden_inputs_frozen(tmp_path):
     """The generator's input-minting is deterministic and matches the
     vendored inputs — guards against silently regenerating a different
-    dataset."""
+    dataset. Generates into tmp_path and byte-compares (never rewrites
+    the vendored fixtures: a drifting generator must fail loudly, not
+    leave a dirty tree whose inputs no longer match the pinned outputs)."""
     mg = _load_make_golden()
-    with open(os.path.join(GOLDEN, "reads.fastq.gz"), "rb") as fh:
-        reads_before = fh.read()
-    with open(os.path.join(GOLDEN, "allowlist.txt")) as fh:
-        allow_before = fh.read()
-    mg.write_inputs()
-    with open(os.path.join(GOLDEN, "reads.fastq.gz"), "rb") as fh:
-        assert fh.read() == reads_before
-    with open(os.path.join(GOLDEN, "allowlist.txt")) as fh:
-        assert fh.read() == allow_before
+    mg.write_inputs(str(tmp_path))
+    for name in ("reads.fastq.gz", "allowlist.txt", "layout.yaml.in"):
+        with open(os.path.join(GOLDEN, name), "rb") as fh:
+            want = fh.read()
+        assert (tmp_path / name).read_bytes() == want, \
+            f"golden input generator drifted for {name}"

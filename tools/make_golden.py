@@ -59,16 +59,22 @@ references:
 """
 
 
-def write_inputs():
-    os.makedirs(GOLDEN, exist_ok=True)
+def write_inputs(target_dir: str = GOLDEN):
+    """Mint the deterministic inputs into target_dir.
+
+    target_dir defaults to the vendored fixtures dir; tests pass a
+    tmp_path and byte-compare against the vendored files instead of
+    rewriting them (so a drifting generator fails loudly without leaving
+    a dirty tree whose fixtures no longer match the pinned outputs)."""
+    os.makedirs(target_dir, exist_ok=True)
     rng = np.random.default_rng(20260818)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
 
     allow = [rng.choice(bases, 16).tobytes().decode() for _ in range(8)]
-    with open(os.path.join(GOLDEN, "allowlist.txt"), "w") as fh:
+    with open(os.path.join(target_dir, "allowlist.txt"), "w") as fh:
         fh.write("\n".join(allow) + "\n")
 
-    with open(os.path.join(GOLDEN, "layout.yaml.in"), "w") as fh:
+    with open(os.path.join(target_dir, "layout.yaml.in"), "w") as fh:
         fh.write(LAYOUT_TEMPLATE)
 
     n_cells = 6
@@ -97,7 +103,7 @@ def write_inputs():
     # mtime=0 keeps the .gz byte-stable across regenerations
     raw = "".join(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n"
                   for name, seq in records).encode()
-    with open(os.path.join(GOLDEN, "reads.fastq.gz"), "wb") as out:
+    with open(os.path.join(target_dir, "reads.fastq.gz"), "wb") as out:
         with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as fh:
             fh.write(raw)
 
