@@ -516,6 +516,7 @@ def align_reads(
     profile_dir: Optional[str] = None,
     bandwidth: Optional[int] = None,
     read_shard: Optional[Tuple[int, int]] = None,
+    sink=None,
 ) -> AlignStats:
     """The `clique align` equivalent (alignment_functions.rs:63-257).
 
@@ -548,7 +549,11 @@ def align_reads(
     a deterministic disjoint cover). The multi-host align driver
     (parallel/distributed.py:align_distributed) gives each process one
     shard and merges the per-process part BAMs; stats then cover the
-    LOCAL slice only."""
+    LOCAL slice only.
+
+    sink: optional CollapseSink (clique_tpu/chain.py) — a tap on the
+    writer stream receiving every aligned result in BAM write order, so
+    a fused chain ingests collapse input without re-parsing the BAM."""
     if engine is None:
         engine = "wfa" if mode == "hifi" else "dp"
     if scoring is None:
@@ -614,12 +619,17 @@ def align_reads(
                     for raw in raws:
                         _fill_records_from_raw(raw, pend, recs, layout,
                                                rm, report_zero_score)
+                    if sink is not None:
+                        sink.consume_flush(raws, pend, recs)
                     item = recs
                 elif isinstance(item, tuple) and item and \
                         item[0] == "aligned":
                     # deferred per-read record construction (WFA /
                     # anchored engine outputs)
-                    item = [_make_record(alr, layout) for alr in item[1]]
+                    recs = [_make_record(alr, layout) for alr in item[1]]
+                    if sink is not None:
+                        sink.consume_aligned(item[1], recs)
+                    item = recs
                 if hasattr(writer, "write_batch"):
                     writer.write_batch(item)
                 else:
@@ -652,7 +662,10 @@ def align_reads(
         if writer_thread is not None:
             write_queue.put(("aligned", aligned_out))
         else:
-            emit_records([_make_record(alr, layout) for alr in aligned_out])
+            recs = [_make_record(alr, layout) for alr in aligned_out]
+            if sink is not None:
+                sink.consume_aligned(aligned_out, recs)
+            emit_records(recs)
 
     # deferred fast-path flushes: [(entries generator, pending copy)] —
     # drained one flush behind so fetches overlap the next parse
@@ -701,7 +714,7 @@ def align_reads(
             # EXPANSION too was A/B'd r3 and lost ~0.2s device wall: the
             # expansion between pulls paces the tunnel's async copies,
             # and the writer thread saturates on this 4-core host.)
-            if writer_thread is not None and not long_pending:
+            if writer_thread is not None:
                 # defer draining THIS flush's results until the next
                 # flush has parsed + dispatched: the async device->host
                 # copies complete while the main thread parses, so the
@@ -713,30 +726,19 @@ def align_reads(
                 stats.aligned += len(pending)
                 if len(deferred_flush) > 1:
                     drain_deferred(1)
-                if stats.aligned % 1_000_000 < len(pending):
-                    log.info("Time elapsed in aligning reads (%d) is: %.1fs",
-                             stats.aligned, time.time() - start)
-                return
-            raws = aligner.align_pairs_raw(refs, reads)
-            batch_records = [None] * len(pending)
-            for raw in raws:
-                _fill_records_from_raw(raw, pending, batch_records,
-                                       layout, rm, report_zero_score)
-            out = []
-        else:
+            else:
+                raws = aligner.align_pairs_raw(refs, reads)
+                batch_records = [None] * len(pending)
+                for raw in raws:
+                    _fill_records_from_raw(raw, pending, batch_records,
+                                           layout, rm, report_zero_score)
+                if sink is not None:
+                    sink.consume_flush(raws, pending, batch_records)
+                emit_records(batch_records)
+                stats.aligned += len(pending)
+        elif pending:
             out = list(zip(pending, aligner.align_pairs(refs, reads)))
-            batch_records = []
-        if long_pending:
-            anchored = _anchored_aligner()
-            out += list(zip(long_pending, anchored.align_pairs(
-                [rm.references[p.ref_id].sequence for p in long_pending],
-                [p.seq for p in long_pending],
-                indexes=[rm.references[p.ref_id].index
-                         for p in long_pending])))
-            pending = list(pending) + long_pending
-        aligned_out = []
-        for p, (a1, a2, cigar, score) in out:
-            aligned_out.append(AlignedRead(
+            aligned_out = [AlignedRead(
                 read_name=p.name,
                 reference_name=rm.references[p.ref_id].name,
                 reference_aligned=a1,
@@ -744,15 +746,30 @@ def align_reads(
                 quals=p.quals,
                 cigar=cigar,
                 score=0.0 if report_zero_score else score,
-            ))
-        if batch_records:
-            batch_records.extend(
-                _make_record(alr, layout) for alr in aligned_out)
-            emit_records(batch_records)
-        else:
+            ) for p, (a1, a2, cigar, score) in out]
             emit_aligned(aligned_out)
-        stats.aligned += len(pending)
-        if stats.aligned % 1_000_000 < len(pending):
+            stats.aligned += len(pending)
+        if long_pending:
+            anchored = _anchored_aligner()
+            out = list(zip(long_pending, anchored.align_pairs(
+                [rm.references[p.ref_id].sequence for p in long_pending],
+                [p.seq for p in long_pending],
+                indexes=[rm.references[p.ref_id].index
+                         for p in long_pending])))
+            aligned_out = [AlignedRead(
+                read_name=p.name,
+                reference_name=rm.references[p.ref_id].name,
+                reference_aligned=a1,
+                read_aligned=a2,
+                quals=p.quals,
+                cigar=cigar,
+                score=0.0 if report_zero_score else score,
+            ) for p, (a1, a2, cigar, score) in out]
+            # emit_aligned drains the deferred fast flush first, so BAM
+            # order stays fast-part-then-anchored as before
+            emit_aligned(aligned_out)
+            stats.aligned += len(long_pending)
+        if stats.aligned % 1_000_000 < len(pending) + len(long_pending):
             log.info("Time elapsed in aligning reads (%d) is: %.1fs",
                      stats.aligned, time.time() - start)
 

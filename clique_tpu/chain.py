@@ -1,0 +1,274 @@
+"""Fused align -> collapse chain: hand align's in-memory results straight
+to collapse ingestion, skipping the BAM round trip.
+
+The two-command pipeline (reference main.rs:135-200: `clique align` then
+`clique collapse`) writes a tagged BAM that collapse immediately re-parses,
+re-recovers (extractor.rs:56-190 recover_soft_clipped_align_sequences), and
+re-extracts (extractor.rs:271-332) — work align just did. When both stages
+run in ONE job, the CollapseSink taps align's writer stream and builds
+collapse's SortingReads directly from the raw device results:
+
+- the gapped pair (reference_aligned, read_aligned) IS the device
+  traceback's expansion — for our global DP records (pos=1, no soft
+  clips) it equals collapse's CIGAR-recovery output byte for byte
+  (recover_aligned_sequences_fast expands the same CIGAR over the same
+  wildcard reference; stretch_sequence_to_alignment of an already
+  wildcard-bearing aligned reference is the identity);
+- the extracted tags are the records' own e<sym> values (the same
+  positional-mask captures collapse would recompute);
+- ordinals are stamped in BAM write order, so group member order matches
+  the two-stage path exactly.
+
+The align BAM artifact is still written (parity with the reference CLI);
+only the re-ingestion is deleted. Output parity with the two-stage chain
+is pinned byte-for-byte in tests/test_chain_fused.py.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections import deque
+from typing import Dict, List, Optional, Tuple
+
+from clique_tpu.collapse.pipeline import (
+    CollapseStats,
+    SortingRead,
+    alignment_check_batch,
+    load_known_lists,
+    ref_seq_map,
+    sort_level,
+    write_outputs,
+)
+from clique_tpu.config.layout import SequenceLayout
+from clique_tpu.extract.extractor import extract_tag_sequences
+from clique_tpu.reference.manager import ReferenceManager
+
+log = logging.getLogger(__name__)
+
+
+class CollapseSink:
+    """Tap on align's writer stream that builds collapse's ingestion state.
+
+    Consumed on the align writer thread (single consumer, queue order =
+    BAM record order), so SortingRead construction overlaps the next
+    chunk's parse + device dispatch; by the time align returns, collapse
+    ingestion is already done (ingest_s ~ 0 in the chain breakdown).
+    """
+
+    def __init__(self, layout: SequenceLayout, rm: ReferenceManager,
+                 min_aligned_bases: int = 45, min_identical: float = 0.8):
+        self.layout = layout
+        self.rm = rm
+        self.stats = CollapseStats()
+        self.min_aligned_bases = min_aligned_bases
+        self.min_identical = min_identical
+        self.by_ref: Dict[str, List[SortingRead]] = {
+            r.name: [] for r in rm.references.values()}
+        self.n_passing: Dict[str, int] = {}
+        self._names = {rid: r.name for rid, r in rm.references.items()}
+        self._seqs = {r.name: r.sequence for r in rm.references.values()}
+        self._cfgs = {name: layout.references[name]
+                      for name in self.by_ref if name in layout.references}
+        self._ordinal = 0
+        self.seconds = 0.0
+
+    # -- consumption (align writer thread) --------------------------------
+
+    def consume_flush(self, raws, pend, recs) -> None:
+        """One fast-path flush: raw device groups + the SamRecords built
+        from them. Rows are staged per pend index so appends follow BAM
+        write order (recs order), not device group order."""
+        t0 = time.time()
+        staged: List[Optional[SortingRead]] = [None] * len(pend)
+        for raw in raws:
+            group, a_ref, a_read, _valid, _ops, n_ops, _scores = raw
+            for j, k in enumerate(group):
+                n = int(n_ops[j])
+                staged[k] = self._build(
+                    pend[k].ref_id, recs[k],
+                    a_ref[j, :n].tobytes(), a_read[j, :n].tobytes())
+        for s in staged:
+            self._push(s)
+        self.seconds += time.time() - t0
+
+    def consume_aligned(self, aligned_out, recs) -> None:
+        """AlignedRead outputs (WFA / anchored / merge engines): the gapped
+        pair is carried on the object already."""
+        t0 = time.time()
+        for alr, rec in zip(aligned_out, recs):
+            rid = self.rm.name_to_id[alr.reference_name]
+            self._push(self._build(rid, rec, alr.reference_aligned,
+                                   alr.read_aligned))
+        self.seconds += time.time() - t0
+
+    def _build(self, ref_id: int, rec, reference_aligned: bytes,
+               read_aligned: bytes) -> Optional[SortingRead]:
+        """SortingRead from align's own outputs; None on invalid tags
+        (identical semantics to _RefIngest._ingest_one post-recovery)."""
+        name = self._names[ref_id]
+        cfg = self._cfgs.get(name)
+        if cfg is None:
+            return None
+        # the record's e<sym> tags ARE the extraction collapse would redo
+        # (same positional-mask captures over the same gapped pair)
+        tags = {}
+        for umi in cfg.umi_configurations.values():
+            hit = rec.tags.get(f"e{umi.symbol}")
+            if hit is not None:
+                tags[ord(umi.symbol)] = hit
+        invalid, ordered = extract_tag_sequences(cfg, tags)
+        if invalid:
+            return None
+        native = self._seqs[name]
+        if reference_aligned == native:
+            reference_aligned = native  # share the one native object
+        return SortingRead(
+            read_name=rec.name,
+            reference_name=name,
+            reference_aligned=reference_aligned,
+            read_aligned=read_aligned,
+            read_quals=rec.qual if rec.qual != b"*" else None,
+            cigar=list(rec.cigar),
+            reference_start=rec.pos,
+            score=0.0,
+            unsorted_keys=deque(ordered),
+        )
+
+    def _push(self, read: Optional[SortingRead]) -> None:
+        self.stats.total_reads += 1
+        ordn = self._ordinal
+        self._ordinal += 1
+        if read is None:
+            self.stats.invalid_tags += 1
+            return
+        read.ordinal = ordn
+        self.by_ref[read.reference_name].append(read)
+
+    # -- finalization (main thread, after the writer joins) ---------------
+
+    def finish(self) -> Dict[str, List[SortingRead]]:
+        """Apply the AlignmentCheck filter batch-wise per reference
+        (collapse.rs:251-279 via alignment_check_batch) and hand back the
+        per-reference read sets."""
+        t0 = time.time()
+        out: Dict[str, List[SortingRead]] = {}
+        for name, reads in self.by_ref.items():
+            keep = alignment_check_batch(reads, self.min_aligned_bases,
+                                         self.min_identical)
+            passing = [r for r, k in zip(reads, keep) if k]
+            self.stats.passing += len(passing)
+            self.stats.failed_filters += len(reads) - len(passing)
+            self.n_passing[name] = len(passing)
+            out[name] = passing
+        self.by_ref = {}
+        self.seconds += time.time() - t0
+        return out
+
+
+def collapse_from_reads(output_path: str, layout: SequenceLayout,
+                        rm: ReferenceManager,
+                        reads_by_ref: Dict[str, List[SortingRead]],
+                        stats: CollapseStats,
+                        n_passing: Optional[Dict[str, int]] = None,
+                        correct_only: bool = False,
+                        downsample_cap: int = 40,
+                        metrics_path: Optional[str] = None,
+                        gap_call_threshold: float = 0.75,
+                        ingest_seconds: float = 0.0) -> CollapseStats:
+    """Correction levels + consensus outputs over already-ingested reads:
+    the in-RAM half of collapse() (collapse.rs:104-141) with ingestion
+    supplied by the caller (CollapseSink)."""
+    import json
+
+    from clique_tpu.io.sam import open_alignment_writer
+
+    known_lists = load_known_lists(layout)
+    references = [(r.name, len(r.sequence)) for r in rm.references.values()]
+    writer = open_alignment_writer(output_path, references)
+    metrics = {"references": {}, "started": time.time(),
+               "ingest_s": round(ingest_seconds, 3)}
+    t_levels = time.time()
+    outputs_seconds = 0.0
+
+    for ref in rm.references.values():
+        reads = reads_by_ref.get(ref.name, [])
+        ref_metrics = {"passing_reads": (n_passing or {}).get(
+            ref.name, len(reads)), "levels": []}
+        if not reads:
+            log.warning("No valid reads found for reference %s", ref.name)
+            metrics["references"][ref.name] = ref_metrics
+            continue
+        for tag in layout.get_sorted_umi_configurations(ref.name):
+            n_in = len(reads)
+            reads = sort_level(reads, tag, known_lists)
+            ref_metrics["levels"].append({
+                "symbol": tag.symbol, "sort_type": tag.sort_type.value,
+                "reads_in": n_in, "reads_out": len(reads)})
+        t_out = time.time()
+        written = write_outputs(reads, writer, rm, correct_only,
+                                downsample_cap, gap_call_threshold)
+        outputs_seconds += time.time() - t_out
+        ref_metrics["output_records"] = written
+        metrics["references"][ref.name] = ref_metrics
+        log.info("reference %s: wrote %d records (fused chain)", ref.name,
+                 written)
+
+    writer.close()
+    metrics["levels_s"] = round(time.time() - t_levels - outputs_seconds, 3)
+    metrics["outputs_s"] = round(outputs_seconds, 3)
+    metrics["elapsed_s"] = round(time.time() - metrics["started"], 3)
+    metrics["read_stats"] = {
+        "total": stats.total_reads, "unmapped": stats.unmapped,
+        "secondary": stats.secondary,
+        "failed_filters": stats.failed_filters,
+        "invalid_tags": stats.invalid_tags, "passing": stats.passing}
+    mpath = metrics_path or (str(output_path) + ".collapse_metrics.json")
+    with open(mpath, "w") as fh:
+        json.dump(metrics, fh, indent=2)
+    return stats
+
+
+def run_chain(layout: SequenceLayout, rm: ReferenceManager,
+              align_bam: str, collapsed_bam: str,
+              read1: str, read2: Optional[str] = None,
+              index1: Optional[str] = None, index2: Optional[str] = None,
+              correct_only: bool = False, downsample_cap: int = 40,
+              min_aligned_bases: int = 45, min_identical: float = 0.8,
+              gap_call_threshold: float = 0.75,
+              align_metrics_path: Optional[str] = None,
+              collapse_metrics_path: Optional[str] = None,
+              alleles_path: Optional[str] = None,
+              vcf_path: Optional[str] = None,
+              min_read_count: int = 1,
+              **align_kwargs) -> Tuple[object, CollapseStats]:
+    """Fused align -> collapse (-> call) in one job.
+
+    Writes BOTH artifacts (tagged BAM + collapsed BAM) like the two-stage
+    CLI, but collapse ingestion happens inline on align's writer stream —
+    the collapsed output is byte-identical to running the two commands.
+    With alleles_path/vcf_path the caller runs too (BASELINE config 3's
+    third verb)."""
+    from clique_tpu.align.pipeline import align_reads
+
+    sink = CollapseSink(layout, rm, min_aligned_bases, min_identical)
+    align_stats = align_reads(layout, rm, align_bam, read1=read1,
+                              read2=read2, index1=index1, index2=index2,
+                              metrics_path=align_metrics_path,
+                              sink=sink, **align_kwargs)
+    reads_by_ref = sink.finish()
+    collapse_stats = collapse_from_reads(
+        collapsed_bam, layout, rm, reads_by_ref, sink.stats,
+        n_passing=sink.n_passing, correct_only=correct_only,
+        downsample_cap=downsample_cap,
+        metrics_path=collapse_metrics_path,
+        gap_call_threshold=gap_call_threshold,
+        ingest_seconds=sink.seconds)
+    if alleles_path or vcf_path:
+        from clique_tpu.caller.events import call_events_from_bam
+
+        for out in (alleles_path, vcf_path):
+            if out:
+                call_events_from_bam(layout, collapsed_bam, out,
+                                     min_read_count=min_read_count)
+    return align_stats, collapse_stats

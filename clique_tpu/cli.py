@@ -139,6 +139,39 @@ def main(argv=None) -> int:
                                  "multi-host exchange (required when "
                                  "--distributed-world > 1)")
 
+    p_run = sub.add_parser(
+        "run", help="fused align + collapse (+ call) in one job: collapse "
+                    "ingests align's in-memory results instead of "
+                    "re-parsing the BAM; outputs are byte-identical to "
+                    "running the stages separately")
+    p_run.add_argument("--read-structure", required=True)
+    p_run.add_argument("--read1", required=True)
+    p_run.add_argument("--read2", default="NONE")
+    p_run.add_argument("--index1", default="NONE")
+    p_run.add_argument("--index2", default="NONE")
+    p_run.add_argument("--aligned-bam-file", required=True,
+                       help="tagged align BAM artifact (still written)")
+    p_run.add_argument("--output-bam-file", required=True,
+                       help="collapsed consensus BAM")
+    p_run.add_argument("--alleles", default=None,
+                       help="also run call: allele table (.tsv) output")
+    p_run.add_argument("--vcf", default=None,
+                       help="also run call: VCF output")
+    p_run.add_argument("--batch-size", type=int, default=256)
+    p_run.add_argument("--mode", default="ont", choices=["ont", "hifi"])
+    p_run.add_argument("--engine", default="auto",
+                       choices=["auto", "dp", "wfa", "convex"])
+    p_run.add_argument("--router", default="kmer", choices=["kmer", "hmm"])
+    p_run.add_argument("--correct-only", action="store_true")
+    p_run.add_argument("--downsample-cap", type=int, default=40)
+    p_run.add_argument("--min-aligned-bases", type=int, default=45)
+    p_run.add_argument("--min-identity", type=float, default=0.8)
+    p_run.add_argument("--gap-call-threshold", type=float, default=0.75)
+    p_run.add_argument("--min-read-count", type=int, default=1)
+    p_run.add_argument("--metrics", default=None,
+                       help="align metrics JSON path (collapse metrics go "
+                            "next to the collapsed BAM)")
+
     p_call = sub.add_parser(
         "call", help="call editing events / lineage alleles from a tagged BAM")
     p_call.add_argument("--read-structure", required=True)
@@ -233,6 +266,34 @@ def main(argv=None) -> int:
             downsample_cap=args.downsample_cap,
             shards=args.shards,
         )
+        return 0
+
+    if args.cmd == "run":
+        from clique_tpu.chain import run_chain
+        from clique_tpu.config.layout import SequenceLayout
+        from clique_tpu.reference.manager import ReferenceManager
+
+        layout = SequenceLayout.from_yaml(args.read_structure)
+        rm = ReferenceManager.from_layout(layout)
+        astats, cstats = run_chain(
+            layout, rm, args.aligned_bam_file, args.output_bam_file,
+            read1=args.read1,
+            read2=None if args.read2 == "NONE" else args.read2,
+            index1=None if args.index1 == "NONE" else args.index1,
+            index2=None if args.index2 == "NONE" else args.index2,
+            correct_only=args.correct_only,
+            downsample_cap=args.downsample_cap,
+            min_aligned_bases=args.min_aligned_bases,
+            min_identical=args.min_identity,
+            gap_call_threshold=args.gap_call_threshold,
+            align_metrics_path=args.metrics,
+            alleles_path=args.alleles, vcf_path=args.vcf,
+            min_read_count=args.min_read_count,
+            batch_size=args.batch_size, mode=args.mode,
+            engine=None if args.engine == "auto" else args.engine,
+            router=args.router)
+        logging.info("run done: align %s, collapse passing=%d",
+                     astats, cstats.passing)
         return 0
 
     if args.cmd == "call":
