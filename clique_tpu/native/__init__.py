@@ -104,7 +104,7 @@ def get_refdp_lib() -> Optional[ctypes.CDLL]:
             try:
                 res = subprocess.run(
                     [cc, "-O3", "-shared", "-fPIC", "-o", out, src,
-                     "-lpthread"],
+                     "-lpthread", "-lm"],
                     capture_output=True, timeout=120)
                 if res.returncode == 0:
                     built = out
@@ -119,6 +119,11 @@ def get_refdp_lib() -> Optional[ctypes.CDLL]:
     lib.refdp_align_many.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
         ctypes.c_long, ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.refdp_collapse_model.restype = ctypes.c_double
+    lib.refdp_collapse_model.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     _REFDP = lib
     return _REFDP
@@ -158,3 +163,66 @@ def measure_reference_dp(l1: int = 623, l2: int = 623,
     if ops <= 0 or dt <= 0:
         return None
     return n_reads * l1 * l2 * 3 / dt
+
+
+def measure_reference_chain(l1: int = 342, l2: int = 342,
+                            n_reads: int = 20000, n_cells: int = 500,
+                            sample_reads: int = 128,
+                            n_threads: Optional[int] = None,
+                            sub_p: float = 0.05) -> Optional[dict]:
+    """Measured single-node CHAIN baseline on this host.
+
+    Align: the 3-plane DP recurrence rate from refdp_align_many (sampled,
+    extrapolated linearly — per-read cost is shape-constant). Collapse:
+    refdp_collapse_model run at FULL dataset scale (its cost depends on
+    the tag multiset structure), on a dataset with the bench's exact
+    shape (n_cells cell barcodes x 4 UMIs, sub_p substitutions).
+    Returns {chain_reads_per_s, align_mcells_per_s, align_s, collapse_s}
+    or None without a C compiler."""
+    import time
+
+    import numpy as np
+
+    lib = get_refdp_lib()
+    if lib is None:
+        return None
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    align_rate = measure_reference_dp(l1, l2, sample_reads, n_threads)
+    if not align_rate:
+        return None
+    align_s = n_reads * 3.0 * l1 * l2 / align_rate
+
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    L = l2
+    ref = rng.choice(bases, L)
+    # bench-shaped tag zones: 16bp cell barcode + 12bp UMI after a 24bp
+    # adapter (bench.py's amplicon layout)
+    ref[24:40] = ord("0")
+    ref[40:52] = ord("1")
+    cells = rng.choice(bases, (n_cells, 16))
+    umis = rng.choice(bases, (n_cells, 4, 12))
+    reads = np.broadcast_to(ref, (n_reads, L)).copy()
+    idx = np.arange(n_reads)
+    reads[:, 24:40] = cells[idx % n_cells]
+    reads[:, 40:52] = umis[idx % n_cells, (idx // n_cells) % 4]
+    subs = rng.random((n_reads, L)) < sub_p
+    reads[subs] = rng.choice(bases, int(subs.sum()))
+    rb = np.ascontiguousarray(reads).tobytes()
+    ref_b = ref.tobytes()
+    # warm (page-in, thread spawn) on a prefix, then timed full run
+    lib.refdp_collapse_model(rb, ref_b, L, min(512, n_reads), 16, 12, 2,
+                             n_threads)
+    t0 = time.time()
+    acc = lib.refdp_collapse_model(rb, ref_b, L, n_reads, 16, 12, 2,
+                                   n_threads)
+    collapse_s = time.time() - t0
+    if acc == 0.0 or collapse_s <= 0:
+        return None
+    return {
+        "chain_reads_per_s": n_reads / (align_s + collapse_s),
+        "align_mcells_per_s": align_rate / 1e6,
+        "align_s": align_s,
+        "collapse_s": collapse_s,
+    }
