@@ -351,6 +351,111 @@ class EventCaller:
                 i += 1
         return events
 
+    def _flat_positions(self) -> List[TargetPosition]:
+        """Target positions in target order, with per-position windows and
+        the substitution-calling flag cached (constant per caller)."""
+        cached = getattr(self, "_flat_cache", None)
+        if cached is not None:
+            return cached
+        flat: List[TargetPosition] = []
+        for target in self.targets:
+            for tp in self.target_locations.get(target, []):
+                flat.append(tp)
+        sub_types = (TargetType.CAS9_ABE, TargetType.CAS9_CBE,
+                     TargetType.CAS9_PAL_ABE)
+        self._flat_windows = []
+        for tp in flat:
+            w = tp.target.crispr_type.editing_window(tp.forward_orientation)
+            self._flat_windows.append((tp.position + w[0],
+                                       tp.position + w[1],
+                                       tp.target.crispr_type in sub_types))
+        self._any_subs = any(is_sub for _s, _e, is_sub in self._flat_windows)
+        self._flat_cache = flat
+        return flat
+
+    def call_events_fast(self, aligned_ref: bytes,
+                         aligned_read: bytes) -> str:
+        """Vectorized call_events over the byte pair: identical event
+        strings (property-tested in tests/test_caller_fast.py), with the
+        per-column Python walk replaced by numpy run detection — the walk
+        was the `call` stage's hottest loop at bench scale."""
+        import numpy as np
+
+        flat_positions = self._flat_positions()
+        if not flat_positions:
+            return ""
+        r = np.frombuffer(aligned_ref, dtype=np.uint8)
+        d = np.frombuffer(aligned_read, dtype=np.uint8)
+        n = len(r)
+        gap = 0x2D  # '-'
+        read_ng = d != gap
+        ref_ng = r != gap
+        nz = np.flatnonzero(read_ng)
+        if len(nz):
+            first_covered, last_covered = int(nz[0]), int(nz[-1])
+        else:
+            first_covered, last_covered = n, -1
+        # ungapped reference coordinate of each column
+        ref_coord = np.cumsum(ref_ng) - ref_ng
+        rp_total = int(ref_ng.sum())
+        cov_start = int(ref_coord[first_covered]) if first_covered < n \
+            else rp_total
+        cov_stop = int(ref_coord[last_covered]) if last_covered >= 0 else -1
+
+        def runs(mask):
+            edges = np.flatnonzero(np.diff(
+                np.concatenate(([0], mask.view(np.int8), [0]))))
+            return zip(edges[0::2].tolist(), edges[1::2].tolist())
+
+        events: List[Tuple[int, int, int, Event]] = []  # (col, start, stop)
+        dmask = ref_ng & ~read_ng
+        if last_covered >= 0:
+            dmask[:first_covered] = False
+            dmask[last_covered + 1:] = False
+        else:
+            dmask[:] = False
+        for s_i, e_i in runs(dmask):
+            start = int(ref_coord[s_i])
+            length = e_i - s_i
+            events.append((s_i, start, start + length - 1,
+                           Event(EventCigar.D, length, start)))
+        imask = ~ref_ng & read_ng
+        for s_i, e_i in runs(imask):
+            start = int(ref_coord[s_i])
+            bases = aligned_read[s_i:e_i].decode()
+            events.append((s_i, start, start,
+                           Event(EventCigar.I, e_i - s_i, start, bases)))
+        if self._any_subs:
+            up_r = np.where((r >= 97) & (r <= 122), r - 32, r)
+            up_d = np.where((d >= 97) & (d <= 122), d - 32, d)
+            acgt = np.zeros(256, dtype=bool)
+            for b in b"ACGT":
+                acgt[b] = True
+            smask = acgt[up_r] & acgt[up_d] & (up_r != up_d)
+            for s_i, e_i in runs(smask):
+                start = int(ref_coord[s_i])
+                bases = aligned_read[s_i:e_i].decode()
+                events.append((s_i, start, start + (e_i - s_i) - 1,
+                               Event(EventCigar.S, e_i - s_i, start, bases)))
+        events.sort(key=lambda t: t[0])  # column order = the walk's order
+
+        out_strings: List[str] = []
+        for win_s, win_e, is_sub in self._flat_windows:
+            if win_s > cov_stop or win_e < cov_start:
+                out_strings.append(str(Event(EventCigar.UNKNOWN, None, -1)))
+                continue
+            hits = []
+            for _c, es, ee, ev in events:
+                if ev.event_cigar is EventCigar.S and not is_sub:
+                    continue
+                if es <= win_e and ee >= win_s:
+                    hits.append(ev)
+            if hits:
+                out_strings.append("&".join(str(h) for h in hits))
+            else:
+                out_strings.append(str(Event(EventCigar.NONE, None, -1)))
+        return "_".join(out_strings)
+
     def call_events(self, aligned_ref: str, aligned_read: str) -> str:
         """Per-target event strings joined with '_' (the lineage-allele
         encoding, e.g. "10D+44_NONE_1I+177+T&3D+179")."""
@@ -412,7 +517,10 @@ def call_events_from_bam(layout: SequenceLayout, input_bam: str,
     """The `clique-tpu call` command: stream a tagged (collapsed) BAM, call
     per-target events, write an allele table (.tsv) or VCF (.vcf)."""
     from clique_tpu.caller.output import write_allele_table, write_vcf
-    from clique_tpu.extract.extractor import recover_aligned_sequences
+    from clique_tpu.extract.extractor import (
+        recover_aligned_sequences,
+        recover_aligned_sequences_fast,
+    )
     from clique_tpu.io.sam import BamReader
 
     callers: Dict[str, EventCaller] = {}
@@ -433,10 +541,15 @@ def call_events_from_bam(layout: SequenceLayout, input_bam: str,
             if not (rm >= min_alignment_rate) or rc < min_read_count:
                 continue
             ref_seq = layout.references[rec.reference_name].sequence.encode()
-            aligned_read, aligned_ref = recover_aligned_sequences(
-                rec.seq, rec.pos, rec.cigar, ref_seq, soft_clip="Clip")
-            allele = callers[rec.reference_name].call_events(
-                aligned_ref.decode(), aligned_read.decode())
+            fast = recover_aligned_sequences_fast(
+                rec.seq, rec.pos, rec.cigar, ref_seq)
+            if fast is not None:
+                aligned_read, aligned_ref = fast
+            else:
+                aligned_read, aligned_ref = recover_aligned_sequences(
+                    rec.seq, rec.pos, rec.cigar, ref_seq, soft_clip="Clip")
+            allele = callers[rec.reference_name].call_events_fast(
+                aligned_ref, aligned_read)
             tag_cols = {k: v for k, v in rec.tags.items()
                         if k.startswith("e") or k in ("rc", "rm")}
             rows.append((rec.name, rec.reference_name, allele, tag_cols))

@@ -70,28 +70,6 @@ def consensus_fast_groups(reference: bytes,
     gid = np.repeat(np.arange(G, dtype=np.int32),
                     np.asarray(sizes, dtype=np.int64))
 
-    nongap = reads_mat != GAP
-    quals = np.full((N, L), ord("h"), dtype=np.uint8)
-    # vectorized scatter for rows whose qual length equals the row's
-    # non-gap count (the common case); per-row fallback otherwise
-    ng_counts = nongap.sum(axis=1)
-    qlens = np.fromiter((len(q) if q is not None else -1
-                         for q in all_quals), np.int64, count=N)
-    vec_rows = qlens == ng_counts
-    if vec_rows.any():
-        sub = nongap[vec_rows]
-        rr, cc = np.nonzero(sub)            # row-major: matches concat order
-        qcat = np.frombuffer(
-            b"".join(all_quals[i] for i in np.flatnonzero(vec_rows)),
-            dtype=np.uint8)
-        rows_map = np.flatnonzero(vec_rows)
-        quals[rows_map[rr], cc] = qcat
-    for i in np.flatnonzero(~vec_rows & (qlens >= 0)):
-        idx = np.nonzero(nongap[i])[0]
-        qa = np.frombuffer(all_quals[i], dtype=np.uint8)
-        take = min(len(idx), len(qa))
-        quals[i, idx[:take]] = qa[:take]
-
     allele = _ALLELE_INDEX[reads_mat]                     # [N, L] i8
     valid = allele >= 0
     gap_mask = reads_mat == GAP
@@ -105,19 +83,65 @@ def consensus_fast_groups(reference: bytes,
                          ).reshape(G, 6, L)
     total = counts.sum(axis=1)                            # [G, L]
 
-    # posterior log2 sums via weighted bincounts over valid cells only
-    l_hit = _LHIT_LUT[quals]
-    l_miss = _LMISS_LUT[quals]
+    # uniform-quality fast path: every chain BAM carries a single flat
+    # qual byte ('H', to_sam_record hardcode alignment_matrix.rs:764-767),
+    # making the per-cell quality terms constants - the weighted
+    # bincounts and the qual scatter collapse to count-scaled constants
+    # (bit-identical: the same l_hit/l_miss value per cell either way)
+    uniform_q = None
+    if all(q is not None for q in all_quals):
+        qcat = np.frombuffer(b"".join(all_quals), dtype=np.uint8)
+        if len(qcat) and int(qcat.min()) == int(qcat.max()):
+            uniform_q = int(qcat[0])
+            # every row's qual must cover exactly its non-gap cells, or
+            # the scatter path would leave 'h' holes the constant can't
+            qlens = np.fromiter((len(q) for q in all_quals), np.int64,
+                                count=N)
+            if not (qlens == (reads_mat != GAP).sum(axis=1)).all():
+                uniform_q = None
+    if uniform_q is not None:
+        # valid cells all carry uniform_q; gap/invalid cells contribute
+        # nothing to the posterior sums in either path
+        lh, lm = float(_LHIT_LUT[uniform_q]), float(_LMISS_LUT[uniform_q])
+        valid_count = counts[:, :5, :].sum(axis=1)        # [G, L]
+        miss_sum = lm * valid_count
+        hit_sum = (lh - lm) * counts[:, :5, :]
+    else:
+        nongap = reads_mat != GAP
+        quals = np.full((N, L), ord("h"), dtype=np.uint8)
+        # vectorized scatter for rows whose qual length equals the row's
+        # non-gap count (the common case); per-row fallback otherwise
+        ng_counts = nongap.sum(axis=1)
+        qlens = np.fromiter((len(q) if q is not None else -1
+                             for q in all_quals), np.int64, count=N)
+        vec_rows = qlens == ng_counts
+        if vec_rows.any():
+            sub = nongap[vec_rows]
+            rr, cc = np.nonzero(sub)        # row-major: matches concat order
+            qcat2 = np.frombuffer(
+                b"".join(all_quals[i] for i in np.flatnonzero(vec_rows)),
+                dtype=np.uint8)
+            rows_map = np.flatnonzero(vec_rows)
+            quals[rows_map[rr], cc] = qcat2
+        for i in np.flatnonzero(~vec_rows & (qlens >= 0)):
+            idx = np.nonzero(nongap[i])[0]
+            qa = np.frombuffer(all_quals[i], dtype=np.uint8)
+            take = min(len(idx), len(qa))
+            quals[i, idx[:take]] = qa[:take]
 
-    base_gl = gid[:, None] * np.int32(L) + cols32         # [N, L] i32
-    miss_sum = np.bincount(base_gl[valid], weights=l_miss[valid],
-                           minlength=G * L).reshape(G, L)
-    hit_idx = (gid[:, None] * np.int32(5)
-               + np.clip(allele, 0, 4).astype(np.int32)) * np.int32(L) \
-        + cols32
-    hit_sum = np.bincount(hit_idx[valid],
-                          weights=(l_hit - l_miss)[valid],
-                          minlength=G * 5 * L).reshape(G, 5, L)
+        # posterior log2 sums via weighted bincounts over valid cells only
+        l_hit = _LHIT_LUT[quals]
+        l_miss = _LMISS_LUT[quals]
+
+        base_gl = gid[:, None] * np.int32(L) + cols32     # [N, L] i32
+        miss_sum = np.bincount(base_gl[valid], weights=l_miss[valid],
+                               minlength=G * L).reshape(G, L)
+        hit_idx = (gid[:, None] * np.int32(5)
+                   + np.clip(allele, 0, 4).astype(np.int32)) * np.int32(L) \
+            + cols32
+        hit_sum = np.bincount(hit_idx[valid],
+                              weights=(l_hit - l_miss)[valid],
+                              minlength=G * 5 * L).reshape(G, 5, L)
 
     ref = np.frombuffer(reference, dtype=np.uint8)
     ref_allele = _ALLELE_INDEX[ref]
