@@ -127,7 +127,7 @@ references:
                             rm, warm_sink.finish(), warm_sink.stats)
         log("warmup done; timing main run")
 
-        from clique_tpu.caller.events import call_events_from_bam
+        from clique_tpu.caller.events import call_events_from_records
 
         t0 = time.time()
         align_metrics = os.path.join(tmp, "align_metrics.json")
@@ -148,9 +148,10 @@ references:
         t0 = time.time()
         reads_by_ref = sink.finish()
         collapsed = os.path.join(tmp, "collapsed.bam")
+        tap = []
         collapse_from_reads(collapsed, layout, rm, reads_by_ref, sink.stats,
                             n_passing=sink.n_passing,
-                            ingest_seconds=sink.seconds)
+                            ingest_seconds=sink.seconds, record_tap=tap)
         collapse_dt = time.time() - t0
         log(f"collapse done in {collapse_dt:.1f}s (fused; sink ingest ran "
             f"inside align wall: {sink.seconds:.2f}s)")
@@ -164,7 +165,7 @@ references:
             pass
         t0 = time.time()
         alleles = os.path.join(tmp, "alleles.tsv")
-        call_events_from_bam(layout, collapsed, alleles, min_read_count=1)
+        call_events_from_records(layout, tap, alleles, min_read_count=1)
         call_dt = time.time() - t0
         dt = align_dt + collapse_dt + call_dt
         log(f"call done in {call_dt:.1f}s; chain {dt:.1f}s")

@@ -511,18 +511,7 @@ class EventCaller:
         return "_".join(out_strings)
 
 
-def call_events_from_bam(layout: SequenceLayout, input_bam: str,
-                         output_path: str, min_alignment_rate: float = 0.9,
-                         min_read_count: int = 1) -> int:
-    """The `clique-tpu call` command: stream a tagged (collapsed) BAM, call
-    per-target events, write an allele table (.tsv) or VCF (.vcf)."""
-    from clique_tpu.caller.output import write_allele_table, write_vcf
-    from clique_tpu.extract.extractor import (
-        recover_aligned_sequences,
-        recover_aligned_sequences_fast,
-    )
-    from clique_tpu.io.sam import BamReader
-
+def _build_callers(layout: SequenceLayout) -> Dict[str, "EventCaller"]:
     callers: Dict[str, EventCaller] = {}
     for name, rec in layout.references.items():
         targets = []
@@ -530,32 +519,63 @@ def call_events_from_bam(layout: SequenceLayout, input_bam: str,
             targets.append(Target(t, TargetType.from_layout(tt),
                                   validate=False))
         callers[name] = EventCaller(rec.sequence, targets)
+    return callers
 
+
+def call_events_from_records(layout: SequenceLayout, records,
+                             output_path: str,
+                             min_alignment_rate: float = 0.9,
+                             min_read_count: int = 1) -> int:
+    """Call events over in-memory SamRecords (the fused chain's tap on
+    collapse's writer: identical rows to re-reading the BAM, minus the
+    BGZF round trip — parity pinned in tests/test_chain_fused.py)."""
+    from clique_tpu.caller.output import write_allele_table, write_vcf
+    from clique_tpu.extract.extractor import (
+        recover_aligned_sequences,
+        recover_aligned_sequences_fast,
+    )
+
+    callers = _build_callers(layout)
+    ref_seqs = {name: rec.sequence.encode()
+                for name, rec in layout.references.items()}
     rows = []
-    with BamReader(input_bam) as reader:
-        for rec in reader:
-            if rec.reference_name is None or rec.reference_name not in callers:
-                continue
-            rm = float(rec.tags.get("rm", "nan"))
-            rc = int(rec.tags.get("rc", "1"))
-            if not (rm >= min_alignment_rate) or rc < min_read_count:
-                continue
-            ref_seq = layout.references[rec.reference_name].sequence.encode()
-            fast = recover_aligned_sequences_fast(
-                rec.seq, rec.pos, rec.cigar, ref_seq)
-            if fast is not None:
-                aligned_read, aligned_ref = fast
-            else:
-                aligned_read, aligned_ref = recover_aligned_sequences(
-                    rec.seq, rec.pos, rec.cigar, ref_seq, soft_clip="Clip")
-            allele = callers[rec.reference_name].call_events_fast(
-                aligned_ref, aligned_read)
-            tag_cols = {k: v for k, v in rec.tags.items()
-                        if k.startswith("e") or k in ("rc", "rm")}
-            rows.append((rec.name, rec.reference_name, allele, tag_cols))
+    for rec in records:
+        if rec.reference_name is None or rec.reference_name not in callers:
+            continue
+        rm = float(rec.tags.get("rm", "nan"))
+        rc = int(rec.tags.get("rc", "1"))
+        if not (rm >= min_alignment_rate) or rc < min_read_count:
+            continue
+        ref_seq = ref_seqs[rec.reference_name]
+        fast = recover_aligned_sequences_fast(
+            rec.seq, rec.pos, rec.cigar, ref_seq)
+        if fast is not None:
+            aligned_read, aligned_ref = fast
+        else:
+            aligned_read, aligned_ref = recover_aligned_sequences(
+                rec.seq, rec.pos, rec.cigar, ref_seq, soft_clip="Clip")
+        allele = callers[rec.reference_name].call_events_fast(
+            aligned_ref, aligned_read)
+        tag_cols = {k: v for k, v in rec.tags.items()
+                    if k.startswith("e") or k in ("rc", "rm")}
+        rows.append((rec.name, rec.reference_name, allele, tag_cols))
 
     if str(output_path).endswith(".vcf"):
         write_vcf(rows, layout, output_path)
     else:
         write_allele_table(rows, output_path)
     return len(rows)
+
+
+def call_events_from_bam(layout: SequenceLayout, input_bam: str,
+                         output_path: str, min_alignment_rate: float = 0.9,
+                         min_read_count: int = 1) -> int:
+    """The `clique-tpu call` command: stream a tagged (collapsed) BAM, call
+    per-target events, write an allele table (.tsv) or VCF (.vcf)."""
+    from clique_tpu.io.sam import BamReader
+
+    with BamReader(input_bam) as reader:
+        return call_events_from_records(
+            layout, reader, output_path,
+            min_alignment_rate=min_alignment_rate,
+            min_read_count=min_read_count)

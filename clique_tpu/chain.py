@@ -41,10 +41,15 @@ from clique_tpu.collapse.pipeline import (
     write_outputs,
 )
 from clique_tpu.config.layout import SequenceLayout
-from clique_tpu.extract.extractor import extract_tag_sequences
+from clique_tpu.extract.extractor import (
+    extract_tag_sequences,
+    extract_tagged_sequences,
+)
 from clique_tpu.reference.manager import ReferenceManager
 
 log = logging.getLogger(__name__)
+
+GAP_B = ord("-")
 
 
 class CollapseSink:
@@ -70,6 +75,15 @@ class CollapseSink:
         self._seqs = {r.name: r.sequence for r in rm.references.values()}
         self._cfgs = {name: layout.references[name]
                       for name in self.by_ref if name in layout.references}
+        # per reference: UMI configs in correction order, split digit /
+        # extractor-zone (extract_tag_sequences collection semantics)
+        self._ordered_umis = {
+            name: sorted(cfg.umi_configurations.values(),
+                         key=lambda u: u.order)
+            for name, cfg in self._cfgs.items()}
+        self._all_digit = {
+            name: all(u.symbol.isdigit() for u in umis)
+            for name, umis in self._ordered_umis.items()}
         self._ordinal = 0
         self.seconds = 0.0
 
@@ -77,17 +91,101 @@ class CollapseSink:
 
     def consume_flush(self, raws, pend, recs) -> None:
         """One fast-path flush: raw device groups + the SamRecords built
-        from them. Rows are staged per pend index so appends follow BAM
-        write order (recs order), not device group order."""
+        from them. Digit-tag capture and validity gating run vectorized
+        over the whole [G, T] matrices (one mask pass per symbol, as
+        extract_digit_tags_fast's positional-mask equivalence allows);
+        rows are staged per pend index so appends follow BAM write order
+        (recs order), not device group order."""
+        import numpy as np
+
         t0 = time.time()
         staged: List[Optional[SortingRead]] = [None] * len(pend)
         for raw in raws:
-            group, a_ref, a_read, _valid, _ops, n_ops, _scores = raw
+            group, a_ref, a_read, valid, _ops, n_ops, _scores = raw
+            ref_ids = [pend[k].ref_id for k in group]
+            names = {rid: self._names[rid] for rid in set(ref_ids)}
+            # union of digit symbols across the group's references: a
+            # digit byte only occurs in the owning reference's aligned
+            # row, so the union mask is exact per row
+            union: Dict[str, None] = {}
+            all_digit = True
+            for name in set(names.values()):
+                umis = self._ordered_umis.get(name, [])
+                all_digit &= self._all_digit.get(name, True)
+                for u in umis:
+                    if u.symbol.isdigit():
+                        union[u.symbol] = None
+            caps = {}
+            for sym in union:
+                mask = (a_ref == ord(sym)) & valid
+                cnt = mask.sum(axis=1)
+                flat = a_read[mask]
+                bounds = np.concatenate(([0], np.cumsum(cnt)))
+                gapcnt = ((a_read == GAP_B) & mask).sum(axis=1)
+                caps[sym] = (cnt.tolist(), flat, bounds.tolist(),
+                             gapcnt.tolist())
             for j, k in enumerate(group):
+                name = names[ref_ids[j]]
+                umis = self._ordered_umis.get(name)
+                if umis is None:
+                    staged[k] = None
+                    continue
+                rec = recs[k]
+                invalid = False
+                ordered = []
+                fallback = None
+                for u in umis:
+                    if u.symbol.isdigit():
+                        cnt, flat, bounds, gapcnt = caps[u.symbol]
+                        c = cnt[j]
+                        if c == 0:
+                            invalid = True  # missing capture: not collected
+                            continue
+                        if c != u.length:
+                            invalid = True
+                        if u.max_gaps is not None and gapcnt[j] > u.max_gaps:
+                            invalid = True
+                        ordered.append(
+                            (u.symbol,
+                             flat[bounds[j]:bounds[j + 1]].tobytes()))
+                    else:
+                        # extractor-zone symbol: per-row fallback through
+                        # the reference-semantics walk
+                        if fallback is None:
+                            n = int(n_ops[j])
+                            fallback = extract_tagged_sequences(
+                                a_read[j, :n].tobytes(),
+                                a_ref[j, :n].tobytes())
+                        hit = fallback.get(ord(u.symbol))
+                        if hit is None:
+                            invalid = True
+                            continue
+                        data = hit.encode()
+                        if len(data) != u.length:
+                            invalid = True
+                        if u.max_gaps is not None and \
+                                data.count(GAP_B) > u.max_gaps:
+                            invalid = True
+                        ordered.append((u.symbol, data))
+                if invalid:
+                    staged[k] = None
+                    continue
                 n = int(n_ops[j])
-                staged[k] = self._build(
-                    pend[k].ref_id, recs[k],
-                    a_ref[j, :n].tobytes(), a_read[j, :n].tobytes())
+                ra = a_ref[j, :n].tobytes()
+                native = self._seqs[name]
+                if ra == native:
+                    ra = native  # share the one native object
+                staged[k] = SortingRead(
+                    read_name=rec.name,
+                    reference_name=name,
+                    reference_aligned=ra,
+                    read_aligned=a_read[j, :n].tobytes(),
+                    read_quals=rec.qual if rec.qual != b"*" else None,
+                    cigar=rec.cigar,
+                    reference_start=rec.pos,
+                    score=0.0,
+                    unsorted_keys=deque(ordered),
+                )
         for s in staged:
             self._push(s)
         self.seconds += time.time() - t0
@@ -175,7 +273,8 @@ def collapse_from_reads(output_path: str, layout: SequenceLayout,
                         downsample_cap: int = 40,
                         metrics_path: Optional[str] = None,
                         gap_call_threshold: float = 0.75,
-                        ingest_seconds: float = 0.0) -> CollapseStats:
+                        ingest_seconds: float = 0.0,
+                        record_tap: Optional[list] = None) -> CollapseStats:
     """Correction levels + consensus outputs over already-ingested reads:
     the in-RAM half of collapse() (collapse.rs:104-141) with ingestion
     supplied by the caller (CollapseSink)."""
@@ -207,7 +306,8 @@ def collapse_from_reads(output_path: str, layout: SequenceLayout,
                 "reads_in": n_in, "reads_out": len(reads)})
         t_out = time.time()
         written = write_outputs(reads, writer, rm, correct_only,
-                                downsample_cap, gap_call_threshold)
+                                downsample_cap, gap_call_threshold,
+                                record_tap=record_tap)
         outputs_seconds += time.time() - t_out
         ref_metrics["output_records"] = written
         metrics["references"][ref.name] = ref_metrics
@@ -257,18 +357,21 @@ def run_chain(layout: SequenceLayout, rm: ReferenceManager,
                               metrics_path=align_metrics_path,
                               sink=sink, **align_kwargs)
     reads_by_ref = sink.finish()
+    tap: Optional[list] = [] if (alleles_path or vcf_path) else None
     collapse_stats = collapse_from_reads(
         collapsed_bam, layout, rm, reads_by_ref, sink.stats,
         n_passing=sink.n_passing, correct_only=correct_only,
         downsample_cap=downsample_cap,
         metrics_path=collapse_metrics_path,
         gap_call_threshold=gap_call_threshold,
-        ingest_seconds=sink.seconds)
-    if alleles_path or vcf_path:
-        from clique_tpu.caller.events import call_events_from_bam
+        ingest_seconds=sink.seconds, record_tap=tap)
+    if tap is not None:
+        # fused call: the collapsed records are already in memory — no
+        # BGZF round trip (rows identical to call_events_from_bam)
+        from clique_tpu.caller.events import call_events_from_records
 
         for out in (alleles_path, vcf_path):
             if out:
-                call_events_from_bam(layout, collapsed_bam, out,
-                                     min_read_count=min_read_count)
+                call_events_from_records(layout, tap, out,
+                                         min_read_count=min_read_count)
     return align_stats, collapse_stats

@@ -687,7 +687,8 @@ def _apply_correction(kept: List[SortingRead], tag: UMIConfiguration,
 
 def write_outputs(reads: List[SortingRead], writer, rm: ReferenceManager,
                   correct_only: bool, downsample_cap: int = 40,
-                  gap_call_threshold: float = 0.75) -> int:
+                  gap_call_threshold: float = 0.75,
+                  record_tap: Optional[List[SamRecord]] = None) -> int:
     """write_consensus_reads / write_corrected_reads
     (consensus_builders.rs:34-165)."""
     ref_seqs = ref_seq_map(rm)
@@ -712,16 +713,29 @@ def write_outputs(reads: List[SortingRead], writer, rm: ReferenceManager,
                                               gap_call_threshold) \
         if not correct_only else {}
 
+    # batch the singleton groups' alignment rates (one padded pass
+    # instead of a numpy round trip per record)
+    single_gis = [gi for gi, g in enumerate(groups) if len(g) == 1]
+    single_rates: Dict[int, float] = {}
+    if single_gis:
+        rates = _batch_alignment_rates(
+            [(groups[gi][0].reference_aligned, groups[gi][0].read_aligned)
+             for gi in single_gis])
+        single_rates = dict(zip(single_gis, rates))
+
     written = 0
     records = []
     for gi, group in enumerate(groups):
         rec = _consensus_record(group, ref_seqs,
                                 downsample_cap if not correct_only
                                 else 0, gap_call_threshold,
-                                precomputed.get(gi))
+                                precomputed.get(gi),
+                                rate=single_rates.get(gi))
         if rec is not None:
             records.append(rec)
             written += 1
+    if record_tap is not None:
+        record_tap.extend(records)
     if hasattr(writer, "write_batch"):
         writer.write_batch(records)
     else:
@@ -779,9 +793,33 @@ def ref_seq_map(rm: ReferenceManager) -> Dict[str, bytes]:
     return {r.name: r.sequence for r in rm.references.values()}
 
 
+def _batch_alignment_rates(pairs: List[Tuple[bytes, bytes]]) -> List[float]:
+    """alignment_rate_fast over many (reference_aligned, read_aligned)
+    pairs in one padded pass (padding bytes are 0 < 64: never counted)."""
+    import numpy as np
+
+    if not pairs:
+        return []
+    lens = [min(len(r), len(d)) for r, d in pairs]
+    L = max(lens)
+    x = np.zeros((len(pairs), L), dtype=np.uint8)
+    y = np.zeros((len(pairs), L), dtype=np.uint8)
+    for i, (r, d) in enumerate(pairs):
+        n = lens[i]
+        y[i, :n] = np.frombuffer(r[:n], dtype=np.uint8)
+        x[i, :n] = np.frombuffer(d[:n], dtype=np.uint8)
+    counted = (y > 64) & (y != FASTA_N) & (x > 64)
+    tot = counted.sum(axis=1)
+    match = ((x == y) & counted).sum(axis=1)
+    with np.errstate(invalid="ignore"):
+        rates = np.where(tot > 0, match / np.maximum(tot, 1), np.nan)
+    return [float(v) for v in rates]
+
+
 def _consensus_record(group: List[SortingRead], ref_seqs: Dict[str, bytes],
                       downsample_cap: int, gap_call_threshold: float,
-                      precomputed=None) -> Optional[SamRecord]:
+                      precomputed=None,
+                      rate: Optional[float] = None) -> Optional[SamRecord]:
     """create_consensus_sam_read (consensus_builders.rs:174-286) +
     to_sam_record tag conventions."""
     tags: Dict[str, str] = {}
@@ -821,8 +859,11 @@ def _consensus_record(group: List[SortingRead], ref_seqs: Dict[str, bytes],
                     f"Unable to create consensus for {len(group)} reads")
             con = candidate.to_consensus(gap_call_threshold)
         tags["ar"] = ",".join(r.read_name for r in group)
-        tags["rm"] = _fmt_rate(alignment_rate_fast(
-            con.reference_aligned, con.read_aligned))
+        con_rate = getattr(con, "alignment_rate", None)
+        if con_rate is None:
+            con_rate = alignment_rate_fast(con.reference_aligned,
+                                           con.read_aligned)
+        tags["rm"] = _fmt_rate(con_rate)
         tags["as"] = _fmt_rate(con.score)
         base = group[0]
         out_ref_aligned = con.reference_aligned
@@ -834,8 +875,10 @@ def _consensus_record(group: List[SortingRead], ref_seqs: Dict[str, bytes],
     else:
         single = group[0]
         tags["ar"] = single.read_name
-        tags["rm"] = _fmt_rate(alignment_rate_fast(
-            single.reference_aligned, single.read_aligned))
+        if rate is None:
+            rate = alignment_rate_fast(single.reference_aligned,
+                                       single.read_aligned)
+        tags["rm"] = _fmt_rate(rate)
         tags["as"] = _fmt_rate(single.score)
         out_ref_aligned = single.reference_aligned
         out_read_aligned = single.read_aligned

@@ -172,6 +172,16 @@ def consensus_fast_groups(reference: bytes,
         np.frombuffer(b"ACGT", dtype=np.uint8)[index_of_max]
     ).astype(np.uint8)
 
+    # batched alignment rate of each consensus against the reference
+    # (alignment_rate_fast semantics, one [G, L] pass): saves the
+    # per-record numpy round trip in _consensus_record's rm tag
+    rate_counted = ((ref > 64) & (ref != 78))[None, :] & (bases_all > 64)
+    rate_tot = rate_counted.sum(axis=1)
+    rate_match = ((bases_all == ref[None, :]) & rate_counted).sum(axis=1)
+    with np.errstate(invalid="ignore"):
+        rates = np.where(rate_tot > 0,
+                         rate_match / np.maximum(rate_tot, 1), np.nan)
+
     results = []
     for gi, (reads, _qlist, names) in enumerate(groups):
         bases = bases_all[gi]
@@ -183,7 +193,7 @@ def consensus_fast_groups(reference: bytes,
         ends = np.concatenate((change + 1, [L]))
         cigar = simplify_cigar(
             [(int(e - s), "MD"[ops[s]]) for s, e in zip(starts, ends)])
-        results.append(AlignmentResult(
+        res = AlignmentResult(
             reference_name=reference_name,
             read_name=names[0] if names else "UnnamedRead",
             reference_aligned=reference,
@@ -192,7 +202,9 @@ def consensus_fast_groups(reference: bytes,
             cigar=cigar,
             path=[],
             score=0.0,
-        ))
+        )
+        res.alignment_rate = float(rates[gi])
+        results.append(res)
     return results
 
 

@@ -135,6 +135,30 @@ references:
     assert _payload(c1) == _payload(c2)
 
 
+def test_fused_call_matches_bam_call(tmp_path):
+    """run_chain's fused call (in-memory record tap) produces the same
+    allele table as calling from the collapsed BAM."""
+    from clique_tpu.caller.events import call_events_from_bam
+    from clique_tpu.chain import run_chain
+
+    layout, rm = _golden_layout(tmp_path)
+    reads = os.path.join(GOLDEN, "reads.fastq.gz")
+    c1 = str(tmp_path / "c1.bam")
+    fused_tsv = str(tmp_path / "fused.tsv")
+    run_chain(layout, rm, str(tmp_path / "a1.bam"), c1, read1=reads,
+              batch_size=16, alleles_path=fused_tsv)
+    bam_tsv = str(tmp_path / "from_bam.tsv")
+    call_events_from_bam(layout, c1, bam_tsv, min_read_count=1)
+    with open(fused_tsv) as fh:
+        fused = fh.read()
+    with open(bam_tsv) as fh:
+        want = fh.read()
+    assert fused == want
+    with open(os.path.join(GOLDEN, "alleles.tsv")) as fh:
+        golden = fh.read()
+    assert fused == golden, "fused call drifted from the golden pin"
+
+
 def test_fused_stats_match(tmp_path):
     """CollapseStats from the sink equal the two-stage ingestion's."""
     from clique_tpu.align.pipeline import align_reads
