@@ -538,6 +538,13 @@ def call_events_from_records(layout: SequenceLayout, records,
     callers = _build_callers(layout)
     ref_seqs = {name: rec.sequence.encode()
                 for name, rec in layout.references.items()}
+    # Allele memo for non-base-editor panels: without substitution
+    # calling, the allele string is a pure function of (pos, CIGAR,
+    # inserted bases, read length) — D/I runs and coverage all derive
+    # from the CIGAR, and read bases only enter through I insertions.
+    # Consensus records cluster into a handful of distinct indel shapes,
+    # so the memo collapses the per-record recovery + call.
+    memo: Dict[tuple, str] = {}
     rows = []
     for rec in records:
         if rec.reference_name is None or rec.reference_name not in callers:
@@ -546,7 +553,28 @@ def call_events_from_records(layout: SequenceLayout, records,
         rc = int(rec.tags.get("rc", "1"))
         if not (rm >= min_alignment_rate) or rc < min_read_count:
             continue
-        ref_seq = ref_seqs[rec.reference_name]
+        name = rec.reference_name
+        caller = callers[name]
+        caller._flat_positions()
+        key = None
+        if not caller._any_subs:
+            ins: List[bytes] = []
+            rp = 0
+            for c, op in rec.cigar:
+                if op == "I":
+                    ins.append(rec.seq[rp:rp + c])
+                    rp += c
+                elif op in "M=XS":
+                    rp += c
+            key = (name, rec.pos, len(rec.seq), tuple(rec.cigar),
+                   tuple(ins))
+            allele = memo.get(key)
+            if allele is not None:
+                tag_cols = {k: v for k, v in rec.tags.items()
+                            if k.startswith("e") or k in ("rc", "rm")}
+                rows.append((rec.name, name, allele, tag_cols))
+                continue
+        ref_seq = ref_seqs[name]
         fast = recover_aligned_sequences_fast(
             rec.seq, rec.pos, rec.cigar, ref_seq)
         if fast is not None:
@@ -554,11 +582,12 @@ def call_events_from_records(layout: SequenceLayout, records,
         else:
             aligned_read, aligned_ref = recover_aligned_sequences(
                 rec.seq, rec.pos, rec.cigar, ref_seq, soft_clip="Clip")
-        allele = callers[rec.reference_name].call_events_fast(
-            aligned_ref, aligned_read)
+        allele = caller.call_events_fast(aligned_ref, aligned_read)
+        if key is not None:
+            memo[key] = allele
         tag_cols = {k: v for k, v in rec.tags.items()
                     if k.startswith("e") or k in ("rc", "rm")}
-        rows.append((rec.name, rec.reference_name, allele, tag_cols))
+        rows.append((rec.name, name, allele, tag_cols))
 
     if str(output_path).endswith(".vcf"):
         write_vcf(rows, layout, output_path)

@@ -186,18 +186,17 @@ class CollapseSink:
                     score=0.0,
                     unsorted_keys=deque(ordered),
                 )
-        for s in staged:
-            self._push(s)
+        self._push_filtered(staged)
         self.seconds += time.time() - t0
 
     def consume_aligned(self, aligned_out, recs) -> None:
         """AlignedRead outputs (WFA / anchored / merge engines): the gapped
         pair is carried on the object already."""
         t0 = time.time()
-        for alr, rec in zip(aligned_out, recs):
-            rid = self.rm.name_to_id[alr.reference_name]
-            self._push(self._build(rid, rec, alr.reference_aligned,
-                                   alr.read_aligned))
+        staged = [self._build(self.rm.name_to_id[alr.reference_name], rec,
+                              alr.reference_aligned, alr.read_aligned)
+                  for alr, rec in zip(aligned_out, recs)]
+        self._push_filtered(staged)
         self.seconds += time.time() - t0
 
     def _build(self, ref_id: int, rec, reference_aligned: bytes,
@@ -233,34 +232,39 @@ class CollapseSink:
             unsorted_keys=deque(ordered),
         )
 
-    def _push(self, read: Optional[SortingRead]) -> None:
-        self.stats.total_reads += 1
-        ordn = self._ordinal
-        self._ordinal += 1
-        if read is None:
-            self.stats.invalid_tags += 1
-            return
-        read.ordinal = ordn
-        self.by_ref[read.reference_name].append(read)
+    def _push_filtered(self, staged: List[Optional[SortingRead]]) -> None:
+        """Stamp ordinals in BAM order, apply the AlignmentCheck filter
+        batch-wise over the flush (collapse.rs:251-279 via
+        alignment_check_batch — same keep decisions, same surviving
+        order as filtering at the end), and append survivors."""
+        built = [s for s in staged if s is not None]
+        keep = iter(alignment_check_batch(built, self.min_aligned_bases,
+                                          self.min_identical))
+        for s in staged:
+            self.stats.total_reads += 1
+            ordn = self._ordinal
+            self._ordinal += 1
+            if s is None:
+                self.stats.invalid_tags += 1
+                continue
+            if not next(keep):
+                self.stats.failed_filters += 1
+                continue
+            s.ordinal = ordn
+            self.stats.passing += 1
+            self.n_passing[s.reference_name] = \
+                self.n_passing.get(s.reference_name, 0) + 1
+            self.by_ref[s.reference_name].append(s)
 
     # -- finalization (main thread, after the writer joins) ---------------
 
     def finish(self) -> Dict[str, List[SortingRead]]:
-        """Apply the AlignmentCheck filter batch-wise per reference
-        (collapse.rs:251-279 via alignment_check_batch) and hand back the
-        per-reference read sets."""
-        t0 = time.time()
-        out: Dict[str, List[SortingRead]] = {}
-        for name, reads in self.by_ref.items():
-            keep = alignment_check_batch(reads, self.min_aligned_bases,
-                                         self.min_identical)
-            passing = [r for r, k in zip(reads, keep) if k]
-            self.stats.passing += len(passing)
-            self.stats.failed_filters += len(reads) - len(passing)
-            self.n_passing[name] = len(passing)
-            out[name] = passing
+        """Hand back the per-reference passing read sets (filtering
+        already happened flush-wise on the writer thread)."""
+        for name in self.by_ref:
+            self.n_passing.setdefault(name, 0)
+        out = self.by_ref
         self.by_ref = {}
-        self.seconds += time.time() - t0
         return out
 
 

@@ -723,6 +723,33 @@ def write_outputs(reads: List[SortingRead], writer, rm: ReferenceManager,
              for gi in single_gis])
         single_rates = dict(zip(single_gis, rates))
 
+    # record construction streams to an encode thread in chunks: the BAM
+    # codec's C encode/deflate paths release the GIL, so BGZF compression
+    # overlaps the remaining groups' consensus math (single consumer
+    # thread = output order preserved)
+    import queue
+    import threading
+
+    out_q: "queue.Queue" = queue.Queue(maxsize=4)
+    errors: List[BaseException] = []
+
+    def _encode_loop():
+        while True:
+            chunk = out_q.get()
+            if chunk is None:
+                return
+            try:
+                if hasattr(writer, "write_batch"):
+                    writer.write_batch(chunk)
+                else:
+                    for rec in chunk:
+                        writer.write(rec)
+            except BaseException as exc:
+                errors.append(exc)
+
+    encoder = threading.Thread(target=_encode_loop, daemon=True)
+    encoder.start()
+
     written = 0
     records = []
     for gi, group in enumerate(groups):
@@ -734,13 +761,18 @@ def write_outputs(reads: List[SortingRead], writer, rm: ReferenceManager,
         if rec is not None:
             records.append(rec)
             written += 1
+        if len(records) >= 2048:
+            if record_tap is not None:
+                record_tap.extend(records)
+            out_q.put(records)
+            records = []
     if record_tap is not None:
         record_tap.extend(records)
-    if hasattr(writer, "write_batch"):
-        writer.write_batch(records)
-    else:
-        for rec in records:
-            writer.write(rec)
+    out_q.put(records)
+    out_q.put(None)
+    encoder.join()
+    if errors:
+        raise errors[0]
     return written
 
 

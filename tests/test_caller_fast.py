@@ -74,6 +74,69 @@ def test_fast_matches_walk(target_type):
         assert got == want, (a_ref, a_read)
 
 
+def test_allele_memo_matches_uncached(tmp_path):
+    """The non-sub allele memo in call_events_from_records gives the same
+    rows as per-record calling: records sharing a CIGAR but differing in
+    substituted bases memo-hit safely (subs don't enter non-sub alleles),
+    and base-editor panels bypass the memo entirely."""
+    from clique_tpu.caller.events import call_events_from_records
+    from clique_tpu.config.layout import SequenceLayout
+    from clique_tpu.io.sam import SamRecord
+
+    rng = np.random.default_rng(3)
+    guide = "".join(BASES[rng.integers(4)] for _ in range(20)) + "TGG"
+    ref = "AATTCCGG" + guide + "CCGGTTAA"
+    for ttype, differs in (("Cas9WT", False), ("Cas9ABE", True)):
+        lp = tmp_path / f"l_{ttype}.yaml"
+        lp.write_text(f"""known_strand: true
+reads:
+  - !Read1
+    orientation: Forward
+references:
+  amp:
+    sequence: "{ref}"
+    targets: ["{guide}"]
+    target_types: ["{ttype}"]
+    umi_configurations: {{}}
+""")
+        layout = SequenceLayout.from_yaml(str(lp))
+        L = len(ref)
+        cut = 8 + 14
+        seq_del = (ref[:cut] + ref[cut + 3:]).encode()
+        cigar = [(cut, "M"), (3, "D"), (L - cut - 3, "M")]
+        # same cigar, different substituted base inside the window
+        seq_sub = bytearray(seq_del)
+        seq_sub[cut - 2] = ord("A") if seq_sub[cut - 2] != ord("A") \
+            else ord("C")
+        recs = [
+            SamRecord(name="r0", flag=0, reference_name="amp", pos=1,
+                      mapq=255, cigar=cigar, seq=seq_del,
+                      qual=b"H" * len(seq_del), tags={"rm": "1", "rc": "2"}),
+            SamRecord(name="r1", flag=0, reference_name="amp", pos=1,
+                      mapq=255, cigar=cigar, seq=bytes(seq_sub),
+                      qual=b"H" * len(seq_sub), tags={"rm": "1", "rc": "2"}),
+        ]
+        out = tmp_path / f"a_{ttype}.tsv"
+        call_events_from_records(layout, recs, str(out),
+                                 min_alignment_rate=0.0, min_read_count=1)
+        lines = out.read_text().strip().splitlines()[1:]
+        alleles = [ln.split("\t")[2] for ln in lines]
+        # ground truth per record through the walk
+        from clique_tpu.caller.events import _build_callers
+        from clique_tpu.extract.extractor import recover_aligned_sequences
+
+        caller = _build_callers(layout)["amp"]
+        want = []
+        for rec in recs:
+            ar, rf = recover_aligned_sequences(
+                rec.seq, rec.pos, rec.cigar, ref.encode(), soft_clip="Clip")
+            want.append(caller.call_events(rf.decode(), ar.decode()))
+        assert alleles == want
+        if differs:
+            assert alleles[0] != alleles[1], \
+                "ABE panel should see the substitution"
+
+
 def test_fast_empty_coverage():
     ref = "ACGTACGTACGTACGTACGTTGGAAAA"
     t = Target(ref[:23], TargetType.CAS9_DSB, validate=False)
