@@ -616,11 +616,13 @@ def align_reads(
                     # thread's next chunk parse + device dispatch
                     _tag, raws, pend = item
                     recs: List = [None] * len(pend)
+                    caps: List = [] if sink is not None else None
                     for raw in raws:
                         _fill_records_from_raw(raw, pend, recs, layout,
-                                               rm, report_zero_score)
+                                               rm, report_zero_score,
+                                               out_caps=caps)
                     if sink is not None:
-                        sink.consume_flush(raws, pend, recs)
+                        sink.consume_flush(raws, pend, recs, caps=caps)
                     item = recs
                 elif isinstance(item, tuple) and item and \
                         item[0] == "aligned":
@@ -729,11 +731,14 @@ def align_reads(
             else:
                 raws = aligner.align_pairs_raw(refs, reads)
                 batch_records = [None] * len(pending)
+                caps = [] if sink is not None else None
                 for raw in raws:
                     _fill_records_from_raw(raw, pending, batch_records,
-                                           layout, rm, report_zero_score)
+                                           layout, rm, report_zero_score,
+                                           out_caps=caps)
                 if sink is not None:
-                    sink.consume_flush(raws, pending, batch_records)
+                    sink.consume_flush(raws, pending, batch_records,
+                                       caps=caps)
                 emit_records(batch_records)
                 stats.aligned += len(pending)
         elif pending:
@@ -1046,7 +1051,8 @@ def _choose_reference(rm: ReferenceManager, layout: SequenceLayout,
 
 def _fill_records_from_raw(raw, pending: List[_Pending], records: List,
                            layout: SequenceLayout, rm: ReferenceManager,
-                           report_zero_score: bool) -> None:
+                           report_zero_score: bool,
+                           out_caps: Optional[List] = None) -> None:
     """Build SamRecords for one align_pairs_raw group with batch-level
     numpy (rates, gap-strips, digit-tag captures and cigars computed over
     the whole [G, T] matrices at once). Semantics identical to
@@ -1080,11 +1086,18 @@ def _fill_records_from_raw(raw, pending: List[_Pending], records: List,
                               if u.symbol.isdigit())
     union_digit = sorted(union_syms)
     digit_hits = {}
+    caps_np = {}
     for sym in union_digit:
         mask = (a_ref == ord(sym)) & valid
         cnt = mask.sum(axis=1)
-        digit_hits[sym] = (cnt.tolist(), a_read[mask],
-                           np.concatenate(([0], np.cumsum(cnt))).tolist())
+        flat = a_read[mask]
+        bounds = np.concatenate(([0], np.cumsum(cnt)))
+        digit_hits[sym] = (cnt.tolist(), flat, bounds.tolist())
+        caps_np[sym] = (cnt, flat, bounds)
+    if out_caps is not None:
+        # hand the capture arrays to the CollapseSink so the fused chain
+        # doesn't redo the mask passes (chain.py consume_flush)
+        out_caps.append(caps_np)
 
     scores_l = scores.tolist()
     for j, k in enumerate(group):

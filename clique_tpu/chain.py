@@ -89,7 +89,7 @@ class CollapseSink:
 
     # -- consumption (align writer thread) --------------------------------
 
-    def consume_flush(self, raws, pend, recs) -> None:
+    def consume_flush(self, raws, pend, recs, caps=None) -> None:
         """One fast-path flush: raw device groups + the SamRecords built
         from them. Digit-tag capture and validity gating run vectorized
         over the whole [G, T] matrices (one mask pass per symbol, as
@@ -100,7 +100,7 @@ class CollapseSink:
 
         t0 = time.time()
         staged: List[Optional[SortingRead]] = [None] * len(pend)
-        for raw in raws:
+        for raw_i, raw in enumerate(raws):
             group, a_ref, a_read, valid, _ops, n_ops, _scores = raw
             ref_ids = [pend[k].ref_id for k in group]
             names = {rid: self._names[rid] for rid in set(ref_ids)}
@@ -115,15 +115,23 @@ class CollapseSink:
                 for u in umis:
                     if u.symbol.isdigit():
                         union[u.symbol] = None
-            caps = {}
+            pre = caps[raw_i] if caps is not None and raw_i < len(caps) \
+                else {}
+            row_caps = {}
             for sym in union:
-                mask = (a_ref == ord(sym)) & valid
-                cnt = mask.sum(axis=1)
-                flat = a_read[mask]
-                bounds = np.concatenate(([0], np.cumsum(cnt)))
-                gapcnt = ((a_read == GAP_B) & mask).sum(axis=1)
-                caps[sym] = (cnt.tolist(), flat, bounds.tolist(),
-                             gapcnt.tolist())
+                if sym in pre:
+                    # reuse _fill_records_from_raw's capture arrays; gap
+                    # counts come from the flat capture via prefix sums
+                    cnt, flat, bounds = pre[sym]
+                else:
+                    mask = (a_ref == ord(sym)) & valid
+                    cnt = mask.sum(axis=1)
+                    flat = a_read[mask]
+                    bounds = np.concatenate(([0], np.cumsum(cnt)))
+                gap_cum = np.concatenate(([0], np.cumsum(flat == GAP_B)))
+                gapcnt = gap_cum[bounds[1:]] - gap_cum[bounds[:-1]]
+                row_caps[sym] = (cnt.tolist(), flat, bounds.tolist(),
+                                 gapcnt.tolist())
             for j, k in enumerate(group):
                 name = names[ref_ids[j]]
                 umis = self._ordered_umis.get(name)
@@ -136,7 +144,7 @@ class CollapseSink:
                 fallback = None
                 for u in umis:
                     if u.symbol.isdigit():
-                        cnt, flat, bounds, gapcnt = caps[u.symbol]
+                        cnt, flat, bounds, gapcnt = row_caps[u.symbol]
                         c = cnt[j]
                         if c == 0:
                             invalid = True  # missing capture: not collected
