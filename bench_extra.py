@@ -221,6 +221,20 @@ def bench_hifi(results):
         f"{results['hifi_chain_reads_per_s']} chain reads/s "
         f"({m['wfa_dp_fallbacks']} DP fallbacks, {checked} CIGARs checked)")
 
+    # dp-vs-wfa A/B on the SAME config (VERDICT r3 item 2c): the recorded
+    # pair justifies (or dethrones) WFA as the HiFi default engine
+    stats_dp, dt_dp, _c, m_dp, _p = _align_bench(
+        [("amplicon1", ref_seq, True)], write_reads, mode="hifi",
+        engine="dp")
+    assert m_dp["engine"] == "dp"
+    results["hifi_align_dp_reads_per_s"] = round(stats_dp.aligned / dt_dp, 1)
+    results["hifi_default_engine_winner"] = (
+        "wfa" if results["hifi_align_reads_per_s"]
+        >= results["hifi_align_dp_reads_per_s"] else "dp")
+    log(f"hifi A/B: wfa {results['hifi_align_reads_per_s']} vs dp "
+        f"{results['hifi_align_dp_reads_per_s']} reads/s -> winner "
+        f"{results['hifi_default_engine_winner']}")
+
 
 def bench_convex(results):
     """The convex (dual-affine) engine on a structural-variant config:
@@ -363,8 +377,12 @@ def bench_panel(results):
 
 
 def bench_wfa(results):
-    """WFA kernel rates at B=256, L=512, 5% divergence (the round-1
-    configuration that died on device; VERDICT next-3 asks it stable)."""
+    """WFA kernel rates at L=512, 5% divergence — PIPELINED: W independent
+    dispatches go out before any result is pulled, so the measurement is
+    compute-bound instead of fetch-latency-bound (VERDICT r3 weak-3: one
+    dispatch of B=256 measured the tunnel's per-dispatch latency, not the
+    kernel). The single-dispatch number is kept alongside so the latency
+    share stays visible."""
     from clique_tpu.align.wavefront import (
         wfa_affine_batch,
         wfa_affine_tb_batch,
@@ -372,29 +390,47 @@ def bench_wfa(results):
 
     rng = np.random.default_rng(3)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
-    B, L = (256 if SCALE >= 1 else 32), 512
-    refs = rng.choice(bases, (B, L)).astype(np.uint8)
-    reads = refs.copy()
-    subs = rng.random((B, L)) < 0.05
-    reads[subs] = rng.choice(bases, int(subs.sum()))
-    lens = np.full(B, L, dtype=np.int32)
+    L = 512
     smax = 192  # ~5% x 512 x penalty 4 = 102 expected; headroom 2x
 
-    for name, fn in (("wfa", wfa_affine_batch), ("wfa_tb",
-                                                 wfa_affine_tb_batch)):
-        out = fn(refs, reads, lens, lens, n1=L, n2=L, smax=smax)
-        scores = out[0] if isinstance(out, tuple) else out
-        np.asarray(scores)  # sync
+    def make(B):
+        refs = rng.choice(bases, (B, L)).astype(np.uint8)
+        reads = refs.copy()
+        subs = rng.random((B, L)) < 0.05
+        reads[subs] = rng.choice(bases, int(subs.sum()))
+        lens = np.full(B, L, dtype=np.int32)
+        return refs, reads, lens
+
+    # (kernel, in-flight dispatches, lanes per dispatch): run-table HBM
+    # bounds B; the tb kernel adds the [smax+1, B, K] op store
+    cfgs = (("wfa", wfa_affine_batch, 8, 1024 if SCALE >= 1 else 32),
+            ("wfa_tb", wfa_affine_tb_batch, 6, 512 if SCALE >= 1 else 32))
+    for name, fn, W, B in cfgs:
+        data = [make(B) for _ in range(W)]
+
+        def run(d):
+            refs, reads, lens = d
+            out = fn(refs, reads, lens, lens, n1=L, n2=L, smax=smax)
+            return out[0] if isinstance(out, tuple) else out
+
+        np.asarray(run(data[0]))       # compile + warm
         t0 = time.time()
-        out = fn(refs, reads, lens, lens, n1=L, n2=L, smax=smax)
-        scores = np.asarray(out[0] if isinstance(out, tuple) else out)
+        scores0 = np.asarray(run(data[0]))
+        dt1 = time.time() - t0
+        results[f"{name}_single_dispatch_cells_per_s"] = \
+            round(B * L * L / dt1)
+        t0 = time.time()
+        pend = [run(d) for d in data]  # all dispatches in flight
+        censored = 0
+        for p in pend:
+            censored += int((np.asarray(p) > smax).sum())
         dt = time.time() - t0
-        censored = int((scores > smax).sum())
-        cells = B * L * L
+        cells = W * B * L * L
         results[f"{name}_cells_per_s"] = round(cells / dt)
-        log(f"{name}: B={B} L={L} in {dt * 1e3:.0f}ms -> "
-            f"{cells / dt / 1e9:.1f} G dp-equiv cells/s "
-            f"({censored} censored)")
+        log(f"{name}: {W} x B={B} L={L} in {dt * 1e3:.0f}ms -> "
+            f"{cells / dt / 1e9:.1f} G dp-equiv cells/s pipelined "
+            f"({B * L * L / dt1 / 1e9:.1f} G single-dispatch, "
+            f"{censored} censored)")
 
 
 def main():

@@ -19,15 +19,22 @@ traceback stays with align/batch.py). Greedy extension advances one
 character per inner iteration across all lanes, exiting as soon as no lane
 can extend, so the inner loop runs ~(longest current run) times.
 
-On WFA2-lib's remaining component set (SURVEY 2.9): the dual-affine
-("convex") penalty model is wfa_affine2p_batch below; the adaptive
-heuristics (wavefront_heuristic.o: band reduction, score cutoffs) are
-deliberately NOT ported - they prune diagonals to save scalar work, but a
-TPU batch advances all [B, K] lanes in fixed-shape vector ops, so masking
-lanes saves nothing (the win here is the O(s^2) score bound itself plus
-batching); and the bidirectional low-memory bialign variant targets
-single gigabase-scale alignments, whereas amplicon batches bound s by
-read length and fit comfortably in HBM.
+On WFA2-lib's component set (SURVEY 2.9):
+- dual-affine ("convex") penalties: wfa_affine2p_batch / _tb_batch
+  (wavefront_compute_affine2p.o);
+- gap-linear penalties: wfa_linear_batch (wavefront_compute_linear.o);
+- adaptive heuristics (wavefront_heuristic.o) map to TPU as BAND
+  reduction, which shrinks the static [B, K] tensor shapes (masking
+  lanes would save nothing, but a smaller K does): every kernel first
+  applies the EXACT band |k| <= (smax - o) / e (exact_kband - zero
+  accuracy loss), and the `kband` argument opts into the narrower
+  heuristic band with WfaAligner retrying censored pairs unbanded
+  (score cutoffs are the s0/4x-escalation ladder in WfaAligner);
+- the bidirectional low-memory bialign (wavefront_bialign.o) exists to
+  bound traceback memory; here the op store is [smax+1, B, K] u8 with
+  the exact band and the backtrace pulls only the score-reachable
+  window, and ultra-long pairs route to the anchored/banded DP path -
+  same O(s)-memory goal, different mechanism (documented trade).
 """
 
 from __future__ import annotations
@@ -45,6 +52,22 @@ NEG = jnp.int32(-(1 << 30))
 
 def _is_wild(c):
     return (c < 58) | (c == 78)
+
+
+def exact_kband(smax: int, opens_extends) -> int:
+    """Largest |diagonal| any path with penalty <= smax can touch.
+
+    Reaching diagonal k requires |k| net indels, whose minimal cost over
+    the gap classes is min_i(o_i + e_i * |k|); inverting gives the exact
+    diagonal bound — every wavefront tensor shrinks from K = 2*smax+1 to
+    2*kband+1 with ZERO accuracy loss (unlike wavefront_heuristic.o's
+    band reduction, which may drop optimal paths; that heuristic mode is
+    the opt-in `kband` argument on the kernels)."""
+    kb = 0
+    for o, e in opens_extends:
+        if smax > o:
+            kb = max(kb, (smax - o) // max(e, 1))
+    return kb
 
 
 def _run_table(refs_i, reads_i, ks, l1, l2, wildcards: bool = False):
@@ -159,22 +182,110 @@ def wfa_edit_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("n1", "n2", "smax", "x", "e",
+                                    "wildcards", "kband"))
+def wfa_linear_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
+                     smax: int, x: int = 4, e: int = 2,
+                     wildcards: bool = False, kband: Optional[int] = None):
+    """Batched gap-LINEAR WFA (WFA2-lib's wavefront_compute_linear.o,
+    SURVEY 2.9): penalties mismatch=x, per-base indel=e, no gap-open term,
+    so only the M plane exists and the lookbacks are s-x (mismatch) and
+    s-e (indel from either neighbor diagonal). Returns the minimal
+    penalty [B] i32 (smax + 1 censored). Edit distance is the x=e=1
+    special case (wfa_edit_batch keeps its leaner loop)."""
+    B = refs.shape[0]
+    Kmax = min(n1 + n2, smax, smax // max(e, 1))
+    if kband is not None:
+        Kmax = min(Kmax, kband)
+    K = 2 * Kmax + 1
+    ks = jnp.arange(K, dtype=jnp.int32) - Kmax
+    hist = max(x, e) + 1
+
+    refs_i = refs.astype(jnp.int32)
+    reads_i = reads.astype(jnp.int32)
+    l1 = ref_lens[:, None].astype(jnp.int32)
+    l2 = read_lens[:, None].astype(jnp.int32)
+    k_target = (l1 - l2)[:, 0]
+    target_ok = jnp.abs(k_target) <= Kmax
+    k_target = jnp.clip(k_target, -Kmax, Kmax)
+
+    def clamp(offs):
+        v = offs - ks[None, :]
+        return jnp.where((offs <= l1) & (v <= l2) & (v >= 0) &
+                         (ks[None, :] >= -l2) & (ks[None, :] <= l1),
+                         offs, NEG)
+
+    def diag_valid(s):
+        return (jnp.abs(ks)[None, :] <= s) & \
+            (ks[None, :] >= -l2) & (ks[None, :] <= l1)
+
+    neg_wf = jnp.full((B, K), NEG, jnp.int32)
+    n1w = refs_i.shape[1]
+    run = _run_table(refs_i, reads_i, ks, l1, l2, wildcards=wildcards)
+    m0 = jnp.where((ks == 0)[None, :] & jnp.ones((B, 1), bool), 0, NEG)
+    m0 = _table_extend(m0, run, diag_valid(0), n1w)
+
+    M = jnp.full((hist, B, K), NEG, jnp.int32).at[0].set(m0)
+
+    def get_from(buf, s, back):
+        ok = s - back >= 0
+        return jnp.where(ok, buf[(s - back) % hist], neg_wf)
+
+    def done(m):
+        tgt = jnp.take_along_axis(m, (k_target + Kmax)[:, None], axis=1)[:, 0]
+        return target_ok & (tgt >= l1[:, 0])
+
+    def cond(state):
+        s, M, result = state
+        return (s < smax) & jnp.logical_not(jnp.all(result >= 0))
+
+    def body(state):
+        s, M_, result = state
+        s1 = s + 1
+        m_x = get_from(M_, s1, x)
+        m_e = get_from(M_, s1, e)
+        mism = jnp.where(m_x > NEG, m_x + 1, NEG)
+        from_del = jnp.pad(m_e[:, :-1], ((0, 0), (1, 0)),
+                           constant_values=NEG)
+        from_del = jnp.where(from_del > NEG, from_del + 1, NEG)
+        from_ins = jnp.pad(m_e[:, 1:], ((0, 0), (0, 1)),
+                           constant_values=NEG)
+        new = jnp.maximum(mism, jnp.maximum(from_del, from_ins))
+        vld = diag_valid(s1)
+        new = clamp(jnp.where(vld, new, NEG))
+        new = _table_extend(new, run, vld, n1w)
+        M_ = M_.at[s1 % hist].set(new)
+        result = jnp.where((result < 0) & done(new), s1, result)
+        return s1, M_, result
+
+    init_result = jnp.where(done(m0), 0, -1)
+    s, M, result = jax.lax.while_loop(cond, body,
+                                      (jnp.int32(0), M, init_result))
+    return jnp.where(result < 0, smax + 1, result)
+
+
+@functools.partial(jax.jit,
                    static_argnames=("n1", "n2", "smax", "x", "o", "e",
-                                    "wildcards"))
+                                    "wildcards", "kband"))
 def wfa_affine_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
                      smax: int, x: int = 4, o: int = 6, e: int = 2,
-                     wildcards: bool = False):
+                     wildcards: bool = False, kband: Optional[int] = None):
     """Batched gap-affine WFA: penalties mismatch=x, gap open=o, extend=e
     (match = 0). Returns the alignment penalty [B] i32 (smax+1 censored).
 
     Keeps a ring of the last `hist` wavefronts for the s-x / s-o-e / s-e
-    lookbacks. Diagonals are clamped to |k| <= smax: a wavefront at score
-    s only reaches |k| <= s, and pairs whose length difference exceeds
-    smax cost more than smax anyway (gap extend >= 1/diagonal), so they
-    censor identically. wildcards=True makes digit/N bytes extend as
-    matches (scoring_functions.rs:100-102's special-character rule)."""
+    lookbacks. Diagonals are clamped to the EXACT band |k| <=
+    (smax - o) // e (exact_kband: touching diagonal k costs at least
+    o + e*|k|, so wider diagonals censor identically while every tensor
+    shrinks ~e-fold). kband further narrows the band heuristically
+    (wavefront_heuristic.o's band reduction: may censor in-band-cost
+    paths that wander wider; callers escalate on censor).
+    wildcards=True makes digit/N bytes extend as matches
+    (scoring_functions.rs:100-102's special-character rule)."""
     B = refs.shape[0]
-    Kmax = min(n1 + n2, smax)
+    Kmax = min(n1 + n2, smax, exact_kband(smax, ((o, e),)))
+    if kband is not None:
+        Kmax = min(Kmax, kband)
     K = 2 * Kmax + 1
     ks = jnp.arange(K, dtype=jnp.int32) - Kmax
     hist = max(x, o + e, e) + 1
@@ -262,17 +373,21 @@ def wfa_affine_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("n1", "n2", "smax", "x", "o1", "e1",
-                                    "o2", "e2", "wildcards"))
+                                    "o2", "e2", "wildcards", "kband"))
 def wfa_affine2p_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
                        smax: int, x: int = 4, o1: int = 6, e1: int = 2,
-                       o2: int = 24, e2: int = 1, wildcards: bool = False):
+                       o2: int = 24, e2: int = 1, wildcards: bool = False,
+                       kband: Optional[int] = None):
     """Dual-affine ("convex" piecewise) WFA: gap cost is the minimum of two
     affine classes (o1 + k*e1, o2 + k*e2) - WFA2-lib's affine2p model
     (SURVEY 2.9), the practical convex-gap approximation. Returns the
     minimal penalty [B] i32 (smax + 1 censored). Diagonals clamped to
-    |k| <= smax (see wfa_affine_batch; every diagonal step costs >= 1)."""
+    the exact band (see wfa_affine_batch / exact_kband); kband opts into
+    the narrower heuristic band."""
     B = refs.shape[0]
-    Kmax = min(n1 + n2, smax)
+    Kmax = min(n1 + n2, smax, exact_kband(smax, ((o1, e1), (o2, e2))))
+    if kband is not None:
+        Kmax = min(Kmax, kband)
     K = 2 * Kmax + 1
     ks = jnp.arange(K, dtype=jnp.int32) - Kmax
     hist = max(x, o1 + e1, e1, o2 + e2, e2) + 1
@@ -365,10 +480,11 @@ def wfa_affine2p_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("n1", "n2", "smax", "x", "o", "e",
-                                    "wildcards"))
+                                    "wildcards", "kband"))
 def wfa_affine_tb_batch(refs, reads, ref_lens, read_lens, *, n1: int,
                         n2: int, smax: int, x: int = 4, o: int = 6,
-                        e: int = 2, wildcards: bool = False):
+                        e: int = 2, wildcards: bool = False,
+                        kband: Optional[int] = None):
     """Gap-affine WFA with traceback: alongside the penalty, records a
     packed op-choice byte per (score step, lane, diagonal) — the TPU
     answer to WFA2-lib's pcigar/backtrace blocks (wavefront_backtrace.o,
@@ -387,7 +503,9 @@ def wfa_affine_tb_batch(refs, reads, ref_lens, read_lens, *, n1: int,
     Returns (penalty [B] i32 (smax+1 censored), ops [smax+1, B, K] u8).
     """
     B = refs.shape[0]
-    Kmax = min(n1 + n2, smax)
+    Kmax = min(n1 + n2, smax, exact_kband(smax, ((o, e),)))
+    if kband is not None:
+        Kmax = min(Kmax, kband)
     K = 2 * Kmax + 1
     ks = jnp.arange(K, dtype=jnp.int32) - Kmax
     hist = max(x, o + e, e) + 1
@@ -495,11 +613,12 @@ def wfa_affine_tb_batch(refs, reads, ref_lens, read_lens, *, n1: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("n1", "n2", "smax", "x", "o1", "e1",
-                                    "o2", "e2", "wildcards"))
+                                    "o2", "e2", "wildcards", "kband"))
 def wfa_affine2p_tb_batch(refs, reads, ref_lens, read_lens, *, n1: int,
                           n2: int, smax: int, x: int = 4, o1: int = 6,
                           e1: int = 2, o2: int = 24, e2: int = 1,
-                          wildcards: bool = False):
+                          wildcards: bool = False,
+                          kband: Optional[int] = None):
     """Dual-affine ("convex") WFA with traceback: the affine op-byte scheme
     of wfa_affine_tb_batch extended to WFA2-lib's affine2p model
     (wavefront_compute_affine2p.o, SURVEY 2.9) — gap cost is
@@ -516,7 +635,9 @@ def wfa_affine2p_tb_batch(refs, reads, ref_lens, read_lens, *, n1: int,
 
     Returns (penalty [B] i32 (smax+1 censored), ops [smax+1, B, K] u8)."""
     B = refs.shape[0]
-    Kmax = min(n1 + n2, smax)
+    Kmax = min(n1 + n2, smax, exact_kband(smax, ((o1, e1), (o2, e2))))
+    if kband is not None:
+        Kmax = min(Kmax, kband)
     K = 2 * Kmax + 1
     ks = jnp.arange(K, dtype=jnp.int32) - Kmax
     hist = max(x, o1 + e1, e1, o2 + e2, e2) + 1
@@ -1047,7 +1168,7 @@ class WfaAligner:
                  batch_size: int = 512, length_quantum: int = 128,
                  wildcards: bool = True, s0: Optional[int] = None,
                  dp_fallback=None, model: str = "affine",
-                 o2: int = 24, e2: int = 1):
+                 o2: int = 24, e2: int = 1, kband: Optional[int] = None):
         if model not in ("affine", "affine2p"):
             raise ValueError(f"unknown WFA penalties model: {model}")
         self.model = model
@@ -1057,6 +1178,11 @@ class WfaAligner:
         self.quantum = length_quantum
         self.wildcards = wildcards
         self.s0 = s0
+        # optional heuristic diagonal band (wavefront_heuristic.o's band
+        # reduction): first-round kernels clamp |k| <= kband; censored
+        # pairs retry WITHOUT the band so accuracy is never lost, only a
+        # straggler pays twice. None = exact band only (default).
+        self.kband = kband
         self.dp_fallback = dp_fallback  # BatchAligner or None
         self.pairs_aligned = 0
         self.cells_filled = 0           # DP-equivalent n*m cells
@@ -1064,14 +1190,28 @@ class WfaAligner:
         self.post_seconds = 0.0
         self.fallbacks = 0
 
-    def _tb_kernel(self, a, b, la, lb, *, L, smax):
+    def _kmax(self, L: int, smax: int, kband: Optional[int]) -> int:
+        """The kernel's actual diagonal half-width for (L, smax): exact
+        band intersected with the heuristic band (must mirror the
+        kernels' Kmax computation for window slicing + memory sizing)."""
+        if self.model == "affine2p":
+            kb = exact_kband(smax, ((self.o, self.e), (self.o2, self.e2)))
+        else:
+            kb = exact_kband(smax, ((self.o, self.e),))
+        kmax = min(2 * L, smax, kb)
+        if kband is not None:
+            kmax = min(kmax, kband)
+        return kmax
+
+    def _tb_kernel(self, a, b, la, lb, *, L, smax, kband=None):
         if self.model == "affine2p":
             return wfa_affine2p_tb_batch(
                 a, b, la, lb, n1=L, n2=L, smax=smax, x=self.x, o1=self.o,
-                e1=self.e, o2=self.o2, e2=self.e2, wildcards=self.wildcards)
+                e1=self.e, o2=self.o2, e2=self.e2,
+                wildcards=self.wildcards, kband=kband)
         return wfa_affine_tb_batch(
             a, b, la, lb, n1=L, n2=L, smax=smax, x=self.x, o=self.o,
-            e=self.e, wildcards=self.wildcards)
+            e=self.e, wildcards=self.wildcards, kband=kband)
 
     def _backtrace(self, ops, scores, k_targets):
         if self.model == "affine2p":
@@ -1102,16 +1242,16 @@ class WfaAligner:
         default = (2 << 30) if self.model == "affine2p" else (512 << 20)
         return int(os.environ.get("CLIQUE_WFA_MEM_BUDGET", str(default)))
 
-    @staticmethod
-    def _chunk_bytes(B: int, L: int, smax: int) -> int:
+    def _chunk_bytes(self, B: int, L: int, smax: int,
+                     kband: Optional[int] = None) -> int:
         """Estimated kernel HBM footprint of one dispatched chunk: the
         [B, K, H] i16 run table dominates, plus the [smax+1, B, K] op
-        store."""
-        kmax = min(2 * L, smax)
-        K = 2 * kmax + 1
+        store. K follows the kernel's exact/heuristic band."""
+        K = 2 * self._kmax(L, smax, kband) + 1
         return 2 * B * K * ((L + 1) * 2 + (smax + 1))
 
-    def _mem_cap(self, L: int, smax: int) -> int:
+    def _mem_cap(self, L: int, smax: int,
+                 kband: Optional[int] = None) -> int:
         """Largest power-of-2 lane count whose chunk footprint fits the
         budget (_budget: CLIQUE_WFA_MEM_BUDGET, default 512MB affine /
         2GB affine2p) — long-read buckets
@@ -1120,7 +1260,7 @@ class WfaAligner:
         align_pairs accounts for by running it alone."""
         budget = self._budget()
         b = 32
-        while self._chunk_bytes(b * 2, L, smax) <= budget:
+        while self._chunk_bytes(b * 2, L, smax, kband) <= budget:
             b *= 2
         return b
 
@@ -1141,7 +1281,7 @@ class WfaAligner:
         for k in range(len(refs)):
             L = self._bucket_len(max(len(refs[k]), len(reads[k])))
             buckets.setdefault(L, []).append(k)
-        work = []                      # (L, smax, idxs)
+        work = []                      # (L, smax, idxs, kband)
         for L in sorted(buckets):
             if L + 1 >= (1 << 15):
                 # the i16 run table can't represent runs this long; the
@@ -1158,7 +1298,7 @@ class WfaAligner:
             # of wall pulling windows sized by the dropout lanes
             idxs = sorted(buckets[L],
                           key=lambda k: abs(len(refs[k]) - len(reads[k])))
-            work.append((L, smax, idxs))
+            work.append((L, smax, idxs, self.kband))
         wave_budget = 2 * self._budget()
         while work:
             # flatten this round's chunks, then run them in WAVES: chunks
@@ -1170,10 +1310,10 @@ class WfaAligner:
             # count; a single over-budget floor chunk (see _mem_cap) runs
             # as its own wave, matching the old chunk-serial peak.
             chunks = []
-            for (L, smax, idxs) in work:
-                cap = min(self.batch_size, self._mem_cap(L, smax))
+            for (L, smax, idxs, kband) in work:
+                cap = min(self.batch_size, self._mem_cap(L, smax, kband))
                 for lo in range(0, len(idxs), cap):
-                    chunks.append((L, smax, idxs[lo:lo + cap]))
+                    chunks.append((L, smax, idxs[lo:lo + cap], kband))
             censored: dict = {}        # (L, smax) -> [indices]
             pos = 0
             while pos < len(chunks):
@@ -1181,9 +1321,9 @@ class WfaAligner:
                 disp = []
                 used = 0
                 while pos < len(chunks):
-                    L, smax, chunk = chunks[pos]
+                    L, smax, chunk, kband = chunks[pos]
                     B = self._ceil_b(len(chunk))
-                    nbytes = self._chunk_bytes(B, L, smax)
+                    nbytes = self._chunk_bytes(B, L, smax, kband)
                     if disp and used + nbytes > wave_budget:
                         break
                     used += nbytes
@@ -1198,12 +1338,13 @@ class WfaAligner:
                         b[j, :len(d)] = np.frombuffer(d, dtype=np.uint8)
                         la[j], lb[j] = len(r), len(d)
                     scores, ops = self._tb_kernel(a, b, la, lb, L=L,
-                                                  smax=smax)
-                    disp.append([chunk, L, smax, la, lb, scores, ops])
+                                                  smax=smax, kband=kband)
+                    disp.append([chunk, L, smax, kband, la, lb, scores,
+                                 ops])
                 # phase B: overlap every score transfer
                 for d in disp:
                     try:
-                        d[5].copy_to_host_async()
+                        d[6].copy_to_host_async()
                     except Exception:
                         pass
                 # phase C: dispatch every backtrace-window slice (async),
@@ -1216,13 +1357,13 @@ class WfaAligner:
                 # tunnel. Window dims quantize to x16 so each (B, L, smax)
                 # bucket reuses a handful of compiled slices.
                 staged = []
-                for (chunk, L, smax, la, lb, scores, ops) in disp:
+                for (chunk, L, smax, kband, la, lb, scores, ops) in disp:
                     sc = np.asarray(scores)[:len(chunk)]
                     alive = sc <= smax
                     win = None
                     if alive.any():
                         s_star = int(sc[alive].max())
-                        kmax = min(2 * L, smax)
+                        kmax = self._kmax(L, smax, kband)
                         rows = min(smax + 1, -(-(s_star + 1) // 16) * 16)
                         w = min(kmax, rows - 1)
                         win = ops[:rows, :, kmax - w:kmax + w + 1]
@@ -1253,7 +1394,9 @@ class WfaAligner:
                         results[k] = (ra, da, cig, -float(sc[j]))
                         self.cells_filled += len(refs[k]) * len(reads[k])
                 del staged
-            # next round: censored chunks retry at 4x the score ceiling
+            # next round: censored chunks retry at 4x the score ceiling,
+            # and WITHOUT the heuristic band (a band censor may just mean
+            # the optimal path wandered wide, not that the score is high)
             work = []
             for (L, smax), idxs in censored.items():
                 if not idxs:
@@ -1261,7 +1404,7 @@ class WfaAligner:
                 if smax > 2 * L:
                     fallback.extend(idxs)
                 else:
-                    work.append((L, smax * 4, idxs))
+                    work.append((L, smax * 4, idxs, None))
         self.device_seconds += time.time() - t0
         self.pairs_aligned += len(refs)
         if fallback:

@@ -384,3 +384,117 @@ def test_wfa_aligner_convex_model():
     dels = [(n, op) for n, op in cig1 if op == "D"]
     assert dels == [(48, "D")]
     assert -score1 == 24 + 48 * 1
+
+
+def _linear_penalty(a, b, x, e):
+    """Reference gap-linear minimal penalty (match 0, mismatch x, indel e
+    per base, no open) via plain DP - the wavefront_compute_linear.o
+    golden."""
+    m, n = len(a), len(b)
+    d = np.zeros((m + 1, n + 1), dtype=int)
+    d[:, 0] = np.arange(m + 1) * e
+    d[0, :] = np.arange(n + 1) * e
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            sub = 0 if a[i - 1] == b[j - 1] else x
+            d[i, j] = min(d[i - 1, j] + e, d[i, j - 1] + e,
+                          d[i - 1, j - 1] + sub)
+    return d[m, n]
+
+
+def test_wfa_linear_random_pairs():
+    from clique_tpu.align.wavefront import wfa_linear_batch
+
+    L = 48
+    for x, e in ((4, 2), (3, 1), (2, 5)):
+        refs, reads, la, lb, want = [], [], [], [], []
+        for _ in range(12):
+            a = RNG.choice(BASES, int(RNG.integers(12, L))).tobytes()
+            b = mutate(a, sub=0.12, indel=0.08)[:L]
+            refs.append(a)
+            reads.append(b)
+            want.append(_linear_penalty(a, b, x, e))
+        B = len(refs)
+        A = np.zeros((B, L), np.uint8)
+        Bm = np.zeros((B, L), np.uint8)
+        for i, (a, b) in enumerate(zip(refs, reads)):
+            A[i, :len(a)] = np.frombuffer(a, np.uint8)
+            Bm[i, :len(b)] = np.frombuffer(b, np.uint8)
+        la = np.array([len(a) for a in refs], np.int32)
+        lb = np.array([len(b) for b in reads], np.int32)
+        got = np.asarray(wfa_linear_batch(A, Bm, la, lb, n1=L, n2=L,
+                                          smax=256, x=x, e=e))
+        assert got.tolist() == want, (x, e, got.tolist(), want)
+
+
+def test_wfa_linear_censoring_and_identity():
+    from clique_tpu.align.wavefront import wfa_linear_batch
+
+    a = np.frombuffer(b"ACGTACGTACGT", np.uint8)[None, :].copy()
+    la = np.array([12], np.int32)
+    assert int(np.asarray(wfa_linear_batch(
+        a, a, la, la, n1=12, n2=12, smax=16, x=4, e=2))[0]) == 0
+    b = np.frombuffer(b"TGCATGCATGCA", np.uint8)[None, :].copy()
+    out = wfa_linear_batch(a, b, la, la, n1=12, n2=12, smax=7, x=4, e=2)
+    assert int(np.asarray(out)[0]) == 8  # censored at smax + 1
+
+
+def test_exact_kband_preserves_scores():
+    """The exact diagonal band (exact_kband) must not change any score:
+    A/B the affine kernel against a build with the band widened to the
+    old smax clamp via the kband argument."""
+    from clique_tpu.align.wavefront import wfa_affine_batch
+
+    L, x, o, e = 64, 4, 6, 2
+    refs, reads = [], []
+    for _ in range(16):
+        a = RNG.choice(BASES, L).tobytes()
+        refs.append(a)
+        reads.append(mutate(a, sub=0.1, indel=0.08)[:L])
+    A = np.zeros((len(refs), L), np.uint8)
+    Bm = np.zeros((len(refs), L), np.uint8)
+    for i, (a, b) in enumerate(zip(refs, reads)):
+        A[i, :len(a)] = np.frombuffer(a, np.uint8)
+        Bm[i, :len(b)] = np.frombuffer(b, np.uint8)
+    la = np.array([len(a) for a in refs], np.int32)
+    lb = np.array([len(b) for b in reads], np.int32)
+    smax = 128
+    banded = np.asarray(wfa_affine_batch(A, Bm, la, lb, n1=L, n2=L,
+                                         smax=smax, x=x, o=o, e=e))
+    wide = np.asarray(wfa_affine_batch(A, Bm, la, lb, n1=L, n2=L,
+                                       smax=smax, x=x, o=o, e=e,
+                                       kband=smax))
+    assert banded.tolist() == wide.tolist()
+    for a, b, got in zip(refs, reads, banded):
+        if got <= smax:
+            assert got == _affine_penalty(a, b, x, o, e)
+
+
+def test_heuristic_kband_censors_then_aligner_recovers():
+    """A too-narrow heuristic band censors wide-wandering pairs; the
+    WfaAligner retries without the band and still returns the exact
+    penalty (wavefront_heuristic.o semantics with honest escalation)."""
+    from clique_tpu.align.wavefront import (
+        WfaAligner,
+        cigar_penalty,
+        wfa_affine_batch,
+    )
+
+    a = (b"ACGT" * 10) + b"GGGGGGGGGGGGGGGGGGGG" + (b"TTCA" * 10)
+    b = (b"ACGT" * 10) + (b"TTCA" * 10)      # 20bp deletion
+    L = 128
+    A = np.zeros((1, L), np.uint8)
+    Bm = np.zeros((1, L), np.uint8)
+    A[0, :len(a)] = np.frombuffer(a, np.uint8)
+    Bm[0, :len(b)] = np.frombuffer(b, np.uint8)
+    la = np.array([len(a)], np.int32)
+    lb = np.array([len(b)], np.int32)
+    narrow = np.asarray(wfa_affine_batch(
+        A, Bm, la, lb, n1=L, n2=L, smax=96, x=4, o=6, e=2, kband=4))[0]
+    assert narrow == 97  # |k_target| = 20 > band -> censored
+
+    aligner = WfaAligner(kband=4, batch_size=8)
+    (ra, da, cig, score), = aligner.align_pairs([a], [b])
+    want = _affine_penalty(a, b, 4, 6, 2)
+    assert -score == want
+    assert cigar_penalty(cig, a, b, x=4, o=6, e=2) == want
