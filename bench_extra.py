@@ -3,9 +3,11 @@
 
 Writes BENCH_SECONDARY.json next to this file:
 - hifi_align_reads_per_s / hifi_chain_reads_per_s: config 2 - PacBio-HiFi
-  low-error preset, WFA engine (the `--mode hifi` default path), align
-  alone and the full align+collapse chain; a CIGAR sample is verified
-  against the WFA penalty invariant.
+  low-error preset through the WFA engine (`--engine wfa`), align alone
+  and the full align+collapse chain; a CIGAR sample is verified against
+  the WFA penalty invariant. hifi_align_dp_reads_per_s is the same
+  config through the exact DP; the recorded winner justifies the
+  `--mode hifi` default engine.
 - convex_align_reads_per_s: the dual-affine (`--engine convex`) engine on
   a structural-variant config (30-80bp cassette dropouts), with the
   fraction of dropouts kept as a single D run and a dual-affine penalty
@@ -208,7 +210,7 @@ def bench_hifi(results):
 
     stats, dt, _cls, m, (collapse_dt, checked) = _align_bench(
         [("amplicon1", ref_seq, True)], write_reads, post=post,
-        mode="hifi")
+        mode="hifi", engine="wfa")
     assert m["engine"] == "wfa"
     results["hifi_align_reads_per_s"] = round(stats.aligned / dt, 1)
     results["hifi_chain_reads_per_s"] = round(

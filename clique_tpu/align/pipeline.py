@@ -555,7 +555,15 @@ def align_reads(
     writer stream receiving every aligned result in BAM write order, so
     a fused chain ingests collapse input without re-parsing the BAM."""
     if engine is None:
-        engine = "wfa" if mode == "hifi" else "dp"
+        # default engine for EVERY mode is the exact 3-plane DP: the
+        # recorded dp-vs-wfa A/B on the HiFi config (BENCH_SECONDARY
+        # hifi_align_dp_reads_per_s vs hifi_align_wfa_reads_per_s,
+        # VERDICT r3 item 2c) has the batched DP fill decisively faster
+        # at amplicon lengths - the anti-diagonal scan saturates the
+        # chip while WFA's sequential score loop cannot. WFA remains the
+        # opt-in engine (--engine wfa/convex) where its O(ns) bound or
+        # penalty models matter (long reads, structural variants).
+        engine = "dp"
     if scoring is None:
         scoring = AffineScoring.hifi_default() if mode == "hifi" \
             else AffineScoring.aligner_default()

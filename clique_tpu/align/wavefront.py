@@ -71,17 +71,22 @@ def exact_kband(smax: int, opens_extends) -> int:
 
 
 def _run_table(refs_i, reads_i, ks, l1, l2, wildcards: bool = False):
-    """Greedy-extension run lengths, precomputed: run[b, k, h] = number of
-    consecutive matching characters along diagonal k starting at offset h
-    (0 where (h, h-k) is out of bounds).
+    """Packed greedy-extension tables: per (lane, diagonal), a 32x-packed
+    match BITMAP over offsets plus a word-run table of consecutive
+    all-match words.
 
     The naive extension loop advances one character per `while_loop`
     iteration with a [B, K] gather per check — per-step dynamic gathers
-    are pathologically slow on TPU, and low-divergence reads extend
-    across nearly their whole length, so that loop dominated every WFA
-    kernel. This table is built once per kernel call from pure
-    elementwise ops + one reverse cummin, and each extension becomes a
-    single take_along_axis on it."""
+    are pathologically slow on TPU. An unpacked [B, K, H] run-length
+    table fixed the gather count but made every score step stream the
+    whole table from HBM (196MB at B=1024, L=512 — the kernels were
+    HBM-bound on it). The bitmap form is 16x smaller: each extension
+    reads [B, K, W=ceil(H/32)] words via one-hot lane reductions and
+    counts leading matches with popcount arithmetic (_table_extend).
+
+    Returns (bits [B, K, W] uint32 — bit j of word w = match at offset
+    32w+j; wordrun [B, K, W] int32 — consecutive all-match words from w).
+    """
     B, n1w = refs_i.shape
     n2w = reads_i.shape[1]
     K = ks.shape[0]
@@ -99,26 +104,59 @@ def _run_table(refs_i, reads_i, ks, l1, l2, wildcards: bool = False):
     ok = (h[None, None, :] < l1b) & (v[None, :, :] >= 0) & \
         (v[None, :, :] < l2b)
     eq = eq & ok
-    # next non-match position at or after h, via reverse cummin
-    z = jnp.where(eq, jnp.int32(H), h[None, None, :])
+    W = (H + 31) // 32
+    eqp = jnp.pad(eq, ((0, 0), (0, 0), (0, W * 32 - H)))
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    bits = jnp.sum(eqp.reshape(B, K, W, 32).astype(jnp.uint32)
+                   * weights, axis=3, dtype=jnp.uint32)
+    full = bits == jnp.uint32(0xFFFFFFFF)
+    iw = jnp.arange(W, dtype=jnp.int32)
+    z = jnp.where(full, jnp.int32(W), iw[None, None, :])
     nz = jnp.flip(jax.lax.cummin(jnp.flip(z, axis=-1), axis=2), axis=-1)
-    # i16 halves the dominant HBM buffer; run lengths <= H, which must
-    # stay below 2^15 or they wrap negative and corrupt every extension
-    # (WfaAligner routes longer pairs to the DP fallback)
-    if H >= (1 << 15):
-        raise ValueError(
-            f"WFA run table: padded width {n1w} overflows the i16 run "
-            f"lengths (limit {(1 << 15) - 2}); route longer reads to the "
-            "exact-DP path")
-    return (nz - h[None, None, :]).astype(jnp.int16)   # [B, K, H]
+    wordrun = nz - iw[None, None, :]
+    # word runs <= W <= 1024 for any representable pair; u16 quarters the
+    # per-step stream (the extend loop reads this table every score step)
+    return bits, wordrun.astype(jnp.uint16)
+
+
+def _ctz32(x):
+    """Count trailing zeros of a uint32 (32 for x == 0)."""
+    low = x & (jnp.uint32(0) - x)
+    return jax.lax.population_count(low - jnp.uint32(1))
 
 
 def _table_extend(offsets, run, valid, n1w: int):
-    """One-gather greedy extension against a _run_table."""
+    """Greedy extension against the packed _run_table: one-hot word
+    selects (gathers serialize on TPU; iota-compare + sum streams at
+    full HBM bandwidth) + popcount trailing-ones arithmetic. A run is
+    (matches to the end of the starting word) + 32 * (consecutive
+    all-match words) + (leading matches of the word after)."""
+    bits, wordrun = run
     ok = valid & (offsets > NEG) & (offsets >= 0)
     offc = jnp.clip(offsets, 0, n1w)
-    r = jnp.take_along_axis(run, offc[:, :, None], axis=2)[:, :, 0]
-    return jnp.where(ok, offsets + r.astype(jnp.int32), offsets)
+    w0 = offc >> 5
+    b0 = (offc & 31).astype(jnp.uint32)
+    W = bits.shape[2]
+    iw = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    sel0 = iw == w0[:, :, None]
+    word0 = jnp.sum(jnp.where(sel0, bits, jnp.uint32(0)), axis=2,
+                    dtype=jnp.uint32)
+    rem = word0 >> b0                 # matches from offset, LSB-aligned
+    full_tail = rem == (jnp.uint32(0xFFFFFFFF) >> b0)
+    c0 = _ctz32(~rem).astype(jnp.int32)
+    # tail ran to the word end: add full words + the next word's prefix
+    w1a = w0 + 1
+    sel1a = iw == w1a[:, :, None]
+    wr = jnp.sum(jnp.where(sel1a, wordrun, jnp.uint16(0)).astype(jnp.int32),
+                 axis=2)
+    w1 = w1a + wr
+    sel1 = iw == w1[:, :, None]
+    word1 = jnp.sum(jnp.where(sel1, bits, jnp.uint32(0)), axis=2,
+                    dtype=jnp.uint32)
+    c1 = _ctz32(~word1).astype(jnp.int32)
+    ext2 = (jnp.int32(32) - b0.astype(jnp.int32)) + 32 * wr + c1
+    ext = jnp.where(full_tail, ext2, c0)
+    return jnp.where(ok, offsets + ext, offsets)
 
 
 @functools.partial(jax.jit, static_argnames=("n1", "n2", "smax"))
@@ -149,8 +187,12 @@ def wfa_edit_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
     m0 = jnp.where((ks == 0)[None, :] & jnp.ones((B, 1), bool), 0, NEG)
     m0 = _table_extend(m0, run, diag_valid(0), n1w)
 
+    tgt_mask = ks[None, :] == k_target[:, None]
+
     def done(m):
-        tgt = jnp.take_along_axis(m, (k_target + Kmax)[:, None], axis=1)[:, 0]
+        # fixed one-hot mask + max instead of a per-step gather (the
+        # take_along_axis serialized on TPU; see _table_extend)
+        tgt = jnp.max(jnp.where(tgt_mask, m, NEG), axis=1)
         return target_ok & (tgt >= l1[:, 0])
 
     def cond(state):
@@ -231,8 +273,12 @@ def wfa_linear_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
         ok = s - back >= 0
         return jnp.where(ok, buf[(s - back) % hist], neg_wf)
 
+    tgt_mask = ks[None, :] == k_target[:, None]
+
     def done(m):
-        tgt = jnp.take_along_axis(m, (k_target + Kmax)[:, None], axis=1)[:, 0]
+        # fixed one-hot mask + max instead of a per-step gather (the
+        # take_along_axis serialized on TPU; see _table_extend)
+        tgt = jnp.max(jnp.where(tgt_mask, m, NEG), axis=1)
         return target_ok & (tgt >= l1[:, 0])
 
     def cond(state):
@@ -324,8 +370,12 @@ def wfa_affine_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
         ok = s - back >= 0
         return jnp.where(ok, buf[idx], neg_wf)
 
+    tgt_mask = ks[None, :] == k_target[:, None]
+
     def done(m):
-        tgt = jnp.take_along_axis(m, (k_target + Kmax)[:, None], axis=1)[:, 0]
+        # fixed one-hot mask + max instead of a per-step gather (the
+        # take_along_axis serialized on TPU; see _table_extend)
+        tgt = jnp.max(jnp.where(tgt_mask, m, NEG), axis=1)
         return target_ok & (tgt >= l1[:, 0])
 
     def cond(state):
@@ -424,8 +474,12 @@ def wfa_affine2p_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
         ok = s - back >= 0
         return jnp.where(ok, buf[(s - back) % hist], neg_wf)
 
+    tgt_mask = ks[None, :] == k_target[:, None]
+
     def done(m):
-        tgt = jnp.take_along_axis(m, (k_target + Kmax)[:, None], axis=1)[:, 0]
+        # fixed one-hot mask + max instead of a per-step gather (the
+        # take_along_axis serialized on TPU; see _table_extend)
+        tgt = jnp.max(jnp.where(tgt_mask, m, NEG), axis=1)
         return target_ok & (tgt >= l1[:, 0])
 
     def cond(state):
@@ -548,9 +602,10 @@ def wfa_affine_tb_batch(refs, reads, ref_lens, read_lens, *, n1: int,
         ok = s - back >= 0
         return jnp.where(ok, buf[idx], neg_wf)
 
+    tgt_mask = ks[None, :] == k_target_c[:, None]
+
     def done(m):
-        tgt = jnp.take_along_axis(
-            m, (k_target_c + Kmax)[:, None], axis=1)[:, 0]
+        tgt = jnp.max(jnp.where(tgt_mask, m, NEG), axis=1)
         return target_ok & (tgt >= l1[:, 0])
 
     def cond(state):
@@ -677,9 +732,10 @@ def wfa_affine2p_tb_batch(refs, reads, ref_lens, read_lens, *, n1: int,
         ok = s - back >= 0
         return jnp.where(ok, buf[idx], neg_wf)
 
+    tgt_mask = ks[None, :] == k_target_c[:, None]
+
     def done(m):
-        tgt = jnp.take_along_axis(
-            m, (k_target_c + Kmax)[:, None], axis=1)[:, 0]
+        tgt = jnp.max(jnp.where(tgt_mask, m, NEG), axis=1)
         return target_ok & (tgt >= l1[:, 0])
 
     def cond(state):
@@ -1245,10 +1301,13 @@ class WfaAligner:
     def _chunk_bytes(self, B: int, L: int, smax: int,
                      kband: Optional[int] = None) -> int:
         """Estimated kernel HBM footprint of one dispatched chunk: the
-        [B, K, H] i16 run table dominates, plus the [smax+1, B, K] op
-        store. K follows the kernel's exact/heuristic band."""
+        [smax+1, B, K] op store plus the packed [B, K, W] bitmap/wordrun
+        tables (8 bytes per 32 offsets) and the [B, K, H] bool eq
+        intermediate the table build materializes. K follows the
+        kernel's exact/heuristic band."""
         K = 2 * self._kmax(L, smax, kband) + 1
-        return 2 * B * K * ((L + 1) * 2 + (smax + 1))
+        W = (L + 33) // 32
+        return B * K * ((smax + 1) + 8 * W + (L + 2))
 
     def _mem_cap(self, L: int, smax: int,
                  kband: Optional[int] = None) -> int:
@@ -1284,8 +1343,8 @@ class WfaAligner:
         work = []                      # (L, smax, idxs, kband)
         for L in sorted(buckets):
             if L + 1 >= (1 << 15):
-                # the i16 run table can't represent runs this long; the
-                # exact DP handles ultra-long pairs
+                # ultra-long pairs: the op store at smax ~ L/4 would be
+                # enormous; the anchored/banded exact DP handles these
                 fallback.extend(buckets[L])
                 continue
             smax = self.s0 if self.s0 is not None else max(64, L // 4)
