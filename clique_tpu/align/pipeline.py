@@ -537,12 +537,12 @@ def align_reads(
     penalty model, WFA2-lib's affine2p — wavefront_compute_affine2p.o,
     SURVEY 2.9: long gaps pay min(o1+n*e1, o2+n*e2)). The reference
     parses --aligner=wfa but never uses it (main.rs:127-133,
-    alignment_functions.rs:74); we honor the intent: WFA is the default
-    engine for HiFi mode (low divergence = small wavefront score = O(ns)
-    work) and opt-in elsewhere; scores on the WFA path are negated
-    penalties, and the multi-reference exhaustive search ranks candidates
-    by minimal penalty (last-minimum tie order, matching the last-maximum
-    Rust max_by quirk).
+    alignment_functions.rs:74). The default for every mode is "dp" per
+    the recorded dp-vs-wfa A/B (see below); the WFA engines are opt-in
+    where their O(ns) bound or penalty models matter. Scores on the WFA
+    path are negated penalties, and the multi-reference exhaustive
+    search ranks candidates by minimal penalty (last-minimum tie order,
+    matching the last-maximum Rust max_by quirk).
 
     read_shard: (rank, world) — process only the read chunks dealt to this
     rank (chunks of _SHARD_CHUNK read sets, round-robin by chunk index:

@@ -100,6 +100,8 @@ def main(argv=None) -> int:
     p_collapse.add_argument("--threads", type=int, default=1)
     p_collapse.add_argument("--temp-dir", default="NONE")
     p_collapse.add_argument("--input-bam-file", required=True)
+    # accepted-and-ignored like the reference: main.rs:228 destructures
+    # the Collapse flag to `find_inversions: _` and never uses it
     p_collapse.add_argument("--find-inversions", action="store_true")
     p_collapse.add_argument("--fast-reference-lookup", action="store_true")
     p_collapse.add_argument("--max-deletion", type=int, default=0)

@@ -99,6 +99,63 @@ def test_alleles_pinned(pipeline_outputs):
     assert got == want, "allele table drifted"
 
 
+GOLDEN_PE = os.path.join(ROOT, "tests", "data", "golden_pe")
+
+
+@pytest.fixture(scope="module")
+def pe_outputs(tmp_path_factory):
+    mg = _load_make_golden()
+    workdir = str(tmp_path_factory.mktemp("golden_pe_run"))
+    aligned, collapsed, alleles = mg.run_pe_pipeline(workdir)
+    return mg, aligned, collapsed, alleles
+
+
+@pytest.mark.parametrize("name", ["aligned.bam", "collapsed.bam"])
+def test_pe_bam_payload_pinned(pe_outputs, name):
+    """Paired-end merge (merger.rs:348 overlap-consensus path) byte pin:
+    the Align merge strategy's full chain output must stay byte-stable
+    (VERDICT r3 item 8)."""
+    _, aligned, collapsed, _ = pe_outputs
+    fresh = aligned if name == "aligned.bam" else collapsed
+    got = _inflate_bgzf(fresh)
+    want = _inflate_bgzf(os.path.join(GOLDEN_PE, name))
+    assert got == want, f"golden_pe {name} payload drifted"
+
+
+def test_pe_alleles_pinned(pe_outputs):
+    _, _, _, alleles = pe_outputs
+    with open(alleles) as fh:
+        got = fh.read()
+    with open(os.path.join(GOLDEN_PE, "alleles.tsv")) as fh:
+        want = fh.read()
+    assert got == want, "golden_pe allele table drifted"
+
+
+def test_pe_inputs_frozen(tmp_path):
+    mg = _load_make_golden()
+    mg.write_pe_inputs(str(tmp_path))
+    for name in ("reads1.fastq.gz", "reads2.fastq.gz", "allowlist.txt",
+                 "layout.yaml.in"):
+        with open(os.path.join(GOLDEN_PE, name), "rb") as fh:
+            want = fh.read()
+        assert (tmp_path / name).read_bytes() == want, \
+            f"golden_pe input generator drifted for {name}"
+
+
+def test_inversion_pinned(tmp_path):
+    """Inversion-path byte pin on the big-inversion fixture
+    (linked_alignment.rs:619-689). Pinned at the alignment level, not as
+    BAM — the reference panics converting InversionOpen/Close to SAM ops
+    (alignment_matrix.rs:103-104), so no BAM form exists."""
+    mg = _load_make_golden()
+    fresh = mg.run_inversion(str(tmp_path))
+    with open(fresh) as fh:
+        got = fh.read()
+    with open(os.path.join(GOLDEN, "inversion.tsv")) as fh:
+        want = fh.read()
+    assert got == want, "inversion alignment drifted from the golden pin"
+
+
 def test_golden_inputs_frozen(tmp_path):
     """The generator's input-minting is deterministic and matches the
     vendored inputs — guards against silently regenerating a different

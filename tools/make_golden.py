@@ -108,16 +108,113 @@ def write_inputs(target_dir: str = GOLDEN):
             fh.write(raw)
 
 
-def _load_layout(workdir, name="layout.yaml"):
+GOLDEN_PE = os.path.join(ROOT, "tests", "data", "golden_pe")
+
+PE_LAYOUT_TEMPLATE = f"""known_strand: true
+merge: "Align"
+reads:
+  - !Read1
+    orientation: Forward
+  - !Read2
+    orientation: Forward
+references:
+  amp1:
+    sequence: "{REF_SEQ}"
+    targets: ["{TARGETS[0]}", "{TARGETS[1]}"]
+    target_types: ["Cas9WT", "Cas9WT"]
+    umi_configurations:
+      cell_id:
+        symbol: '0'
+        file: "@ALLOWLIST@"
+        sort_type: "KnownTag"
+        length: 16
+        order: 0
+        max_distance: 2
+        levenshtein_distance: false
+      umi:
+        symbol: '1'
+        sort_type: "DegenerateTag"
+        length: 12
+        order: 1
+        max_distance: 2
+"""
+
+
+def write_pe_inputs(target_dir: str = GOLDEN_PE):
+    """Mint the paired-end golden inputs (VERDICT r3 item 8: the byte
+    pin must also cover the merger path — merger.rs:348
+    merge_reads_by_alignment overlap consensus with PHRED combination).
+
+    Same amplicon and 2-level hierarchy as the single-end golden, but
+    each read arrives as an R1/R2 pair: R1 = the first 80bp at high
+    quality, R2 = revcomp of the last 80bp at lower quality, overlapping
+    in the middle so the Align merge strategy must reconstruct the full
+    read, resolve overlap disagreements by quality, and combine agreeing
+    PHREDs."""
+    from clique_tpu.utils.seq import reverse_complement
+
+    os.makedirs(target_dir, exist_ok=True)
+    rng = np.random.default_rng(20260819)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    allow = [rng.choice(bases, 16).tobytes().decode() for _ in range(6)]
+    with open(os.path.join(target_dir, "allowlist.txt"), "w") as fh:
+        fh.write("\n".join(allow) + "\n")
+    with open(os.path.join(target_dir, "layout.yaml.in"), "w") as fh:
+        fh.write(PE_LAYOUT_TEMPLATE)
+
+    n_cells = 4
+    umis = [[rng.choice(bases, 12).tobytes().decode() for _ in range(2)]
+            for _ in range(n_cells)]
+    cut = REF_SEQ.index(TARGETS[0]) + 14
+    r1_records, r2_records = [], []
+    i = 0
+    for c in range(n_cells):
+        for u in range(2):
+            for k in range(3):
+                read = REF_SEQ.replace("0" * 16, allow[c]).replace(
+                    "1" * 12, umis[c][u])
+                if c % 2 == 0:
+                    read = read[:cut] + read[cut + 3:]
+                arr = np.frombuffer(read.encode(), np.uint8).copy()
+                subs = rng.random(len(arr)) < 0.01
+                arr[subs] = rng.choice(bases, int(subs.sum()))
+                full = arr.tobytes().decode()
+                r1 = full[:80]
+                r2 = reverse_complement(full[-80:].encode()).decode()
+                if k == 2:
+                    # one disagreeing base inside the overlap zone on the
+                    # LOW-quality mate: the merge must keep R1's call
+                    # (merger.rs:470-490 higher-quality base wins)
+                    pos = len(full) - 80 + 10   # inside R2, overlap zone
+                    r2l = list(r2)
+                    r2pos = len(full) - pos - 1  # revcomp coordinate
+                    r2l[r2pos] = {"A": "C", "C": "G", "G": "T",
+                                  "T": "A"}[r2l[r2pos]]
+                    r2 = "".join(r2l)
+                r1_records.append((f"p{i}", r1, "I" * len(r1)))
+                r2_records.append((f"p{i}", r2, "5" * len(r2)))
+                i += 1
+    for name, records in (("reads1.fastq.gz", r1_records),
+                          ("reads2.fastq.gz", r2_records)):
+        raw = "".join(f"@{nm}\n{seq}\n+\n{q}\n"
+                      for nm, seq, q in records).encode()
+        with open(os.path.join(target_dir, name), "wb") as out:
+            with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as fh:
+                fh.write(raw)
+
+
+def _load_layout(workdir, name="layout.yaml", golden_dir=None):
     """Template the frozen layout (allowlist path substituted) and parse
     it, returning (layout, ReferenceManager)."""
     from clique_tpu.config.layout import SequenceLayout
     from clique_tpu.reference.manager import ReferenceManager
 
+    gd = golden_dir or GOLDEN
     layout_path = os.path.join(workdir, name)
-    with open(os.path.join(GOLDEN, "layout.yaml.in")) as fh:
+    with open(os.path.join(gd, "layout.yaml.in")) as fh:
         text = fh.read().replace(
-            "@ALLOWLIST@", os.path.join(GOLDEN, "allowlist.txt"))
+            "@ALLOWLIST@", os.path.join(gd, "allowlist.txt"))
     with open(layout_path, "w") as fh:
         fh.write(text)
     layout = SequenceLayout.from_yaml(layout_path)
@@ -138,6 +235,60 @@ def run_pipeline(workdir):
     alleles = os.path.join(workdir, "alleles.tsv")
     call_events_from_bam(layout, collapsed, alleles, min_read_count=1)
     return aligned, collapsed, alleles
+
+
+def run_pe_pipeline(workdir):
+    """Paired-end align (merge Align) -> collapse -> call on the
+    golden_pe inputs."""
+    from clique_tpu.align.pipeline import align_reads
+    from clique_tpu.caller.events import call_events_from_bam
+    from clique_tpu.collapse.pipeline import collapse
+
+    layout, rm = _load_layout(workdir, golden_dir=GOLDEN_PE)
+    aligned = os.path.join(workdir, "aligned.bam")
+    align_reads(layout, rm, aligned,
+                read1=os.path.join(GOLDEN_PE, "reads1.fastq.gz"),
+                read2=os.path.join(GOLDEN_PE, "reads2.fastq.gz"),
+                batch_size=16)
+    collapsed = os.path.join(workdir, "collapsed.bam")
+    collapse(collapsed, layout, aligned)
+    alleles = os.path.join(workdir, "alleles.tsv")
+    call_events_from_bam(layout, collapsed, alleles, min_read_count=1)
+    return aligned, collapsed, alleles
+
+
+def run_inversion(workdir):
+    """Inversion-path byte pin (VERDICT r3 item 8): the anchored +
+    inversion-aware alignment of the vendored big-inversion fixture
+    (linked_alignment.rs:619-689), dumped as a TSV artifact. Pinned at
+    the alignment level, NOT as BAM: the reference itself panics when
+    converting InversionOpen/Close to SAM ops (alignment_matrix.rs:
+    103-104), so no BAM representation exists to pin against."""
+    from clique_tpu.align.anchored import align_string_with_anchors
+    from clique_tpu.align.scoring import AffineScoring, InversionScoring
+    from clique_tpu.reference.manager import (
+        SeedIndex,
+        find_greedy_non_overlapping_segments,
+    )
+
+    data = os.path.join(ROOT, "tests", "data")
+    ref = open(os.path.join(data, "big_inversion_ref.txt")).read().encode()
+    read = open(os.path.join(data, "big_inversion_read.txt")).read().encode()
+    aff = AffineScoring(10.0, -11.0, 8.0, -15.0, -5.0, 1.0)
+    inv = InversionScoring(10.0, -11.0, -15.0, -5.0, -2.0, 20)
+    idx = SeedIndex(ref, 20)
+    segs = find_greedy_non_overlapping_segments(read, ref, idx)
+    res = align_string_with_anchors("read", "ref", read, ref, segs,
+                                    inv, aff)
+    out = os.path.join(workdir, "inversion.tsv")
+    cig = "".join(f"{c}{op}" if op not in "<>" else op
+                  for c, op in res.cigar)
+    with open(out, "w") as fh:
+        fh.write("cigar\tscore\treference_aligned\tread_aligned\n")
+        fh.write(f"{cig}\t{res.score}\t"
+                 f"{res.reference_aligned.decode()}\t"
+                 f"{res.read_aligned.decode()}\n")
+    return out
 
 
 def run_engine(workdir, engine):
@@ -166,27 +317,41 @@ def dump_tags(bam_path, out_path):
                       f"{cig}\t{rec.seq.decode()}\t{tags}\n")
 
 
+def _copy_outputs(golden_dir, bam_outputs, alleles):
+    for src, name in bam_outputs:
+        with open(src, "rb") as fh:
+            data = fh.read()
+        with open(os.path.join(golden_dir, name), "wb") as fh:
+            fh.write(data)
+        dump_tags(src, os.path.join(golden_dir, name + ".tags.tsv"))
+    if alleles is not None:
+        with open(alleles) as fh:
+            table = fh.read()
+        with open(os.path.join(golden_dir, "alleles.tsv"), "w") as fh:
+            fh.write(table)
+
+
 def main():
+    import shutil
     import tempfile
 
     write_inputs()
+    write_pe_inputs()
     with tempfile.TemporaryDirectory() as tmp:
         aligned, collapsed, alleles = run_pipeline(tmp)
         outputs = [(aligned, "aligned.bam"), (collapsed, "collapsed.bam")]
         for engine in ("wfa", "convex"):
             outputs.append((run_engine(tmp, engine),
                             f"aligned_{engine}.bam"))
-        for src, name in outputs:
-            with open(src, "rb") as fh:
-                data = fh.read()
-            with open(os.path.join(GOLDEN, name), "wb") as fh:
-                fh.write(data)
-            dump_tags(src, os.path.join(GOLDEN, name + ".tags.tsv"))
-        with open(alleles) as fh:
-            table = fh.read()
-        with open(os.path.join(GOLDEN, "alleles.tsv"), "w") as fh:
-            fh.write(table)
-    print(f"golden artifacts written to {GOLDEN}")
+        _copy_outputs(GOLDEN, outputs, alleles)
+        shutil.copy(run_inversion(tmp), os.path.join(GOLDEN,
+                                                     "inversion.tsv"))
+    with tempfile.TemporaryDirectory() as tmp:
+        aligned, collapsed, alleles = run_pe_pipeline(tmp)
+        _copy_outputs(GOLDEN_PE,
+                      [(aligned, "aligned.bam"),
+                       (collapsed, "collapsed.bam")], alleles)
+    print(f"golden artifacts written to {GOLDEN} and {GOLDEN_PE}")
 
 
 if __name__ == "__main__":
