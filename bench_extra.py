@@ -293,10 +293,16 @@ def bench_convex(results):
     results["convex_sv_single_run_frac"] = round(
         single_run / max(sv, 1), 4)
     results["convex_cigar_invariant_checked"] = checked
+    # recorded phase breakdown (VERDICT r3 item 6): where convex wall
+    # actually goes — kernel dispatch vs blocking score/window pulls vs
+    # host backtrace+replay
+    results["convex_phase_seconds"] = m.get("wfa_phase_seconds")
     log(f"convex: {stats.aligned} reads in {dt:.1f}s -> "
         f"{results['convex_align_reads_per_s']} reads/s, "
         f"{single_run}/{sv} dropouts as one D run, "
-        f"{checked} CIGARs checked")
+        f"{checked} CIGARs checked; phases {m.get('wfa_phase_seconds')}; "
+        f"engine {m.get('device_seconds')}s, "
+        f"host-post {m.get('host_post_seconds')}s")
 
 
 def bench_decoy(results):
@@ -439,16 +445,24 @@ def main():
     from clique_tpu.utils.jaxcfg import enable_persistent_cache
 
     enable_persistent_cache()
+    all_benches = (bench_wfa, bench_hifi, bench_convex, bench_decoy,
+                   bench_panel)
+    picked = sys.argv[1:]
+    benches = [fn for fn in all_benches
+               if not picked or fn.__name__.removeprefix("bench_") in picked]
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "BENCH_SECONDARY.json")
     results = {}
-    for fn in (bench_wfa, bench_hifi, bench_convex, bench_decoy,
-               bench_panel):
+    if picked and os.path.exists(out):
+        # targeted rerun: refresh only the selected benches' keys
+        with open(out) as fh:
+            results = json.load(fh)
+    for fn in benches:
         try:
             fn(results)
         except Exception as exc:  # keep partial results
             log(f"{fn.__name__} FAILED: {exc!r}")
             results[fn.__name__ + "_error"] = repr(exc)
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "BENCH_SECONDARY.json")
     with open(out, "w") as fh:
         json.dump(results, fh, indent=2)
     print(json.dumps(results))

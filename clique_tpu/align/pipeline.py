@@ -1027,6 +1027,10 @@ def align_reads(
                 if elapsed else None,
                 "device_seconds": round(aligner.device_seconds, 3),
                 "host_post_seconds": round(aligner.post_seconds, 3),
+                "wfa_phase_seconds": {
+                    k: round(v, 3) for k, v in
+                    aligner.phase_seconds.items()}
+                if hasattr(aligner, "phase_seconds") else None,
                 "pairs_aligned": aligner.pairs_aligned,
                 "dp_cells_filled": aligner.cells_filled,
                 "dp_cells_per_s": round(

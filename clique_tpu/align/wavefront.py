@@ -29,7 +29,7 @@ On WFA2-lib's component set (SURVEY 2.9):
   applies the EXACT band |k| <= (smax - o) / e (exact_kband - zero
   accuracy loss), and the `kband` argument opts into the narrower
   heuristic band with WfaAligner retrying censored pairs unbanded
-  (score cutoffs are the s0/4x-escalation ladder in WfaAligner);
+  (score cutoffs are the s0/2x-escalation ladder in WfaAligner);
 - the bidirectional low-memory bialign (wavefront_bialign.o) exists to
   bound traceback memory; here the op store is [smax+1, B, K] u8 with
   the exact band and the backtrace pulls only the score-reachable
@@ -932,6 +932,91 @@ def wfa_backtrace_ops(ops: np.ndarray, scores: np.ndarray,
             for r, a in zip(rev_ops, alive)]
 
 
+@functools.partial(jax.jit, static_argnames=("model", "x", "o1", "e1",
+                                              "o2", "e2"))
+def wfa_walk_device(ops, scores, k_targets, *, model: str, x: int,
+                    o1: int, e1: int, o2: int = 0, e2: int = 0):
+    """On-device WFA backtrace walk (decision-identical to the host
+    walkers wfa_backtrace_ops / wfa_backtrace_ops_2p).
+
+    The host walkers need the [S+1, B, K] op store pulled to the host —
+    at SV ceilings that window transfer dominated the whole convex path
+    (BENCH_SECONDARY convex_phase_seconds: ~75% of engine wall). This
+    walk reads the store ON DEVICE with one reverse lax.scan over the
+    score-row axis (each lane's row pointer strictly decreases, so every
+    row is visited at most once — the same trick as the DP engine's
+    packed-word walk, batch.py:_finish_from_packed_traceback) and one-hot
+    diagonal selects (per-step gathers serialize on TPU), then ships only
+    the O(S) per-lane op skeleton.
+
+    A lane emits at most ONE op per row: an M->gap state switch re-reads
+    the SAME (s, k) byte (see the host walkers' 'wait for the next pass'
+    comment), so the switch and its first gap step fuse into one scan
+    step here.
+
+    Returns (ops_fwd [B, S+1] u8 — op bytes in FORWARD path order,
+    0-padded; 'X'=mismatch, 'I'/'D'=gap open, 'i'/'d'=gap extend —
+    and fin [B] i32, -1 where the walk converged; censored lanes
+    (score > smax) return fin = -2)."""
+    S1, B, K = ops.shape
+    smax_k = (K - 1) // 2
+    alive = (scores >= 0) & (scores < S1)
+    s = jnp.where(alive, scores, -2).astype(jnp.int32)
+    k = jnp.clip(jnp.where(alive, k_targets, 0),
+                 -smax_k, smax_k).astype(jnp.int32)
+    state = jnp.zeros(B, jnp.int32)
+    iota_k = jnp.arange(K, dtype=jnp.int32)[None, :]
+    m_mask = 7 if model == "affine2p" else 3
+    # per gap-state constants: (diag step, ext-bit shift, open cost,
+    # extend cost); state ids 1..4 = I1, D1, I2, D2 (affine: 1..2 = I, D)
+    if model == "affine2p":
+        gaps = ((1, +1, 3, o1 + e1, e1), (2, -1, 4, o1 + e1, e1),
+                (3, +1, 5, o2 + e2, e2), (4, -1, 6, o2 + e2, e2))
+    else:
+        gaps = ((1, +1, 2, o1 + e1, e1), (2, -1, 3, o1 + e1, e1))
+
+    def step(carry, inp):
+        s, k, state = carry
+        row, row_ops = inp
+        byte = jnp.sum(jnp.where(iota_k == (k + smax_k)[:, None],
+                                 row_ops.astype(jnp.int32), 0), axis=1)
+        # M action at this row
+        in_m = (s == row) & (state == 0)
+        finish = in_m & (row == 0)
+        m_src = byte & m_mask
+        mm = in_m & ~finish & (m_src == 1)
+        op = jnp.where(mm, jnp.int32(88), 0)            # 'X'
+        s = jnp.where(mm, s - x, s)
+        s = jnp.where(finish, -1, s)
+        sw = in_m & ~finish & (m_src >= 2)
+        state = jnp.where(sw, m_src - 1, state)
+        # gap action: lanes in a gap state whose row pointer is still
+        # here — both just-switched lanes (same byte, per the host
+        # walkers) and lanes that arrived in an open gap
+        in_g = (s == row) & (state > 0)
+        for st, dk, shift, oe_cost, e_cost in gaps:
+            g = in_g & (state == st)
+            ext = (byte >> shift) & 1
+            upper = jnp.int32(73 if dk > 0 else 68)     # 'I' / 'D'
+            lower = jnp.int32(105 if dk > 0 else 100)   # 'i' / 'd'
+            op = jnp.where(g, jnp.where(ext == 1, lower, upper), op)
+            s = jnp.where(g, s - jnp.where(ext == 1, e_cost, oe_cost), s)
+            k = jnp.where(g, k + dk, k)
+            state = jnp.where(g & (ext == 0), 0, state)
+        return (s, k, state), op.astype(jnp.uint8)
+
+    rows = jnp.arange(S1, dtype=jnp.int32)
+    (s, _k, _st), ys = jax.lax.scan(step, (s, k, state), (rows, ops),
+                                    reverse=True)
+    # ys[row] = op emitted at that row; forward path order = ascending
+    # rows. Left-compact the non-zero ops per lane (stable argsort).
+    ops_rows = jnp.transpose(ys, (1, 0))                # [B, S1]
+    order = jnp.argsort((ops_rows == 0).astype(jnp.int32), axis=1,
+                        stable=True)
+    ops_fwd = jnp.take_along_axis(ops_rows, order, axis=1)
+    return ops_fwd, s
+
+
 def _wild(c: int) -> bool:
     return c < 58 or c == 78
 
@@ -1201,7 +1286,7 @@ class WfaAligner:
 
     Strategy: batch pairs by padded length, run the gap-affine traceback
     kernel with a small score ceiling, and ADAPTIVELY retry censored pairs
-    at 4x the ceiling (WFA work grows O(s^2), so most low-divergence pairs
+    at 2x the ceiling (WFA work grows O(s^2), so most low-divergence pairs
     finish at the first ceiling and only stragglers pay more - the TPU
     analogue of wavefront_heuristic.o's score cutoffs, without dropping
     accuracy). Pairs still censored at smax > 2*L fall back to the exact
@@ -1245,6 +1330,12 @@ class WfaAligner:
         self.device_seconds = 0.0
         self.post_seconds = 0.0
         self.fallbacks = 0
+        # per-phase wall breakdown (VERDICT r3 item 6): dispatch = host
+        # prep + kernel enqueue; score_sync = blocking score pulls;
+        # window_pull = blocking backtrace-window pulls; host_walk =
+        # backtrace + CIGAR replay on host. Sums to ~device_seconds.
+        self.phase_seconds = {"dispatch": 0.0, "score_sync": 0.0,
+                              "window_pull": 0.0, "host_walk": 0.0}
 
     def _kmax(self, L: int, smax: int, kband: Optional[int]) -> int:
         """The kernel's actual diagonal half-width for (L, smax): exact
@@ -1276,6 +1367,33 @@ class WfaAligner:
                                         e2=self.e2)
         return wfa_backtrace_ops(ops, scores, k_targets, x=self.x,
                                  o=self.o, e=self.e)
+
+    def _walk_dispatch(self, ops_dev, scores_dev, la, lb):
+        """Dispatch the on-device backtrace walk over a chunk's full op
+        store (decision-identical to _backtrace; see wfa_walk_device)."""
+        return wfa_walk_device(
+            ops_dev, scores_dev, jnp.asarray(la - lb, jnp.int32),
+            model=self.model, x=self.x, o1=self.o, e1=self.e,
+            o2=self.o2, e2=self.e2)
+
+    @staticmethod
+    def _decode_walk(walk, n: int) -> list:
+        """Pull a dispatched walk's (ops_fwd, fin) and decode the first n
+        lanes' skeleton lists (None where censored)."""
+        ops_np = np.asarray(walk[0])
+        fin_np = np.asarray(walk[1])
+        out = []
+        for b in range(n):
+            if fin_np[b] == -2:
+                out.append(None)
+                continue
+            if fin_np[b] != -1:
+                raise RuntimeError(
+                    f"wfa device walk failed to converge (lane {b}, "
+                    f"fin={fin_np[b]})")
+            row = ops_np[b]
+            out.append([chr(c) for c in row[row != 0]])
+        return out
 
     def _bucket_len(self, n: int) -> int:
         q = self.quantum
@@ -1347,17 +1465,38 @@ class WfaAligner:
                 # enormous; the anchored/banded exact DP handles these
                 fallback.extend(buckets[L])
                 continue
-            smax = self.s0 if self.s0 is not None else max(64, L // 4)
-            # order pairs by |len(ref) - len(read)|: the length gap
-            # lower-bounds the penalty (every net indel costs >= e), so
-            # memory-capped chunks group similar-penalty pairs and each
-            # chunk's backtrace window (sized by ITS max score in phase
-            # C) stays tight instead of inheriting the batch's worst
-            # structural-variant lane — the convex SV bench spent ~95%
-            # of wall pulling windows sized by the dropout lanes
-            idxs = sorted(buckets[L],
-                          key=lambda k: abs(len(refs[k]) - len(reads[k])))
-            work.append((L, smax, idxs, self.kband))
+            if self.s0 is not None:
+                idxs = sorted(buckets[L], key=lambda k:
+                              abs(len(refs[k]) - len(reads[k])))
+                work.append((L, self.s0, idxs, self.kband))
+                continue
+            # Penalty-aware initial ceilings: a pair's length gap d
+            # lower-bounds its penalty at min(o+e*d, o2+e2*d) (every net
+            # indel pays at least the cheaper gap slope), so a
+            # structural-variant lane whose bound exceeds the base
+            # ceiling would CENSOR round 1 and rerun at an escalated
+            # ceiling — pure waste. Start such lanes directly on the
+            # smallest rung of the base*2^n ladder that covers bound +
+            # base/4 slack (the slack absorbs substitutions). Grouping
+            # by rung keeps chunk shapes uniform (each distinct
+            # (L, smax) is a separate compile) and preserves the
+            # tight-backtrace-window property: similar-penalty lanes
+            # share chunks, so phase C windows stay sized by their own
+            # round's max score, not the batch's worst SV lane.
+            base = max(64, L // 4)
+            rungs: dict = {}
+            for k in buckets[L]:
+                d = abs(len(refs[k]) - len(reads[k]))
+                bound = 0 if d == 0 else min(
+                    self.o + self.e * d, self.o2 + self.e2 * d) \
+                    if self.model == "affine2p" else self.o + self.e * d
+                s = base
+                while s < bound + base // 4:
+                    s *= 2
+                rungs.setdefault(s, []).append(k)
+            for s, idxs in sorted(rungs.items()):
+                idxs.sort(key=lambda k: abs(len(refs[k]) - len(reads[k])))
+                work.append((L, s, idxs, self.kband))
         wave_budget = 2 * self._budget()
         while work:
             # flatten this round's chunks, then run them in WAVES: chunks
@@ -1377,6 +1516,7 @@ class WfaAligner:
             pos = 0
             while pos < len(chunks):
                 # phase A: dispatch this wave's kernels (async under jit)
+                t_a = time.time()
                 disp = []
                 used = 0
                 while pos < len(chunks):
@@ -1400,47 +1540,50 @@ class WfaAligner:
                                                   smax=smax, kband=kband)
                     disp.append([chunk, L, smax, kband, la, lb, scores,
                                  ops])
+                self.phase_seconds["dispatch"] += time.time() - t_a
                 # phase B: overlap every score transfer
                 for d in disp:
                     try:
                         d[6].copy_to_host_async()
                     except Exception:
                         pass
-                # phase C: dispatch every backtrace-window slice (async),
-                # with only the score pull forcing a sync per chunk.
-                # Transfer only the backtrace-reachable window
-                # [s*+1, B, 2s*+1]: walks stay at score row <= s* (batch
-                # max penalty) and diagonal |k| <= s*, so rows above s*
-                # and outer diagonals are dead weight — the full
-                # [smax+1, B, K] store cost 4x the kernel through the
-                # tunnel. Window dims quantize to x16 so each (B, L, smax)
-                # bucket reuses a handful of compiled slices.
+                # phase C: run the backtrace walk ON DEVICE (one reverse
+                # scan over the op store; wfa_walk_device) and ship only
+                # the O(smax) per-lane op skeletons — pulling the
+                # backtrace window [s*+1, B, 2s*+1] to a host walker was
+                # ~75% of the engine wall on the SV/convex config
+                # (BENCH_SECONDARY convex_phase_seconds, VERDICT r3
+                # item 6). Only the score pull forces a sync per chunk.
                 staged = []
                 for (chunk, L, smax, kband, la, lb, scores, ops) in disp:
+                    t_c = time.time()
                     sc = np.asarray(scores)[:len(chunk)]
+                    self.phase_seconds["score_sync"] += time.time() - t_c
                     alive = sc <= smax
-                    win = None
+                    walk = None
                     if alive.any():
-                        s_star = int(sc[alive].max())
-                        kmax = self._kmax(L, smax, kband)
-                        rows = min(smax + 1, -(-(s_star + 1) // 16) * 16)
-                        w = min(kmax, rows - 1)
-                        win = ops[:rows, :, kmax - w:kmax + w + 1]
+                        t_s = time.time()
+                        walk = self._walk_dispatch(ops, scores, la, lb)
                         try:
-                            win.copy_to_host_async()
+                            walk[0].copy_to_host_async()
                         except Exception:
                             pass
-                    staged.append((chunk, L, smax, sc, la, lb, win))
+                        self.phase_seconds["walk_dispatch"] = \
+                            self.phase_seconds.get("walk_dispatch", 0.0) \
+                            + time.time() - t_s
+                    staged.append((chunk, L, smax, sc, la, lb, walk))
                 del disp
-                # phase D: pull windows, backtrace + replay on host
-                for (chunk, L, smax, sc, la, lb, win) in staged:
+                # phase D: pull skeletons, replay CIGARs on host
+                for (chunk, L, smax, sc, la, lb, walk) in staged:
                     nrem = len(chunk)
-                    if win is None:
+                    if walk is None:
                         skeletons = [None] * nrem
                     else:
-                        ops_np = np.asarray(win)
-                        skeletons = self._backtrace(
-                            ops_np[:, :nrem], sc, (la - lb)[:nrem])
+                        t_d = time.time()
+                        skeletons = self._decode_walk(walk, nrem)
+                        self.phase_seconds["window_pull"] += \
+                            time.time() - t_d
+                    t_w = time.time()
                     miss = censored.setdefault((L, smax), [])
                     for j, k in enumerate(chunk):
                         if skeletons[j] is None:
@@ -1452,10 +1595,14 @@ class WfaAligner:
                         ra, da = cigar_to_aligned(refs[k], reads[k], cig)
                         results[k] = (ra, da, cig, -float(sc[j]))
                         self.cells_filled += len(refs[k]) * len(reads[k])
+                    self.phase_seconds["host_walk"] += time.time() - t_w
                 del staged
-            # next round: censored chunks retry at 4x the score ceiling,
-            # and WITHOUT the heuristic band (a band censor may just mean
-            # the optimal path wandered wide, not that the score is high)
+            # next round: censored chunks retry at 2x the score ceiling
+            # (wavefront work grows ~s^2, so 2x retries cost a bounded
+            # geometric overhead where the old 4x jump paid 16x the
+            # round-1 work at the first escalation), and WITHOUT the
+            # heuristic band (a band censor may just mean the optimal
+            # path wandered wide, not that the score is high)
             work = []
             for (L, smax), idxs in censored.items():
                 if not idxs:
@@ -1463,7 +1610,7 @@ class WfaAligner:
                 if smax > 2 * L:
                     fallback.extend(idxs)
                 else:
-                    work.append((L, smax * 4, idxs, None))
+                    work.append((L, smax * 2, idxs, None))
         self.device_seconds += time.time() - t0
         self.pairs_aligned += len(refs)
         if fallback:
@@ -1519,9 +1666,9 @@ class WfaAligner:
                         la[j], lb[j] = len(refs[k]), len(reads[k])
                     sc, ops = self._tb_kernel(a, b, la, lb, L=L, smax=smax)
                     g = len(chunk)
+                    walk = self._walk_dispatch(ops, sc, la, lb)
                     sc = np.asarray(sc)[:g]
-                    skels = self._backtrace(np.asarray(ops)[:, :g], sc,
-                                            (la - lb)[:g])
+                    skels = self._decode_walk(walk, g)
                     for j, k in enumerate(chunk):
                         cig = wfa_replay_cigar(refs[k], reads[k], skels[j],
                                                wildcards=self.wildcards)

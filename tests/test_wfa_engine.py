@@ -190,7 +190,7 @@ def test_wfa_engine_high_divergence_falls_back(tmp_path):
 
 def test_wfa_aligner_adaptive_retry_and_mem_cap(monkeypatch):
     """WfaAligner unit paths: (a) a tiny initial score ceiling forces the
-    adaptive 4x-retry loop; (b) a tiny CLIQUE_WFA_MEM_BUDGET forces the
+    adaptive 2x-retry loop; (b) a tiny CLIQUE_WFA_MEM_BUDGET forces the
     per-chunk dispatch split. Both must reproduce the unconstrained
     engine's CIGARs and scores exactly (wavefront_heuristic.o score-cutoff
     role, SURVEY 2.9)."""
