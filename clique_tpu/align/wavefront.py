@@ -30,11 +30,14 @@ On WFA2-lib's component set (SURVEY 2.9):
   accuracy loss), and the `kband` argument opts into the narrower
   heuristic band with WfaAligner retrying censored pairs unbanded
   (score cutoffs are the s0/2x-escalation ladder in WfaAligner);
-- the bidirectional low-memory bialign (wavefront_bialign.o) exists to
-  bound traceback memory; here the op store is [smax+1, B, K] u8 with
-  the exact band and the backtrace pulls only the score-reachable
-  window, and ultra-long pairs route to the anchored/banded DP path -
-  same O(s)-memory goal, different mechanism (documented trade).
+- the low-memory bialign (wavefront_bialign.o) is wfa_bialign_affine_pairs:
+  a midpoint-carry formulation (wfa_affine_mid_batch threads the last
+  on-path M-state cell at/before the middle anti-diagonal through the
+  recurrence as an int32 payload — O(B*K) memory, no op store at all),
+  then recurses on the two halves until segments are small enough for
+  the direct traceback kernel. WFA2's version meets forward and reverse
+  wavefronts; carrying the breakpoint forward is the TPU-shaped
+  equivalent (one batched sweep per level, no lockstep host mediation).
 """
 
 from __future__ import annotations
@@ -419,6 +422,182 @@ def wfa_affine_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
     s, M, I, D, result = jax.lax.while_loop(
         cond, body, (jnp.int32(0), M, I, D, init_result))
     return jnp.where(result < 0, smax + 1, result)
+
+
+_MID_ENC = 1 << 16  # payload encoding: h * _MID_ENC + v (lengths < 32768)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n1", "n2", "smax", "x", "o", "e",
+                                    "wildcards", "kband"))
+def wfa_affine_mid_batch(refs, reads, ref_lens, read_lens, *, n1: int,
+                         n2: int, smax: int, x: int = 4, o: int = 6,
+                         e: int = 2, wildcards: bool = False,
+                         kband: Optional[int] = None):
+    """Gap-affine WFA score kernel that also reports a SPLIT POINT: the
+    last M-state cell (h, v) with anti-diagonal h + v <= (l1 + l2) // 2 on
+    an optimal path — the breakpoint wavefront_bialign.o finds by meeting
+    forward/reverse wavefronts (SURVEY 2.9). Memory is O(B*K) (the score
+    rings plus three int32 payload rings), NOT the O(smax*B*K) op store of
+    the traceback kernel, so arbitrarily divergent/long pairs fit.
+
+    The payload propagates through the recurrence exactly like the
+    traceback choice (tie orders mirror wfa_affine_tb_batch: mismatch >
+    I > D; gap tie -> open), and greedy match extension advances it to
+    min(run end, the last in-run offset whose anti-diagonal is still
+    <= mid). Anti-diagonals strictly increase along any path, so the
+    recorded cell is unique per path and splitting there is exact: both
+    halves are standard global sub-alignments whose optimal penalties sum
+    to the pair's optimum (the junction is an M-state cell, so no gap run
+    is double-opened *on the recorded path*; co-optimal re-opened gaps in
+    the halves only ever re-merge cheaper).
+
+    Returns (penalty [B] i32 (smax+1 censored), payload [B] i32 encoding
+    h * 65536 + v, -1 when censored)."""
+    B = refs.shape[0]
+    Kmax = min(n1 + n2, smax, exact_kband(smax, ((o, e),)))
+    if kband is not None:
+        Kmax = min(Kmax, kband)
+    K = 2 * Kmax + 1
+    ks = jnp.arange(K, dtype=jnp.int32) - Kmax
+    hist = max(x, o + e, e) + 1
+
+    refs_i = refs.astype(jnp.int32)
+    reads_i = reads.astype(jnp.int32)
+    l1 = ref_lens[:, None].astype(jnp.int32)
+    l2 = read_lens[:, None].astype(jnp.int32)
+    mid = (l1 + l2) // 2                       # [B, 1] anti-diagonal split
+    k_target = (l1 - l2)[:, 0]
+    target_ok = jnp.abs(k_target) <= Kmax
+    k_target_c = jnp.clip(k_target, -Kmax, Kmax)
+
+    def clamp(offs):
+        v = offs - ks[None, :]
+        return jnp.where((offs <= l1) & (v <= l2) & (v >= 0) &
+                         (ks[None, :] >= -l2) & (ks[None, :] <= l1),
+                         offs, NEG)
+
+    def diag_valid(s):
+        return (jnp.abs(ks)[None, :] <= s) & \
+            (ks[None, :] >= -l2) & (ks[None, :] <= l1)
+
+    neg_wf = jnp.full((B, K), NEG, jnp.int32)
+    neg_pay = jnp.full((B, K), -1, jnp.int32)
+    n1w = refs_i.shape[1]
+    run = _run_table(refs_i, reads_i, ks, l1, l2, wildcards=wildcards)
+
+    def pay_update(h_base, h_ext, pay_inh):
+        """Advance a payload across one M step + greedy extension: the run
+        of M cells h_base..h_ext on diagonal k contains the path's newest
+        cells; pick the last one still at/before the mid anti-diagonal."""
+        cand = jnp.clip((mid + ks[None, :]) >> 1, h_base, h_ext)
+        on_mid = (h_base > NEG) & (2 * cand - ks[None, :] <= mid)
+        return jnp.where(on_mid, cand * _MID_ENC + (cand - ks[None, :]),
+                         pay_inh)
+
+    m0_base = jnp.where((ks == 0)[None, :] & jnp.ones((B, 1), bool), 0, NEG)
+    m0 = _table_extend(m0_base, run, diag_valid(0), n1w)
+    p0 = pay_update(m0_base, m0, neg_pay)
+
+    M = jnp.full((hist, B, K), NEG, jnp.int32).at[0].set(m0)
+    I = jnp.full((hist, B, K), NEG, jnp.int32)
+    D = jnp.full((hist, B, K), NEG, jnp.int32)
+    PM = jnp.full((hist, B, K), -1, jnp.int32).at[0].set(p0)
+    PI = jnp.full((hist, B, K), -1, jnp.int32)
+    PD = jnp.full((hist, B, K), -1, jnp.int32)
+
+    def get(buf, s, back):
+        idx = (s - back) % hist
+        ok = s - back >= 0
+        return jnp.where(ok, buf[idx], neg_wf)
+
+    def getp(buf, s, back):
+        idx = (s - back) % hist
+        ok = s - back >= 0
+        return jnp.where(ok, buf[idx], neg_pay)
+
+    tgt_mask = ks[None, :] == k_target_c[:, None]
+
+    def done(m):
+        tgt = jnp.max(jnp.where(tgt_mask, m, NEG), axis=1)
+        return target_ok & (tgt >= l1[:, 0])
+
+    def cond(state):
+        s = state[0]
+        result = state[-2]
+        return (s < smax) & jnp.logical_not(jnp.all(result >= 0))
+
+    def body(state):
+        s, M, I, D, PM, PI, PD, result, out_pay = state
+        s1 = s + 1
+
+        def sr(w):  # deletion direction: W[k-1], h+1
+            return jnp.pad(w[:, :-1], ((0, 0), (1, 0)), constant_values=NEG)
+
+        def sl(w):  # insertion direction: W[k+1], h unchanged
+            return jnp.pad(w[:, 1:], ((0, 0), (0, 1)), constant_values=NEG)
+
+        def srp(w):
+            return jnp.pad(w[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+
+        def slp(w):
+            return jnp.pad(w[:, 1:], ((0, 0), (0, 1)), constant_values=-1)
+
+        m_oe = get(M, s1, o + e)
+        i_e = get(I, s1, e)
+        d_e = get(D, s1, e)
+        m_x = get(M, s1, x)
+        p_oe = getp(PM, s1, o + e)
+        pi_e = getp(PI, s1, e)
+        pd_e = getp(PD, s1, e)
+        p_x = getp(PM, s1, x)
+
+        d_open = sr(m_oe)
+        d_ext = sr(d_e)
+        new_d = jnp.maximum(d_open, d_ext)
+        d_from_ext = d_ext > d_open            # tie -> open (as in tb)
+        pay_d = jnp.where(d_from_ext, srp(pd_e), srp(p_oe))
+        new_d = jnp.where(new_d > NEG, new_d + 1, NEG)
+        i_open = sl(m_oe)
+        i_ext = sl(i_e)
+        new_i = jnp.maximum(i_open, i_ext)
+        pay_i = jnp.where(i_ext > i_open, slp(pi_e), slp(p_oe))
+        mism = jnp.where(m_x > NEG, m_x + 1, NEG)
+        new_m = jnp.maximum(mism, jnp.maximum(new_i, new_d))
+        # tie order mismatch > I > D, mirroring wfa_affine_tb_batch
+        pay_m = jnp.where(
+            mism == new_m, p_x,
+            jnp.where(new_i == new_m, pay_i, pay_d))
+        vld = diag_valid(s1)
+        new_m = clamp(jnp.where(vld, new_m, NEG))
+        new_i = clamp(jnp.where(vld, new_i, NEG))
+        new_d = clamp(jnp.where(vld, new_d, NEG))
+        h_base = new_m
+        new_m = _table_extend(new_m, run, vld, n1w)
+        pay_m = pay_update(h_base, new_m, pay_m)
+
+        idx = s1 % hist
+        M = M.at[idx].set(new_m)
+        I = I.at[idx].set(new_i)
+        D = D.at[idx].set(new_d)
+        PM = PM.at[idx].set(pay_m)
+        PI = PI.at[idx].set(pay_i)
+        PD = PD.at[idx].set(pay_d)
+        newly = (result < 0) & done(new_m)
+        pay_sel = jnp.max(jnp.where(tgt_mask, pay_m, -1), axis=1)
+        out_pay = jnp.where(newly, pay_sel, out_pay)
+        result = jnp.where(newly, s1, result)
+        return s1, M, I, D, PM, PI, PD, result, out_pay
+
+    init_done = done(m0)
+    init_result = jnp.where(init_done, 0, -1)
+    init_pay = jnp.where(init_done,
+                         jnp.max(jnp.where(tgt_mask, p0, -1), axis=1), -1)
+    state = (jnp.int32(0), M, I, D, PM, PI, PD, init_result, init_pay)
+    out = jax.lax.while_loop(cond, body, state)
+    result, out_pay = out[-2], out[-1]
+    return (jnp.where(result < 0, smax + 1, result),
+            jnp.where(result < 0, -1, out_pay))
 
 
 @functools.partial(jax.jit,
@@ -1153,6 +1332,161 @@ def wfa_affine_align_pairs(pairs_a, pairs_b, *, x: int = 4, o: int = 6,
     return out
 
 
+def _mid_split_batch(pairs, *, x: int, o: int, e: int, wildcards: bool,
+                     s0: Optional[int] = None):
+    """Run wfa_affine_mid_batch over (a, b) byte pairs with the 2x
+    score-ceiling escalation ladder (only censored pairs re-run).
+    Returns [(penalty, h, v)] per pair; (smax+1, -1, -1) if censored at
+    the hard bound (cannot happen below it: x + o + e*L covers any pair).
+    """
+    P = len(pairs)
+    out = [None] * P
+    pending = list(range(P))
+    L = max(64, max(max(len(a), len(b)) for a, b in pairs))
+    q = 128
+    L = max(q, -(-L // q) * q)
+    if L >= _MID_ENC // 2:
+        raise ValueError(f"bialign split encoding caps lengths at "
+                         f"{_MID_ENC // 2 - 1}; got {L}")
+    hard = 2 * (o + e * L) + 1  # delete-all + insert-all upper bound
+    if s0 is None:
+        # lower-bound rung: the length gap alone costs o + e*d
+        dmax = max(abs(len(a) - len(b)) for a, b in pairs)
+        s0 = 64
+        while s0 <= o + e * dmax:
+            s0 *= 2
+    smax = min(s0, hard)
+    while pending:
+        Ppad = 32
+        while Ppad < len(pending):
+            Ppad *= 2
+        a = np.zeros((Ppad, L), dtype=np.uint8)
+        b = np.zeros((Ppad, L), dtype=np.uint8)
+        la = np.zeros(Ppad, dtype=np.int32)
+        lb = np.zeros(Ppad, dtype=np.int32)
+        for i, idx in enumerate(pending):
+            s_a, s_b = pairs[idx]
+            a[i, :len(s_a)] = np.frombuffer(s_a, dtype=np.uint8)
+            b[i, :len(s_b)] = np.frombuffer(s_b, dtype=np.uint8)
+            la[i], lb[i] = len(s_a), len(s_b)
+        pen, pay = wfa_affine_mid_batch(a, b, la, lb, n1=L, n2=L,
+                                        smax=smax, x=x, o=o, e=e,
+                                        wildcards=wildcards)
+        pen = np.asarray(pen)
+        pay = np.asarray(pay)
+        still = []
+        for i, idx in enumerate(pending):
+            if pen[i] <= smax and pay[i] >= 0:
+                out[idx] = (int(pen[i]), int(pay[i]) // _MID_ENC,
+                            int(pay[i]) % _MID_ENC)
+            elif smax >= hard:
+                out[idx] = (smax + 1, -1, -1)
+            else:
+                still.append(idx)
+        pending = still
+        smax = min(smax * 2, hard)
+    return out
+
+
+def wfa_bialign_affine_pairs(pairs_a, pairs_b, *, x: int = 4, o: int = 6,
+                             e: int = 2, wildcards: bool = False,
+                             leaf: int = 512, s0: Optional[int] = None):
+    """O(s)-memory batched gap-affine alignment WITH traceback — the TPU
+    equivalent of WFA2-lib's bialign mode (wavefront_bialign.o, SURVEY
+    2.9: bound traceback memory for long/divergent pairs by splitting at
+    a breakpoint and recursing).
+
+    Each level runs ONE batched midpoint sweep (wfa_affine_mid_batch,
+    O(B*K) memory — no op store) over every segment still longer than
+    `leaf`, splits each at its reported on-path M-state cell, and
+    recurses; segments at or under `leaf` run the direct traceback
+    kernel in one batch per level (wfa_affine_align_pairs). Segments
+    whose split is degenerate (the optimal path crosses the middle
+    anti-diagonal inside one gap run that starts at the segment edge)
+    fall back to the direct kernel at their full length — correct, and
+    rare outside all-gap corner cases.
+
+    Returns [(penalty, cigar)] per pair; cigars merge adjacent runs, and
+    penalty is the top-level kernel's optimum (tests assert
+    cigar_penalty == penalty)."""
+    n = len(pairs_a)
+    results: list = [None] * n
+    top_pen = [None] * n
+    # segment worklist: (pair idx, order path, a, b, forced_leaf)
+    segs = [(i, (), bytes(a), bytes(b), False)
+            for i, (a, b) in enumerate(zip(pairs_a, pairs_b))]
+    leaves: list = []
+    while segs:
+        split_jobs = []
+        nxt: list = []
+        for seg in segs:
+            i, path, a, b, forced = seg
+            if not a or not b:
+                leaves.append(seg)
+            elif forced or max(len(a), len(b)) <= leaf:
+                leaves.append(seg)
+            else:
+                split_jobs.append(seg)
+        if not split_jobs:
+            break
+        outs = _mid_split_batch([(s[2], s[3]) for s in split_jobs],
+                                x=x, o=o, e=e, wildcards=wildcards, s0=s0)
+        for (i, path, a, b, _f), (pen, h, v) in zip(split_jobs, outs):
+            if not path and h >= 0:
+                top_pen[i] = pen
+            if h < 0:
+                leaves.append((i, path, a, b, True))
+            elif (h, v) in ((0, 0), (len(a), len(b))):
+                # path crosses mid inside an edge gap: no shrink possible
+                leaves.append((i, path, a, b, True))
+            else:
+                nxt.append((i, path + (0,), a[:h], b[:v], False))
+                nxt.append((i, path + (1,), a[h:], b[v:], False))
+        segs = nxt
+
+    # resolve leaves: gap-only segments directly, the rest batched tb
+    pieces: dict = {}
+    tb_jobs = []
+    for i, path, a, b, _f in leaves:
+        if not a and not b:
+            pieces[(i, path)] = []
+        elif not a:
+            pieces[(i, path)] = [(len(b), "I")]
+        elif not b:
+            pieces[(i, path)] = [(len(a), "D")]
+        else:
+            tb_jobs.append((i, path, a, b))
+    # chunked leaf batches: the direct kernel's op store is O(smax*B*K);
+    # 64 lanes per call keeps each batch a few hundred MB at leaf=512
+    for lo in range(0, len(tb_jobs), 64):
+        sl_jobs = tb_jobs[lo:lo + 64]
+        outs = wfa_affine_align_pairs([j[2] for j in sl_jobs],
+                                      [j[3] for j in sl_jobs],
+                                      x=x, o=o, e=e, wildcards=wildcards)
+        for (i, path, a, b), (pen, cig) in zip(sl_jobs, outs):
+            if cig is None:  # unreachable: full-bound smax never censors
+                raise RuntimeError("bialign leaf censored at full bound")
+            pieces[(i, path)] = cig
+
+    by_pair: dict = {}
+    for (i, p), cig in pieces.items():
+        by_pair.setdefault(i, []).append((p, cig))
+    for i in range(n):
+        merged: list = []
+        for _p, cig in sorted(by_pair.get(i, [])):
+            for run_ in cig:
+                if merged and merged[-1][1] == run_[1]:
+                    merged[-1] = (merged[-1][0] + run_[0], run_[1])
+                else:
+                    merged.append(run_)
+        pen = top_pen[i]
+        if pen is None:  # pair went straight to a leaf (short/empty)
+            pen = cigar_penalty(merged, pairs_a[i], pairs_b[i],
+                                x=x, o=o, e=e, wildcards=wildcards)
+        results[i] = (pen, merged)
+    return results
+
+
 def affine_penalty_golden(a: bytes, b: bytes, *, x: int, o: int,
                           e: int, wildcards: bool = False) -> int:
     """O(nm) min-penalty gap-affine DP (numpy, host): the independent
@@ -1454,6 +1788,8 @@ class WfaAligner:
         results = [None] * len(refs)
         t0 = time.time()
         fallback: list = []
+        bialign_pool: list = []  # affine pairs routed to the O(s)-memory
+        #                          bialign engine (op store over budget)
         buckets: dict = {}
         for k in range(len(refs)):
             L = self._bucket_len(max(len(refs[k]), len(reads[k])))
@@ -1495,6 +1831,14 @@ class WfaAligner:
                     s *= 2
                 rungs.setdefault(s, []).append(k)
             for s, idxs in sorted(rungs.items()):
+                if self.model == "affine" and \
+                        self._chunk_bytes(32, L, s, self.kband) > \
+                        self._budget():
+                    # even a floor chunk's op store blows the budget:
+                    # these (long, high-penalty-bound) pairs go to the
+                    # O(s)-memory bialign engine (wavefront_bialign.o)
+                    bialign_pool.extend(idxs)
+                    continue
                 idxs.sort(key=lambda k: abs(len(refs[k]) - len(reads[k])))
                 work.append((L, s, idxs, self.kband))
         wave_budget = 2 * self._budget()
@@ -1609,8 +1953,23 @@ class WfaAligner:
                     continue
                 if smax > 2 * L:
                     fallback.extend(idxs)
+                elif self.model == "affine" and \
+                        self._chunk_bytes(32, L, smax * 2, None) > \
+                        self._budget():
+                    # escalation would blow the op-store budget: finish
+                    # these on the O(s)-memory bialign engine instead
+                    bialign_pool.extend(idxs)
                 else:
                     work.append((L, smax * 2, idxs, None))
+        if bialign_pool:
+            outs = wfa_bialign_affine_pairs(
+                [refs[k] for k in bialign_pool],
+                [reads[k] for k in bialign_pool],
+                x=self.x, o=self.o, e=self.e, wildcards=self.wildcards)
+            for k, (pen, cig) in zip(bialign_pool, outs):
+                ra, da = cigar_to_aligned(refs[k], reads[k], cig)
+                results[k] = (ra, da, cig, -float(pen))
+                self.cells_filled += len(refs[k]) * len(reads[k])
         self.device_seconds += time.time() - t0
         self.pairs_aligned += len(refs)
         if fallback:
@@ -1683,6 +2042,20 @@ class WfaAligner:
                 [refs[k] for k in remaining], [reads[k] for k in remaining])
             for k, r in zip(remaining, out):
                 results[k] = r
+        elif self.model == "affine" and all(
+                max(len(refs[k]), len(reads[k])) < _MID_ENC // 2
+                for k in remaining):
+            # no exact-DP engine attached: the O(s)-memory bialign driver
+            # finishes these without the full-bound op store the direct
+            # kernel would allocate
+            outs = wfa_bialign_affine_pairs(
+                [refs[k] for k in remaining],
+                [reads[k] for k in remaining],
+                x=self.x, o=self.o, e=self.e, wildcards=self.wildcards)
+            for k, (pen, cig) in zip(remaining, outs):
+                ra, da = cigar_to_aligned(refs[k], reads[k], cig)
+                results[k] = (ra, da, cig, -float(pen))
+                self.cells_filled += len(refs[k]) * len(reads[k])
         else:
             for k in remaining:
                 (pen, cig), = wfa_affine_align_pairs(
