@@ -143,6 +143,7 @@ references:
             log(f"align breakdown: device {am.get('device_seconds')}s, "
                 f"host-post {am.get('host_post_seconds')}s, "
                 f"cells/s {am.get('dp_cells_per_s')}")
+            log(f"align phase walls: {am.get('phase_walls')}")
         except OSError:
             pass
         t0 = time.time()

@@ -717,14 +717,16 @@ def cigar_from_ops_row(ops_row: np.ndarray, n: int):
     return [(int(e - s), "MDI"[ops_row[s]]) for s, e in zip(starts, ends)]
 
 
-def cigars_from_ops_batch(ops: np.ndarray, n_ops: np.ndarray):
-    """Run-length encode a whole [B, T] op matrix into per-row
-    [(count, op)] lists with one flat pass (no per-row numpy calls - the
-    per-read cigar_from_ops_row overhead dominated the align host time at
-    20k reads/batch)."""
+def cigar_runs_from_ops_batch(ops: np.ndarray, n_ops: np.ndarray):
+    """Flat run-length encoding of a whole [B, T] op matrix in one pass:
+    (counts int32 [R], opcodes uint8 [R] with 0=M 1=D 2=I, bounds int64
+    [B+1] into the run arrays). The flat form feeds the native fast-path
+    BAM assembler directly; cigars_from_ops_batch builds the per-row
+    tuple lists from it."""
     B, T = ops.shape
+    z64 = np.zeros(1, dtype=np.int64)
     if B == 0:
-        return []
+        return (np.zeros(0, np.int32), np.zeros(0, np.uint8), z64)
     j = np.arange(T, dtype=np.int64)
     valid = j[None, :] < n_ops[:, None]
     o = np.where(valid, ops, 255).astype(np.int16)
@@ -734,20 +736,38 @@ def cigars_from_ops_batch(ops: np.ndarray, n_ops: np.ndarray):
     start = valid & (o != prev)
     rows, cols = np.nonzero(start)
     if len(rows) == 0:
-        return [[] for _ in range(B)]
+        return (np.zeros(0, np.int32), np.zeros(0, np.uint8),
+                np.zeros(B + 1, dtype=np.int64))
     ends = np.empty_like(cols)
     ends[:-1] = cols[1:]
     row_last = np.empty(len(rows), dtype=bool)
     row_last[:-1] = rows[1:] != rows[:-1]
     row_last[-1] = True
     ends[row_last] = n_ops[rows[row_last]]
-    counts = (ends - cols).tolist()
-    opcodes = ops[rows, cols].tolist()
-    bounds = np.searchsorted(rows, np.arange(B + 1)).tolist()
+    counts = (ends - cols).astype(np.int32)
+    opcodes = ops[rows, cols].astype(np.uint8)
+    bounds = np.searchsorted(rows, np.arange(B + 1)).astype(np.int64)
+    return counts, opcodes, bounds
+
+
+def cigars_from_runs(counts, opcodes, bounds):
+    """Per-row [(count, op)] tuple lists from cigar_runs_from_ops_batch
+    output."""
+    counts_l = counts.tolist()
+    ops_l = opcodes.tolist()
+    bounds_l = bounds.tolist()
     sym = "MDI"
     return [[(c, sym[v]) for c, v in
-             zip(counts[s:e], opcodes[s:e])]
-            for s, e in zip(bounds[:-1], bounds[1:])]
+             zip(counts_l[s:e], ops_l[s:e])]
+            for s, e in zip(bounds_l[:-1], bounds_l[1:])]
+
+
+def cigars_from_ops_batch(ops: np.ndarray, n_ops: np.ndarray):
+    """Run-length encode a whole [B, T] op matrix into per-row
+    [(count, op)] lists with one flat pass (no per-row numpy calls - the
+    per-read cigar_from_ops_row overhead dominated the align host time at
+    20k reads/batch)."""
+    return cigars_from_runs(*cigar_runs_from_ops_batch(ops, n_ops))
 
 
 def ops_to_alignment(ops: np.ndarray, n_ops: int, ref: bytes, read: bytes):

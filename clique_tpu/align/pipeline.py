@@ -604,25 +604,64 @@ def align_reads(
     writer = open_alignment_writer(output_path, references)
     start = time.time()
 
-    # writer thread: BAM encode + BGZF compression (C paths that release
-    # the GIL) overlap the next chunk's parse/dispatch
+    # wall-clock phase accounting (written to metrics JSON): where the
+    # align stage's non-device time goes on the main thread, plus busy
+    # time of the build/writer pipeline threads
+    phase = {"reader_wall": 0.0, "flush_wall": 0.0, "drain_wall": 0.0,
+             "tail_wall": 0.0, "join_wall": 0.0}
+
+    # two-stage writer pipeline: a BUILD thread does record construction
+    # + sink ingestion (numpy-heavy), feeding a WRITER thread doing BAM
+    # encode + BGZF compression (C paths that release the GIL). Both
+    # overlap the main thread's parse/dispatch, and splitting them halves
+    # the post-loop drain (join_wall): construction of flush N overlaps
+    # compression of flush N-1 instead of serializing on one thread.
     import queue
     import threading
 
     write_queue: "queue.Queue" = queue.Queue(maxsize=8)
+    encode_queue: "queue.Queue" = queue.Queue(maxsize=8)
     writer_error: List[BaseException] = []
+    bam_ref_idx = {rid: i for i, rid in enumerate(rm.references.keys())}
+    writer_encoded_ok = hasattr(writer, "write_encoded")
 
-    def _writer_loop():
+    def _build_loop():
         while True:
             item = write_queue.get()
             if item is None:
+                encode_queue.put(None)
                 return
+            t_b = time.time()
             try:
                 if isinstance(item, tuple) and item and item[0] == "raw":
-                    # deferred record construction: building SamRecords
-                    # from the raw group matrices here overlaps the main
-                    # thread's next chunk parse + device dispatch
+                    # deferred record construction, two forms. Fast path:
+                    # the native assembler builds the flush's BAM record
+                    # bytes straight from the batch blobs (no SamRecord
+                    # objects / tags dicts / per-record encode loop —
+                    # that python round trip was ~40% of the writer
+                    # pipeline's GIL time). Falls back to per-record
+                    # python construction for extractor-zone symbols,
+                    # mixed symbol orders, or no C compiler.
                     _tag, raws, pend = item
+                    fast = None
+                    if writer_encoded_ok:
+                        syms = _flush_fastpath_syms(pend, layout, rm)
+                        if syms is not None:
+                            fast = _encode_flush_fastpath(
+                                raws, pend, layout, rm, report_zero_score,
+                                bam_ref_idx, syms)
+                    if fast is not None:
+                        data, caps_g, cig_by_k, slen_by_k = fast
+                        if sink is not None:
+                            sink.consume_flush(
+                                raws, pend, None, caps=caps_g,
+                                cigars_by_k=cig_by_k,
+                                seq_len_by_k=slen_by_k)
+                        phase["build_busy"] = \
+                            phase.get("build_busy", 0.0) + \
+                            (time.time() - t_b)
+                        encode_queue.put(("encoded", data, len(pend)))
+                        continue
                     recs: List = [None] * len(pend)
                     caps: List = [] if sink is not None else None
                     for raw in raws:
@@ -640,16 +679,38 @@ def align_reads(
                     if sink is not None:
                         sink.consume_aligned(item[1], recs)
                     item = recs
-                if hasattr(writer, "write_batch"):
+            except BaseException as exc:  # surfaced on close
+                writer_error.append(exc)
+                item = []
+            phase["build_busy"] = phase.get("build_busy", 0.0) + \
+                (time.time() - t_b)
+            encode_queue.put(item)
+
+    def _writer_loop():
+        while True:
+            item = encode_queue.get()
+            if item is None:
+                return
+            t_w = time.time()
+            try:
+                if isinstance(item, tuple) and item and \
+                        item[0] == "encoded":
+                    writer.write_encoded(item[1], item[2])
+                elif hasattr(writer, "write_batch"):
                     writer.write_batch(item)
                 else:
                     for rec in item:
                         writer.write(rec)
             except BaseException as exc:  # surfaced on close
                 writer_error.append(exc)
+            phase["write_busy"] = phase.get("write_busy", 0.0) + \
+                (time.time() - t_w)
 
     writer_thread = None
+    build_thread = None
     if pipeline_threads:
+        build_thread = threading.Thread(target=_build_loop, daemon=True)
+        build_thread.start()
         writer_thread = threading.Thread(target=_writer_loop, daemon=True)
         writer_thread.start()
 
@@ -682,12 +743,14 @@ def align_reads(
     deferred_flush: List = []
 
     def drain_deferred(keep: int = 0):
+        t_d = time.time()
         while len(deferred_flush) > keep:
             entries, pend = deferred_flush.pop(0)
             raws = []
             for entry in entries:
                 raws.extend(aligner.expand_entry(entry))
             write_queue.put(("raw", raws, pend))
+        phase["drain_wall"] += time.time() - t_d
 
     reader = ReadIterator(read1, read2, index1, index2)
     needs_align_merge = layout.merge == MergeStrategy.ALIGN
@@ -705,6 +768,11 @@ def align_reads(
     def flush(pending: List[_Pending]):
         if not pending:
             return
+        t_f = time.time()
+        _flush_inner(pending)
+        phase["flush_wall"] += time.time() - t_f
+
+    def _flush_inner(pending: List[_Pending]):
         from clique_tpu.align.wavefront import WfaAligner
 
         long_pending = []
@@ -968,6 +1036,7 @@ def align_reads(
                     yield item
         return gen()
 
+    t_reader = time.time()
     if (reader.single_stream and "Read1" in declared_kinds
             and not concat_single
             and r1_orientation == AlignedReadOrientation.FORWARD):
@@ -986,19 +1055,25 @@ def align_reads(
                     flush_merges()
             else:
                 process_merged(merged.name, merged.seq, merged.quals)
+    phase["reader_wall"] = time.time() - t_reader
 
+    t_tail = time.time()
     flush_merges()
     if hmm_router is not None:
         flush_routes()
     flush_exhaustive()
     flush(pending)
     drain_deferred()
+    phase["tail_wall"] = time.time() - t_tail
+    t_join = time.time()
     if writer_thread is not None:
         write_queue.put(None)
+        build_thread.join()
         writer_thread.join()
         if writer_error:
             raise writer_error[0]
     writer.close()
+    phase["join_wall"] = time.time() - t_join
     if hasattr(writer, "chunk_offsets"):
         # chunk-index sidecar: lets distributed collapse deal byte ranges
         # of this BAM (each process inflates only its share)
@@ -1027,6 +1102,11 @@ def align_reads(
                 if elapsed else None,
                 "device_seconds": round(aligner.device_seconds, 3),
                 "host_post_seconds": round(aligner.post_seconds, 3),
+                # main-thread walls: reader_wall = parse loop incl. nested
+                # flushes; flush_wall = inside flush() (incl. nested
+                # drains); drain_wall = fetch+expand drains; tail/join =
+                # post-loop flush + writer-thread join
+                "phase_walls": {k: round(v, 3) for k, v in phase.items()},
                 "wfa_phase_seconds": {
                     k: round(v, 3) for k, v in
                     aligner.phase_seconds.items()}
@@ -1142,6 +1222,155 @@ def _fill_records_from_raw(raw, pending: List[_Pending], records: List,
         records[k] = SamRecord(
             name=p.name, flag=0, reference_name=ref.name, pos=1, mapq=255,
             cigar=cigars[j], seq=seq, qual=b"H" * len(seq), tags=tags)
+
+
+def _flush_fastpath_syms(pend, layout: SequenceLayout,
+                         rm: ReferenceManager):
+    """Fast-path eligibility for a flush: every reference present must
+    share ONE ordered, all-digit UMI symbol tuple (or have no config).
+    Returns that tuple, or None when ineligible (mixed orders or
+    extractor-zone symbols need the per-record python path)."""
+    syms_tuple = None
+    for rid in {p.ref_id for p in pend}:
+        cfg = layout.references.get(rm.references[rid].name)
+        if cfg is None:
+            continue
+        t = tuple(u.symbol for u in cfg.umi_configurations.values())
+        if any(not s.isdigit() for s in t):
+            return None
+        if syms_tuple is None:
+            syms_tuple = t
+        elif t != syms_tuple:
+            return None
+    return syms_tuple or ()
+
+
+def _encode_flush_fastpath(raws, pend, layout: SequenceLayout,
+                           rm: ReferenceManager, report_zero_score: bool,
+                           bam_ref_idx: Dict[int, int], syms):
+    """Assemble a whole flush's BAM record-stream bytes through the native
+    fast-path encoder (encode_fastpath_records in native/bamcodec.c): no
+    SamRecord objects, no tags dicts, no per-record encode loop — the
+    byte output is identical to _fill_records_from_raw +
+    encode_records_bytes (pinned by the golden tests).
+
+    Returns (encoded_bytes, caps_by_group, cigars_by_k, seq_len_by_k) or
+    None when the native lib is unavailable (callers fall back to the
+    python record path)."""
+    import ctypes
+
+    from clique_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    syms_b = "".join(syms).encode()
+    n_total = len(pend)
+    bufs = []                    # per group: (group, buffer, rec_off)
+    caps_by_group = []
+    cigars_by_k: List = [None] * n_total
+    seq_len_by_k = [0] * n_total
+    for raw in raws:
+        group, a_ref, a_read, valid, ops, n_ops, scores = raw
+        g = len(group)
+
+        counted = (a_ref > 64) & (a_ref != FASTA_N) & (a_read > 64)
+        tot = counted.sum(axis=1)
+        match = ((a_ref == a_read) & counted).sum(axis=1)
+        rates = np.where(tot > 0, match / np.maximum(tot, 1),
+                         np.nan).tolist()
+
+        keep = valid & (a_read != GAP)
+        seq_lens = keep.sum(axis=1)
+        seq_off = np.zeros(g + 1, dtype=np.int64)
+        np.cumsum(seq_lens, out=seq_off[1:])
+        seq_flat = np.ascontiguousarray(a_read[keep])
+
+        counts, opcodes, cbounds = dbatch.cigar_runs_from_ops_batch(
+            ops, n_ops)
+        cig_tuples = dbatch.cigars_from_runs(counts, opcodes, cbounds)
+
+        cap_parts = []
+        cap_base = np.zeros(max(len(syms), 1), dtype=np.int64)
+        cap_bounds = np.zeros((max(len(syms), 1), g + 1), dtype=np.int64)
+        caps_np = {}
+        base = 0
+        for si, sym in enumerate(syms):
+            mask = (a_ref == ord(sym)) & valid
+            cnt = mask.sum(axis=1)
+            flat = np.ascontiguousarray(a_read[mask])
+            bounds = np.zeros(g + 1, dtype=np.int64)
+            np.cumsum(cnt, out=bounds[1:])
+            cap_parts.append(flat)
+            cap_base[si] = base
+            cap_bounds[si] = bounds
+            base += len(flat)
+            caps_np[sym] = (cnt, flat, bounds)
+        cap_blob = (b"".join(p.tobytes() for p in cap_parts)
+                    if cap_parts else b"")
+        caps_by_group.append(caps_np)
+
+        names = [pend[k].name for k in group]
+        name_blob = "".join(names).encode()
+        name_off = np.zeros(g + 1, dtype=np.int64)
+        np.cumsum([len(nm) for nm in names], out=name_off[1:])
+
+        rm_strs = [_fmt(r) for r in rates]
+        rm_blob = "".join(rm_strs).encode()
+        rm_off = np.zeros(g + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in rm_strs], out=rm_off[1:])
+        if report_zero_score:
+            sc_strs = ["0"] * g
+        else:
+            sc_strs = [_fmt(float(s)) for s in scores.tolist()]
+        sc_blob = "".join(sc_strs).encode()
+        sc_off = np.zeros(g + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in sc_strs], out=sc_off[1:])
+
+        ref_ids = np.array([bam_ref_idx[pend[k].ref_id] for k in group],
+                           dtype=np.int32)
+
+        cap = int(48 * g + 2 * len(name_blob) + 4 * len(counts)
+                  + 2 * int(seq_off[-1]) + len(cap_blob) + len(rm_blob)
+                  + 2 * len(sc_blob) + (4 * len(syms) + 30) * g + 64)
+        out = ctypes.create_string_buffer(cap)
+        rec_off = np.zeros(g + 1, dtype=np.int64)
+        written = lib.encode_fastpath_records(
+            g, ref_ids.ctypes.data,
+            name_blob, name_off.ctypes.data,
+            counts.ctypes.data, opcodes.ctypes.data, cbounds.ctypes.data,
+            seq_flat.ctypes.data_as(ctypes.c_char_p), seq_off.ctypes.data,
+            len(syms), syms_b,
+            cap_blob, cap_base.ctypes.data, cap_bounds.ctypes.data,
+            rm_blob, rm_off.ctypes.data,
+            sc_blob, sc_off.ctypes.data,
+            out, cap, rec_off.ctypes.data)
+        if written < 0:
+            raise RuntimeError("fastpath encode capacity underestimated")
+        bufs.append((group, out.raw[:written], rec_off))
+        for j, k in enumerate(group):
+            cigars_by_k[k] = cig_tuples[j]
+            seq_len_by_k[k] = int(seq_lens[j])
+
+    # assemble in pend (BAM write) order; groups are usually contiguous
+    # ascending (uniform-shape flushes), where a straight join suffices
+    order = np.concatenate([np.asarray(g_, dtype=np.int64)
+                            for g_, _b, _o in bufs])
+    if np.array_equal(order, np.arange(n_total, dtype=np.int64)):
+        data = b"".join(b for _g, b, _o in bufs)
+    else:
+        where = {}
+        for gi, (group, _b, _o) in enumerate(bufs):
+            for j, k in enumerate(group):
+                where[k] = (gi, j)
+        views = [memoryview(b) for _g, b, _o in bufs]
+        parts = []
+        for k in range(n_total):
+            gi, j = where[k]
+            off = bufs[gi][2]
+            parts.append(views[gi][int(off[j]):int(off[j + 1])])
+        data = b"".join(parts)
+    return data, caps_by_group, cigars_by_k, seq_len_by_k
 
 
 def _make_record(aligned: AlignedRead, layout: SequenceLayout) -> SamRecord:

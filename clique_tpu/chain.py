@@ -89,9 +89,13 @@ class CollapseSink:
 
     # -- consumption (align writer thread) --------------------------------
 
-    def consume_flush(self, raws, pend, recs, caps=None) -> None:
+    def consume_flush(self, raws, pend, recs, caps=None,
+                      cigars_by_k=None, seq_len_by_k=None) -> None:
         """One fast-path flush: raw device groups + the SamRecords built
-        from them. Digit-tag capture and validity gating run vectorized
+        from them — or, on the native-encoder path (recs=None), the
+        per-read cigars/sequence lengths directly (the records were
+        assembled as raw BAM bytes and never exist as python objects).
+        Digit-tag capture and validity gating run vectorized
         over the whole [G, T] matrices (one mask pass per symbol, as
         extract_digit_tags_fast's positional-mask equivalence allows);
         rows are staged per pend index so appends follow BAM write order
@@ -138,7 +142,7 @@ class CollapseSink:
                 if umis is None:
                     staged[k] = None
                     continue
-                rec = recs[k]
+                rec = recs[k] if recs is not None else None
                 invalid = False
                 ordered = []
                 fallback = None
@@ -183,14 +187,25 @@ class CollapseSink:
                 native = self._seqs[name]
                 if ra == native:
                     ra = native  # share the one native object
+                if rec is not None:
+                    rd_name, cig = rec.name, rec.cigar
+                    quals = rec.qual if rec.qual != b"*" else None
+                    start = rec.pos
+                else:
+                    # native-encoder path: same values the record would
+                    # carry (name from pend, qual 'H' per stripped base,
+                    # pos 1 — the fast path's constants)
+                    rd_name, cig = pend[k].name, cigars_by_k[k]
+                    quals = b"H" * seq_len_by_k[k]
+                    start = 1
                 staged[k] = SortingRead(
-                    read_name=rec.name,
+                    read_name=rd_name,
                     reference_name=name,
                     reference_aligned=ra,
                     read_aligned=a_read[j, :n].tobytes(),
-                    read_quals=rec.qual if rec.qual != b"*" else None,
-                    cigar=rec.cigar,
-                    reference_start=rec.pos,
+                    read_quals=quals,
+                    cigar=cig,
+                    reference_start=start,
                     score=0.0,
                     unsorted_keys=deque(ordered),
                 )

@@ -60,6 +60,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_long,
     ]
+    lib.encode_fastpath_records.restype = ctypes.c_long
+    lib.encode_fastpath_records.argtypes = [
+        ctypes.c_long,
+        ctypes.c_void_p,                     # ref_ids
+        ctypes.c_char_p, ctypes.c_void_p,    # name blob/off
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # cigar runs
+        ctypes.c_char_p, ctypes.c_void_p,    # seq blob/off
+        ctypes.c_long, ctypes.c_char_p,      # n_syms, syms
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,  # captures
+        ctypes.c_char_p, ctypes.c_void_p,    # rm strings
+        ctypes.c_char_p, ctypes.c_void_p,    # score strings
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,  # out, cap, rec_off
+    ]
     lib.bgzf_compress.restype = ctypes.c_long
     lib.bgzf_compress.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_int,

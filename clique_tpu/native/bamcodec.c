@@ -130,6 +130,143 @@ long encode_bam_records(
     return w;
 }
 
+/* Fast-path record assembler for align's single-pass output: builds the
+ * full BAM record stream (header, name, cigar, nibble-packed seq,
+ * constant-'H' quals, and the e<sym>/rc/ar/rm/rs/as tag block) straight
+ * from the batch blobs _fill_records_from_raw computes — no per-record
+ * Python objects at all (the SamRecord dict round-trip was ~40% of the
+ * writer pipeline's GIL time at 20k reads).
+ *
+ * Record fields mirror the python fast path exactly: flag=0, pos0=0,
+ * mapq=255, qual='H'-33; tag order e<syms in config order> (skipped when
+ * the capture is empty), rc:Z:1, ar:Z:<name>, rm:Z:<rm_str>,
+ * rs:Z:<score_str>, as:Z:<score_str>.
+ *
+ * cig_counts/cig_ops are flat cigar runs (op 0=M, 1=D, 2=I — the "MDI"
+ * coding of cigars_from_ops_batch) with int64 run bounds per record.
+ * Captures: one concatenated blob; per symbol s (emit order syms[s]) the
+ * per-record byte ranges are cap_base[s] + cap_bounds[s*(n+1)+i ..
+ * s*(n+1)+i+1].
+ *
+ * rec_off (int64 [n+1]) receives each record's start offset in out so the
+ * caller can reorder records into BAM write order with cheap slices.
+ * Returns bytes written, or -1 if out_cap is too small. */
+long encode_fastpath_records(
+    long n,
+    const int32_t *ref_ids,
+    const char *name_blob, const int64_t *name_off,
+    const int32_t *cig_counts, const uint8_t *cig_ops,
+    const int64_t *cig_off,
+    const char *seq_blob, const int64_t *seq_off,
+    long n_syms, const char *syms,
+    const char *cap_blob, const int64_t *cap_base,
+    const int64_t *cap_bounds,
+    const char *rm_blob, const int64_t *rm_off,
+    const char *sc_blob, const int64_t *sc_off,
+    char *out, long out_cap, int64_t *rec_off)
+{
+    static const uint32_t opmap[3] = {0u, 2u, 1u};   /* M, D, I -> BAM */
+    long w = 0;
+    long i, s, k;
+    if (!nib_init_done) nib_init();
+
+    for (i = 0; i < n; i++) {
+        long name_len = name_off[i + 1] - name_off[i];
+        long n_cigar = cig_off[i + 1] - cig_off[i];
+        long l_seq = seq_off[i + 1] - seq_off[i];
+        long rm_len = rm_off[i + 1] - rm_off[i];
+        long sc_len = sc_off[i + 1] - sc_off[i];
+        long seq_bytes = (l_seq + 1) / 2;
+        long tag_len = 0, ref_span = 0, body;
+        int bin;
+        char *p;
+
+        for (s = 0; s < n_syms; s++) {
+            long c0 = cap_bounds[s * (n + 1) + i];
+            long c1 = cap_bounds[s * (n + 1) + i + 1];
+            if (c1 > c0) tag_len += 4 + (c1 - c0);   /* e<sym>Z..0 */
+        }
+        tag_len += 5;                                 /* rcZ1\0 */
+        tag_len += 4 + name_len;                      /* arZ<name>\0 */
+        tag_len += 4 + rm_len;                        /* rmZ<rm>\0 */
+        tag_len += 2 * (4 + sc_len);                  /* rsZ / asZ */
+
+        body = 32 + (name_len + 1) + 4 * n_cigar + seq_bytes + l_seq
+               + tag_len;
+        if (w + 4 + body > out_cap) return -1;
+
+        for (k = 0; k < n_cigar; k++) {
+            uint8_t op = cig_ops[cig_off[i] + k];
+            if (op == 0 || op == 1)                   /* M or D eat ref */
+                ref_span += cig_counts[cig_off[i] + k];
+        }
+        if (ref_span == 0) ref_span = 1;
+        bin = reg2bin(0, (int)ref_span);
+
+        rec_off[i] = w;
+        p = out + w;
+        *(int32_t *)(p) = (int32_t)body;
+        p += 4;
+        *(int32_t *)(p + 0) = ref_ids[i];
+        *(int32_t *)(p + 4) = 0;                      /* pos0 = 0 (pos 1) */
+        ((unsigned char *)p)[8] = (unsigned char)(name_len + 1);
+        ((unsigned char *)p)[9] = 255;                /* mapq */
+        *(uint16_t *)(p + 10) = (uint16_t)bin;
+        *(uint16_t *)(p + 12) = (uint16_t)n_cigar;
+        *(uint16_t *)(p + 14) = 0;                    /* flag */
+        *(int32_t *)(p + 16) = (int32_t)l_seq;
+        *(int32_t *)(p + 20) = -1;
+        *(int32_t *)(p + 24) = -1;
+        *(int32_t *)(p + 28) = 0;
+        p += 32;
+        memcpy(p, name_blob + name_off[i], (size_t)name_len);
+        p[name_len] = 0;
+        p += name_len + 1;
+        for (k = 0; k < n_cigar; k++) {
+            uint32_t cnt = (uint32_t)cig_counts[cig_off[i] + k];
+            uint32_t code = opmap[cig_ops[cig_off[i] + k]];
+            *(uint32_t *)p = (cnt << 4) | code;
+            p += 4;
+        }
+        {
+            const unsigned char *q =
+                (const unsigned char *)(seq_blob + seq_off[i]);
+            long j;
+            for (j = 0; j + 1 < l_seq; j += 2)
+                *p++ = (char)((nib_lut[q[j]] << 4) | nib_lut[q[j + 1]]);
+            if (l_seq & 1)
+                *p++ = (char)(nib_lut[q[l_seq - 1]] << 4);
+        }
+        memset(p, 0x27, (size_t)l_seq);               /* 'H' - 33 */
+        p += l_seq;
+        for (s = 0; s < n_syms; s++) {
+            long c0 = cap_bounds[s * (n + 1) + i];
+            long c1 = cap_bounds[s * (n + 1) + i + 1];
+            if (c1 <= c0) continue;
+            *p++ = 'e'; *p++ = syms[s]; *p++ = 'Z';
+            memcpy(p, cap_blob + cap_base[s] + c0, (size_t)(c1 - c0));
+            p += c1 - c0;
+            *p++ = 0;
+        }
+        memcpy(p, "rcZ1", 4); p += 4; *p++ = 0;
+        *p++ = 'a'; *p++ = 'r'; *p++ = 'Z';
+        memcpy(p, name_blob + name_off[i], (size_t)name_len);
+        p += name_len; *p++ = 0;
+        *p++ = 'r'; *p++ = 'm'; *p++ = 'Z';
+        memcpy(p, rm_blob + rm_off[i], (size_t)rm_len);
+        p += rm_len; *p++ = 0;
+        *p++ = 'r'; *p++ = 's'; *p++ = 'Z';
+        memcpy(p, sc_blob + sc_off[i], (size_t)sc_len);
+        p += sc_len; *p++ = 0;
+        *p++ = 'a'; *p++ = 's'; *p++ = 'Z';
+        memcpy(p, sc_blob + sc_off[i], (size_t)sc_len);
+        p += sc_len; *p++ = 0;
+        w += 4 + body;
+    }
+    rec_off[n] = w;
+    return w;
+}
+
 /* Compress data into BGZF blocks. Returns bytes written or -1 on error /
  * insufficient out_cap. */
 long bgzf_compress(const char *data, long len, int level,
