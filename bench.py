@@ -162,6 +162,10 @@ references:
             log(f"collapse breakdown: ingest {m.get('ingest_s')}s "
                 f"(overlapped), levels {m.get('levels_s')}s, "
                 f"outputs {m.get('outputs_s')}s")
+            for rname, rmet in m.get("references", {}).items():
+                if rmet.get("output_phases"):
+                    log(f"output phases [{rname}]: "
+                        f"{rmet['output_phases']}")
         except OSError:
             pass
         t0 = time.time()

@@ -573,6 +573,11 @@ def align_reads(
 
         hmm_router = HmmRouter([r.sequence for r in rm.references.values()])
     stats = AlignStats()
+    # flush granularity: batches accumulated before a device flush. Lower
+    # factors shrink the FINAL flush's exposed fetch tail at EOF but cost
+    # more dispatch/pull round trips per run (tunnel fetch latency is per
+    # dispatch); 8 measured best steady-state, knob for A/Bs.
+    flush_factor = int(os.environ.get("CLIQUE_TPU_FLUSH_FACTOR", "8"))
     max_read_size = (rm.longest_ref + 1) * max_reference_multiplier
     single_ref = len(rm.references) == 1
 
@@ -946,7 +951,7 @@ def align_reads(
                 continue
             pending.append(_Pending(name, seq, quals, ref_id))
         route_pending.clear()
-        if len(pending) >= batch_size * 8:
+        if len(pending) >= batch_size * flush_factor:
             flush(pending)
             pending.clear()
 
@@ -981,7 +986,8 @@ def align_reads(
             # exhaustive search: batched below - align against every candidate,
             # best score wins (see flush_exhaustive)
             exh_pending.append((name, seq, quals, ref_id))
-            if sum(len(e[3]) for e in exh_pending) >= batch_size * 8:
+            if sum(len(e[3]) for e in exh_pending) >= \
+                    batch_size * flush_factor:
                 flush_exhaustive()
             return
         # orientation for single reference without known strand
@@ -995,7 +1001,7 @@ def align_reads(
         pending.append(_Pending(name, seq, quals, ref_id))
         # accumulate several device batches so align_pairs can keep multiple
         # dispatches in flight (overlapping transfer with compute)
-        if len(pending) >= batch_size * 8:
+        if len(pending) >= batch_size * flush_factor:
             flush(pending)
             pending.clear()
 
@@ -1051,7 +1057,7 @@ def align_reads(
             if merged.pending_pair is not None:
                 r1, q1, r2, q2 = merged.pending_pair
                 merge_pending.append((merged.name, r1, q1, r2, q2))
-                if len(merge_pending) >= batch_size * 8:
+                if len(merge_pending) >= batch_size * flush_factor:
                     flush_merges()
             else:
                 process_merged(merged.name, merged.seq, merged.quals)

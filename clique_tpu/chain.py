@@ -332,11 +332,14 @@ def collapse_from_reads(output_path: str, layout: SequenceLayout,
                 "symbol": tag.symbol, "sort_type": tag.sort_type.value,
                 "reads_in": n_in, "reads_out": len(reads)})
         t_out = time.time()
+        out_phases: dict = {}
         written = write_outputs(reads, writer, rm, correct_only,
                                 downsample_cap, gap_call_threshold,
-                                record_tap=record_tap)
+                                record_tap=record_tap,
+                                phase_out=out_phases)
         outputs_seconds += time.time() - t_out
         ref_metrics["output_records"] = written
+        ref_metrics["output_phases"] = out_phases
         metrics["references"][ref.name] = ref_metrics
         log.info("reference %s: wrote %d records (fused chain)", ref.name,
                  written)

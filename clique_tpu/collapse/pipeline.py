@@ -27,6 +27,7 @@ consensus (consensus/stretcher.py) or passed through with --correct-only.
 from __future__ import annotations
 
 import logging
+import time
 from collections import Counter, deque
 from dataclasses import dataclass, field
 from typing import Deque, Dict, List, Optional, Tuple
@@ -688,9 +689,13 @@ def _apply_correction(kept: List[SortingRead], tag: UMIConfiguration,
 def write_outputs(reads: List[SortingRead], writer, rm: ReferenceManager,
                   correct_only: bool, downsample_cap: int = 40,
                   gap_call_threshold: float = 0.75,
-                  record_tap: Optional[List[SamRecord]] = None) -> int:
+                  record_tap: Optional[List[SamRecord]] = None,
+                  phase_out: Optional[dict] = None) -> int:
     """write_consensus_reads / write_corrected_reads
-    (consensus_builders.rs:34-165)."""
+    (consensus_builders.rs:34-165). phase_out (optional dict) receives a
+    wall breakdown: group/sort, batched consensus precompute, the record
+    loop, and the encode-thread join."""
+    t0 = time.time()
     ref_seqs = ref_seq_map(rm)
     keyed = sorted(((r.reference_name, r.key_tuple(), r) for r in reads),
                    key=lambda t: (t[0], t[1]))
@@ -709,9 +714,11 @@ def write_outputs(reads: List[SortingRead], writer, rm: ReferenceManager,
         groups.append([t[2] for t in keyed[i:j]])
         i = j
 
+    t1 = time.time()
     precomputed = _precompute_group_consensus(groups, ref_seqs,
                                               gap_call_threshold) \
         if not correct_only else {}
+    t2 = time.time()
 
     # batch the singleton groups' alignment rates (one padded pass
     # instead of a numpy round trip per record)
@@ -770,9 +777,15 @@ def write_outputs(reads: List[SortingRead], writer, rm: ReferenceManager,
         record_tap.extend(records)
     out_q.put(records)
     out_q.put(None)
+    t3 = time.time()
     encoder.join()
     if errors:
         raise errors[0]
+    if phase_out is not None:
+        phase_out["group_sort_s"] = round(t1 - t0, 3)
+        phase_out["consensus_precompute_s"] = round(t2 - t1, 3)
+        phase_out["record_loop_s"] = round(t3 - t2, 3)
+        phase_out["encode_join_s"] = round(time.time() - t3, 3)
     return written
 
 
