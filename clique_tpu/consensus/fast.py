@@ -28,6 +28,11 @@ for _i, _b in enumerate("ACGTN"):
     _ALLELE_INDEX[ord(_b)] = _i
     _ALLELE_INDEX[ord(_b.lower())] = _i
 
+# byte -> count slot: A..N -> 0..4, gap -> 5, anything else -> 6 (ignored)
+_SLOT7_LUT = np.full(256, 6, dtype=np.uint8)
+_SLOT7_LUT[_ALLELE_INDEX >= 0] = _ALLELE_INDEX[_ALLELE_INDEX >= 0]
+_SLOT7_LUT[GAP] = 5
+
 # byte-indexed lookups for the per-base quality terms: quality bytes have
 # only 256 possible values, so the 10**, log2 transcendentals collapse to
 # table gathers (bit-identical - same expressions, evaluated once)
@@ -70,17 +75,15 @@ def consensus_fast_groups(reference: bytes,
     gid = np.repeat(np.arange(G, dtype=np.int32),
                     np.asarray(sizes, dtype=np.int64))
 
-    allele = _ALLELE_INDEX[reads_mat]                     # [N, L] i8
-    valid = allele >= 0
-    gap_mask = reads_mat == GAP
-
-    # flat compressed indices (int32 - N*L stays < 2^31 for any real run)
+    # one 256-entry LUT gather classifies every byte into a count slot
+    # (A..N -> 0..4, gap -> 5, everything else -> 6 = ignored); the
+    # 7-slot bincount then yields all per-group-column counts in one pass
     cols32 = np.arange(L, dtype=np.int32)
-    slot = np.where(valid, allele, np.where(gap_mask, 5, -1)).astype(np.int32)
-    flat_idx = gid[:, None] * np.int32(6 * L) + slot * np.int32(L) + cols32
-    flat_ok = slot >= 0
-    counts = np.bincount(flat_idx[flat_ok], minlength=G * 6 * L
-                         ).reshape(G, 6, L)
+    slot7 = _SLOT7_LUT[reads_mat].astype(np.int32)        # [N, L]
+    flat_idx = (gid[:, None] * np.int32(L) + cols32) * np.int32(7) + slot7
+    counts = np.bincount(flat_idx.ravel(), minlength=G * L * 7
+                         ).reshape(G, L, 7).transpose(0, 2, 1)[:, :6, :]
+    counts = np.ascontiguousarray(counts)                 # [G, 6, L]
     total = counts.sum(axis=1)                            # [G, L]
 
     # uniform-quality fast path: every chain BAM carries a single flat
@@ -99,14 +102,57 @@ def consensus_fast_groups(reference: bytes,
                                 count=N)
             if not (qlens == (reads_mat != GAP).sum(axis=1)).all():
                 uniform_q = None
+    ref = np.frombuffer(reference, dtype=np.uint8)
+    ref_allele = _ALLELE_INDEX[ref].astype(np.int64)      # [L] -1..4
+
+    index_of_max = None
     if uniform_q is not None:
-        # valid cells all carry uniform_q; gap/invalid cells contribute
-        # nothing to the posterior sums in either path
+        # valid cells all carry uniform_q, so a column's posterior (and
+        # hence its consensus phred + argmax allele) is a pure function of
+        # its 5 allele counts and the reference allele. Those keys repeat
+        # massively across the G*L columns; evaluate the f64 exp2/log10
+        # block once per UNIQUE key and scatter back (bit-identical: the
+        # same expressions on the same values, elementwise)
         lh, lm = float(_LHIT_LUT[uniform_q]), float(_LMISS_LUT[uniform_q])
-        valid_count = counts[:, :5, :].sum(axis=1)        # [G, L]
-        miss_sum = lm * valid_count
-        hit_sum = (lh - lm) * counts[:, :5, :]
+        c5 = counts[:, :5, :]                             # [G, 5, L]
+        m = int(c5.max()) + 1
+        if m ** 5 * 6 < 2 ** 62:
+            key = ((((c5[:, 0] * m + c5[:, 1]) * m + c5[:, 2]) * m
+                    + c5[:, 3]) * m + c5[:, 4]) * 6 \
+                + (ref_allele[None, :] + 1)               # [G, L]
+            uk, inv = np.unique(key, return_inverse=True)
+            U = len(uk)
+            t = uk // 6
+            ra_u = uk % 6 - 1                             # [U] -1..4
+            cu = np.empty((U, 5), dtype=np.int64)
+            for a in range(4, -1, -1):
+                cu[:, a] = t % m
+                t = t // m
+            prior_u = np.full((U, 5), np.log2((1.0 - reference_prob) / 4.0))
+            ku = ra_u >= 0
+            prior_u[np.nonzero(ku)[0], ra_u[ku]] = np.log2(reference_prob)
+            props_u = prior_u + (lm * cu.sum(axis=1))[:, None] \
+                + (lh - lm) * cu
+            powed_u = np.power(2.0, props_u)
+            posterior_u = powed_u / powed_u.sum(axis=1, keepdims=True)
+            idx_u = 3 - np.argmax(cu[:, :4][:, ::-1], axis=1)
+            chosen_u = posterior_u[np.arange(U), idx_u]
+            phred_u = np.where(
+                np.isnan(chosen_u), 0,
+                np.where(chosen_u < 1e-8, 0,
+                         np.minimum(40, np.round(
+                             -10.0 * np.log10(1.00000000001 - chosen_u))))
+            ).astype(np.int64)
+            inv = inv.reshape(G, L)
+            index_of_max = idx_u[inv]
+            phred = phred_u[inv]
+        else:
+            valid_count = c5.sum(axis=1)                  # [G, L]
+            miss_sum = lm * valid_count
+            hit_sum = (lh - lm) * c5
     else:
+        allele = _ALLELE_INDEX[reads_mat]                 # [N, L] i8
+        valid = allele >= 0
         nongap = reads_mat != GAP
         quals = np.full((N, L), ord("h"), dtype=np.uint8)
         # vectorized scatter for rows whose qual length equals the row's
@@ -143,26 +189,26 @@ def consensus_fast_groups(reference: bytes,
                               weights=(l_hit - l_miss)[valid],
                               minlength=G * 5 * L).reshape(G, 5, L)
 
-    ref = np.frombuffer(reference, dtype=np.uint8)
-    ref_allele = _ALLELE_INDEX[ref]
-    prior = np.full((5, L), np.log2((1.0 - reference_prob) / 4.0))
-    known = ref_allele >= 0
-    prior[ref_allele[known], np.nonzero(known)[0]] = np.log2(reference_prob)
+    if index_of_max is None:
+        prior = np.full((5, L), np.log2((1.0 - reference_prob) / 4.0))
+        known = ref_allele >= 0
+        prior[ref_allele[known], np.nonzero(known)[0]] = \
+            np.log2(reference_prob)
 
-    props = prior[None, :, :] + miss_sum[:, None, :] + hit_sum
-    powed = np.power(2.0, props)
-    posterior = powed / powed.sum(axis=1, keepdims=True)  # [G, 5, L]
+        props = prior[None, :, :] + miss_sum[:, None, :] + hit_sum
+        powed = np.power(2.0, props)
+        posterior = powed / powed.sum(axis=1, keepdims=True)  # [G, 5, L]
 
-    acgt = counts[:, :4, :]
-    index_of_max = 3 - np.argmax(acgt[:, ::-1, :], axis=1)  # [G, L]
-    chosen = np.take_along_axis(posterior, index_of_max[:, None, :],
-                                axis=1)[:, 0, :]
-    phred = np.where(
-        np.isnan(chosen), 0,
-        np.where(chosen < 1e-8, 0,
-                 np.minimum(40, np.round(
-                     -10.0 * np.log10(1.00000000001 - chosen))))
-    ).astype(np.int64)
+        acgt = counts[:, :4, :]
+        index_of_max = 3 - np.argmax(acgt[:, ::-1, :], axis=1)  # [G, L]
+        chosen = np.take_along_axis(posterior, index_of_max[:, None, :],
+                                    axis=1)[:, 0, :]
+        phred = np.where(
+            np.isnan(chosen), 0,
+            np.where(chosen < 1e-8, 0,
+                     np.minimum(40, np.round(
+                         -10.0 * np.log10(1.00000000001 - chosen))))
+        ).astype(np.int64)
 
     call_gap = (total == 0) | \
         (np.divide(counts[:, 5, :], np.maximum(total, 1))
