@@ -325,23 +325,29 @@ def _piece_keys(a: np.ndarray):
     return k
 
 
-def _join_pairs(keys0: np.ndarray, keys1: np.ndarray):
+def _join_pairs(keys0: np.ndarray, keys1: np.ndarray, sorted0=None):
     """All (row0, row1) index pairs with keys0[row0] == keys1[row1], via
     one sort + searchsorted join — no per-bucket python loops (the
     per-group triu/cross emission dominated collapse host time at ~10k
-    distinct cell tags)."""
-    order0 = np.argsort(keys0, kind="stable")
-    k0s = keys0[order0]
-    left = np.searchsorted(k0s, keys1, "left")
-    right = np.searchsorted(k0s, keys1, "right")
-    cnt = (right - left).astype(np.int64)
+    distinct cell tags). `sorted0` lets callers reuse keys0's
+    (order, sorted keys) across many keys1 probes (int32 rows: candidate
+    sets are unique-tag indices, far below 2^31)."""
+    if sorted0 is None:
+        order0 = np.argsort(keys0, kind="stable").astype(np.int32)
+        k0s = keys0[order0]
+    else:
+        order0, k0s = sorted0
+    left = np.searchsorted(k0s, keys1, "left").astype(np.int32)
+    right = np.searchsorted(k0s, keys1, "right").astype(np.int32)
+    cnt = right - left
     total = int(cnt.sum())
     if total == 0:
         return None
-    offs = np.cumsum(cnt) - cnt
-    intra = np.arange(total, dtype=np.int64) - np.repeat(offs, cnt)
+    offs = np.cumsum(cnt, dtype=np.int64) - cnt
+    intra = (np.arange(total, dtype=np.int64)
+             - np.repeat(offs, cnt)).astype(np.int32)
     rows0 = order0[np.repeat(left, cnt) + intra]
-    rows1 = np.repeat(np.arange(len(keys1), dtype=np.int64), cnt)
+    rows1 = np.repeat(np.arange(len(keys1), dtype=np.int32), cnt)
     return rows0, rows1
 
 
@@ -355,7 +361,13 @@ def _candidate_pairs_np(tags: List[bytes], max_distance: int
     arr = np.frombuffer(b"".join(tags), dtype=np.uint8).reshape(N, L)
     n_pieces = max_distance + 1
     bounds = [round(i * L / n_pieces) for i in range(n_pieces + 1)]
-    chunks: List[np.ndarray] = []
+    enc_chunks: List[np.ndarray] = []
+
+    def _emit(r0: np.ndarray, r1: np.ndarray) -> None:
+        # unordered (lo, hi) pairs packed straight into the int64 dedupe
+        # encoding — no [P, 2] stack per join
+        lo_i = np.minimum(r0, r1).astype(np.int64)
+        enc_chunks.append(lo_i * N + np.maximum(r0, r1))
 
     for p in range(n_pieces):
         lo, hi = bounds[p], bounds[p + 1]
@@ -365,15 +377,22 @@ def _candidate_pairs_np(tags: List[bytes], max_distance: int
         k0 = _piece_keys(a0)
         if k0 is None:
             _u, k0 = np.unique(a0, axis=0, return_inverse=True)
+        order0 = np.argsort(k0, kind="stable").astype(np.int32)
+        sorted0 = (order0, k0[order0])      # reused across every probe
         # same-piece buckets: self-join, keep each unordered pair once
-        j = _join_pairs(k0, k0)
+        j = _join_pairs(k0, k0, sorted0=sorted0)
         if j is not None:
             r0, r1 = j
             keep = r0 < r1
             if keep.any():
-                chunks.append(np.stack([r0[keep], r1[keep]], axis=1))
-        # shifted pieces join against the unshifted buckets
-        for s in range(-max_distance, max_distance + 1):
+                _emit(r0[keep], r1[keep])
+        # shifted pieces join against the unshifted buckets. EQUAL-length
+        # strings at Levenshtein <= d pair every insertion with a
+        # deletion, so the alignment offset at any point is bounded by
+        # floor(d/2) — shifts beyond that cannot witness a real pair
+        # (the ragged fallback path keeps the full +-d range)
+        max_shift = max_distance // 2
+        for s in range(-max_shift, max_shift + 1):
             if s == 0 or lo + s < 0 or hi + s > L:
                 continue
             a_s = arr[:, lo + s:hi + s]
@@ -382,22 +401,19 @@ def _candidate_pairs_np(tags: List[bytes], max_distance: int
                 _u, invb = np.unique(np.vstack([a0, a_s]), axis=0,
                                      return_inverse=True)
                 kk0, kk1 = invb[:N], invb[N:]
+                j = _join_pairs(kk0, kk1)
             else:
                 # same width as a0, so k0 holds packed (comparable) keys
-                kk0, kk1 = k0, k_s
-            j = _join_pairs(kk0, kk1)
+                j = _join_pairs(k0, k_s, sorted0=sorted0)
             if j is not None:
                 r0, r1 = j
                 keep = r0 != r1
                 if keep.any():
-                    chunks.append(np.stack([r1[keep], r0[keep]], axis=1))
+                    _emit(r1[keep], r0[keep])
 
-    if not chunks:
+    if not enc_chunks:
         return np.zeros((0, 2), dtype=np.int64)
-    pairs = np.concatenate(chunks, axis=0)
-    lo_i = np.minimum(pairs[:, 0], pairs[:, 1]).astype(np.int64)
-    hi_i = np.maximum(pairs[:, 0], pairs[:, 1]).astype(np.int64)
-    enc = np.unique(lo_i * N + hi_i)
+    enc = np.unique(np.concatenate(enc_chunks))
     return np.stack([enc // N, enc % N], axis=1)
 
 def _pieces(seq: bytes, n_pieces: int) -> List[Tuple[int, bytes]]:

@@ -18,7 +18,12 @@ BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 
 def _dict_build(tags, d):
-    """The original python bucket build (kept as the specification)."""
+    """The python bucket build (kept as the specification). Shifts are
+    bounded by floor(d/2) as in _candidate_pairs_np: these tags are all
+    equal length, so Levenshtein <= d pairs every insertion with a
+    deletion and the alignment offset never exceeds floor(d/2) (the
+    completeness tests below independently verify no close pair is
+    missed)."""
     n_pieces = d + 1
     buckets = defaultdict(list)
     for idx, t in enumerate(tags):
@@ -26,7 +31,7 @@ def _dict_build(tags, d):
         bounds = [round(i * L / n_pieces) for i in range(n_pieces + 1)]
         for p in range(n_pieces):
             lo, hi = bounds[p], bounds[p + 1]
-            for sh in range(-d, d + 1):
+            for sh in range(-(d // 2), d // 2 + 1):
                 s, e = lo + sh, hi + sh
                 if s < 0 or e > L:
                     continue
@@ -89,6 +94,49 @@ def test_completeness_all_close_pairs_present():
     for (i, j), dd in zip(pairs, dists):
         if dd <= 2:
             assert (i, j) in got, (i, j, dd)
+
+
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, len(b) + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                        prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[-1]
+
+
+@pytest.mark.parametrize("L,d", [(10, 1), (12, 2), (15, 3), (9, 4)])
+def test_bounded_shifts_complete_brute_force(L, d):
+    """The floor(d/2) shift bound must not lose any equal-length pair at
+    Levenshtein <= d (checked against a plain DP, incl. odd d where the
+    bound is strictly tighter than d)."""
+    import itertools
+
+    rng = np.random.default_rng(11 * L + d)
+    base = [rng.choice(BASES, L).tobytes() for _ in range(12)]
+    tags = set(base)
+    for t in base:
+        for _ in range(5):
+            x = bytearray(t)
+            for _ in range(int(rng.integers(1, d + 1))):
+                op = rng.random()
+                p = int(rng.integers(len(x)))
+                if op < 0.5:
+                    x[p] = int(rng.choice(BASES))
+                elif op < 0.75 and len(x) > 1:
+                    del x[p]
+                else:
+                    x.insert(p, int(rng.choice(BASES)))
+            if len(x) == L:
+                tags.add(bytes(x))
+    tags = sorted(tags)
+    cand = {tuple(p) for p in _candidate_pairs_np(tags, d).tolist()}
+    for i, j in itertools.combinations(range(len(tags)), 2):
+        if _lev(tags[i], tags[j]) <= d:
+            assert (i, j) in cand, (tags[i], tags[j])
 
 
 def test_edit_distance_rows_mixed_lengths():

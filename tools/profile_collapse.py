@@ -47,7 +47,7 @@ references:
       cell_id: {{symbol: '0', sort_type: "DegenerateTag", length: 16, order: 0, max_distance: 2}}
       cell_umi: {{symbol: '1', sort_type: "DegenerateTag", length: 12, order: 1, max_distance: 2}}
 """)
-    n_reads = 20000
+    n_reads = int(os.environ.get("N", "20000"))
     base_read = np.frombuffer(
         (a5 + "N" * 28 + target_block + a3).encode(), dtype=np.uint8)
     L = len(base_read)
