@@ -87,6 +87,13 @@ class SortingRead:
     # consensus read name, ar tag order, downsample cap) equals input
     # order whether the run was in-RAM, out-of-core, or distributed
     ordinal: int = 0
+    # in-RAM level-grouping class id: sort_level threads an integer
+    # equivalence class through the levels (level k's bin x corrected
+    # value => level k+1's class), replacing per-read key_tuple()
+    # construction + long bytes-tuple hashing on the hot grouping path.
+    # By induction gid classes == (reference, corrected-key-prefix)
+    # classes; output-order sorts still use key_tuple()
+    gid: int = 0
 
     def key_tuple(self) -> Tuple[bytes, ...]:
         return tuple(corrected for _s, _o, corrected in self.sorting_keys)
@@ -472,10 +479,13 @@ def sort_level(reads: List[SortingRead], tag: UMIConfiguration,
     global sort: intra-group member order is the scan order either way
     (sorted() is stable), group CONTENT is order-independent, and the final
     write_outputs re-sorts globally — so records are identical while the
-    O(n log n) tuple-compare sort becomes O(n)."""
+    O(n log n) tuple-compare sort becomes O(n). Grouping keys on the
+    integer gid class threaded by the previous level (== grouping by
+    (reference, key_tuple()): every call site feeds per-reference reads
+    whose gids start 0 and evolve per (bin, corrected value))."""
     grouped: "OrderedDict" = {}
     for r in reads:
-        grouped.setdefault((r.reference_name, r.key_tuple()), []).append(r)
+        grouped.setdefault(r.gid, []).append(r)
     groups: List[List[SortingRead]] = list(grouped.values())
 
     # phase 1: per-group counts (push() length gating)
@@ -505,10 +515,21 @@ def sort_level(reads: List[SortingRead], tag: UMIConfiguration,
             _known_correction(counts, tag, known_lists)
             for counts in group_counts]
 
-    # phase 3: apply
+    # phase 3: apply; child gids assigned per (bin, corrected value)
     out: List[SortingRead] = []
+    next_gid = 0
     for kept, correction in zip(group_kept, corrections):
-        out.extend(_apply_correction(kept, tag, correction))
+        applied = _apply_correction(kept, tag, correction)
+        local: Dict[bytes, int] = {}
+        for read in applied:
+            corrected = read.sorting_keys[-1][2]
+            g = local.get(corrected)
+            if g is None:
+                g = next_gid
+                next_gid += 1
+                local[corrected] = g
+            read.gid = g
+        out.extend(applied)
     log.info("level %s (%s): %d groups, %d reads in, %d passed",
              tag.symbol, tag.sort_type.value, len(groups), len(reads),
              len(out))
@@ -968,11 +989,18 @@ def _checkpoint_path(temp_dir: str, ref_name: str, level: int) -> str:
     return os.path.join(temp_dir, f"collapse.{safe}.level{level}.ckpt")
 
 
+# bumped whenever SortingRead's level-grouping state changes shape (v2:
+# gid class ids) - a checkpoint from another format silently resuming
+# would mis-group, so stale formats are discarded and the level re-runs
+_CKPT_FORMAT = "clique-ckpt-v2"
+
+
 def _save_checkpoint(path: str, reads: List[SortingRead]) -> None:
     import pickle
 
     with open(path + ".tmp", "wb") as fh:
-        pickle.dump(reads, fh, protocol=pickle.HIGHEST_PROTOCOL)
+        pickle.dump((_CKPT_FORMAT, reads), fh,
+                    protocol=pickle.HIGHEST_PROTOCOL)
     import os
 
     os.replace(path + ".tmp", path)
@@ -985,7 +1013,12 @@ def _load_checkpoint(path: str) -> Optional[List[SortingRead]]:
     if not os.path.exists(path):
         return None
     with open(path, "rb") as fh:
-        return pickle.load(fh)
+        payload = pickle.load(fh)
+    if not (isinstance(payload, tuple) and len(payload) == 2
+            and payload[0] == _CKPT_FORMAT):
+        log.warning("discarding checkpoint %s (stale format)", path)
+        return None
+    return payload[1]
 
 
 def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
