@@ -64,7 +64,7 @@ def main() -> None:
     target_block = linker.join(targets)
     ref_seq = f"{a5}{'0' * 16}{'1' * 12}{target_block}{a3}"
 
-    n_reads = int(os.environ.get("CLIQUE_BENCH_READS", "20000"))
+    n_reads = int(os.environ.get("CLIQUE_BENCH_READS", "40000"))
     batch = int(os.environ.get("CLIQUE_BENCH_BATCH", "1024"))
     with tempfile.TemporaryDirectory() as tmp:
         layout_path = os.path.join(tmp, "layout.yaml")
@@ -260,7 +260,11 @@ def _supervised() -> None:
     import subprocess
 
     hist = _load_history()
-    host_key = platform.node() or "unknown"
+    # band history is per (host, dataset scale): phases and
+    # amortization differ by read count, so bests only compare
+    # like-for-like
+    host_key = (f'{platform.node() or "unknown"}:'
+                f'{os.environ.get("CLIQUE_BENCH_READS", "40000")}')
     hist_best = float(hist.get(host_key, {}).get("best", 0.0))
     env_min = os.environ.get("CLIQUE_BENCH_HEALTHY_MIN")
     if env_min is not None:

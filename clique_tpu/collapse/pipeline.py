@@ -718,22 +718,20 @@ def write_outputs(reads: List[SortingRead], writer, rm: ReferenceManager,
     loop, and the encode-thread join."""
     t0 = time.time()
     ref_seqs = ref_seq_map(rm)
-    keyed = sorted(((r.reference_name, r.key_tuple(), r) for r in reads),
-                   key=lambda t: (t[0], t[1]))
-    groups: List[List[SortingRead]] = []
-    i = 0
-    n = len(keyed)
-    while i < n:
-        if correct_only:
-            groups.append([keyed[i][2]])
-            i += 1
-            continue
-        j = i
-        key = keyed[i][:2]
-        while j < n and keyed[j][:2] == key:
-            j += 1
-        groups.append([t[2] for t in keyed[i:j]])
-        i = j
+    # group by the level-threaded gid class in O(n), then sort only the
+    # GROUP keys (G << N) by (reference, corrected key tuple) — the same
+    # record order as sorting every read (the old per-read tuple sort was
+    # the growing term at >40k reads), with members in scan order exactly
+    # as the stable sort kept them
+    grouped: Dict[Tuple[str, int], List[SortingRead]] = {}
+    for r in reads:
+        grouped.setdefault((r.reference_name, r.gid), []).append(r)
+    gs = sorted(grouped.values(),
+                key=lambda g: (g[0].reference_name, g[0].key_tuple()))
+    if correct_only:
+        groups: List[List[SortingRead]] = [[r] for g in gs for r in g]
+    else:
+        groups = gs
 
     t1 = time.time()
     precomputed = _precompute_group_consensus(groups, ref_seqs,
