@@ -260,11 +260,13 @@ def _supervised() -> None:
     import subprocess
 
     hist = _load_history()
-    # band history is per (host, dataset scale): phases and
-    # amortization differ by read count, so bests only compare
-    # like-for-like
+    # band history is per (host, dataset scale, batch size): phases and
+    # amortization differ by config, so bests only compare like-for-like
+    # (an A/B at another batch size must not be judged against the
+    # default config's best and burn the retry budget)
     host_key = (f'{platform.node() or "unknown"}:'
-                f'{os.environ.get("CLIQUE_BENCH_READS", "40000")}')
+                f'{os.environ.get("CLIQUE_BENCH_READS", "40000")}:'
+                f'b{os.environ.get("CLIQUE_BENCH_BATCH", "1024")}')
     hist_best = float(hist.get(host_key, {}).get("best", 0.0))
     env_min = os.environ.get("CLIQUE_BENCH_HEALTHY_MIN")
     if env_min is not None:

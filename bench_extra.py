@@ -453,10 +453,15 @@ def main():
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "BENCH_SECONDARY.json")
     results = {}
-    if picked and os.path.exists(out):
-        # targeted rerun: refresh only the selected benches' keys
+    if os.path.exists(out):
+        # start from the existing JSON so a full run refreshes every
+        # bench's keys but keeps hand-maintained provenance fields (e.g.
+        # "statistic"); a targeted rerun refreshes only the selected keys
         with open(out) as fh:
             results = json.load(fh)
+    if not picked:
+        results.pop("statistic", None)
+        results["statistic"] = "single_warm_run"
     for fn in benches:
         try:
             fn(results)

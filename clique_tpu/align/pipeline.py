@@ -1159,10 +1159,9 @@ def _fill_records_from_raw(raw, pending: List[_Pending], records: List,
     group, a_ref, a_read, valid, ops, n_ops, scores = raw
 
     # alignment rate over letter columns (consensus_builders.rs:288-307)
-    counted = (a_ref > 64) & (a_ref != FASTA_N) & (a_read > 64)
-    tot = counted.sum(axis=1)
-    match = ((a_ref == a_read) & counted).sum(axis=1)
-    rates = np.where(tot > 0, match / np.maximum(tot, 1), np.nan).tolist()
+    from clique_tpu.extract.extractor import alignment_rates_rows
+
+    rates = alignment_rates_rows(a_ref, a_read).tolist()
 
     # gap-stripped read sequences (to_sam_record strips gaps, qual 'H')
     keep = valid & (a_read != GAP)
@@ -1280,11 +1279,9 @@ def _encode_flush_fastpath(raws, pend, layout: SequenceLayout,
         group, a_ref, a_read, valid, ops, n_ops, scores = raw
         g = len(group)
 
-        counted = (a_ref > 64) & (a_ref != FASTA_N) & (a_read > 64)
-        tot = counted.sum(axis=1)
-        match = ((a_ref == a_read) & counted).sum(axis=1)
-        rates = np.where(tot > 0, match / np.maximum(tot, 1),
-                         np.nan).tolist()
+        from clique_tpu.extract.extractor import alignment_rates_rows
+
+        rates = alignment_rates_rows(a_ref, a_read).tolist()
 
         keep = valid & (a_read != GAP)
         seq_lens = keep.sum(axis=1)

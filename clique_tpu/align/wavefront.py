@@ -427,6 +427,15 @@ def wfa_affine_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
 _MID_ENC = 1 << 16  # payload encoding: h * _MID_ENC + v (lengths < 32768)
 
 
+def _bialign_len_ok(n: int) -> bool:
+    """True when a pair of max raw length n fits the bialign split
+    encoding. _mid_split_batch quantizes lengths UP to a 128 multiple and
+    rejects quantized >= _MID_ENC//2, so the routing guard must bound the
+    QUANTIZED length: raw 32641..32767 quantizes to 32768 and would crash
+    the split driver despite passing a raw `< 32768` check."""
+    return -(-max(n, 1) // 128) * 128 < _MID_ENC // 2
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n1", "n2", "smax", "x", "o", "e",
                                     "wildcards", "kband"))
@@ -2043,7 +2052,7 @@ class WfaAligner:
             for k, r in zip(remaining, out):
                 results[k] = r
         elif self.model == "affine" and all(
-                max(len(refs[k]), len(reads[k])) < _MID_ENC // 2
+                _bialign_len_ok(max(len(refs[k]), len(reads[k])))
                 for k in remaining):
             # no exact-DP engine attached: the O(s)-memory bialign driver
             # finishes these without the full-bound op store the direct

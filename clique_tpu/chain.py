@@ -37,8 +37,6 @@ from clique_tpu.collapse.pipeline import (
     alignment_check_batch,
     load_known_lists,
     ref_seq_map,
-    sort_level,
-    write_outputs,
 )
 from clique_tpu.config.layout import SequenceLayout
 from clique_tpu.extract.extractor import (
@@ -305,9 +303,12 @@ def collapse_from_reads(output_path: str, layout: SequenceLayout,
     """Correction levels + consensus outputs over already-ingested reads:
     the in-RAM half of collapse() (collapse.rs:104-141) with ingestion
     supplied by the caller (CollapseSink)."""
-    import json
-
     from clique_tpu.io.sam import open_alignment_writer
+
+    from clique_tpu.collapse.pipeline import (
+        finish_collapse_metrics,
+        run_ref_levels_and_outputs,
+    )
 
     known_lists = load_known_lists(layout)
     references = [(r.name, len(r.sequence)) for r in rm.references.values()]
@@ -315,47 +316,22 @@ def collapse_from_reads(output_path: str, layout: SequenceLayout,
     metrics = {"references": {}, "started": time.time(),
                "ingest_s": round(ingest_seconds, 3)}
     t_levels = time.time()
-    outputs_seconds = 0.0
+    outputs_seconds = [0.0]
 
     for ref in rm.references.values():
         reads = reads_by_ref.get(ref.name, [])
         ref_metrics = {"passing_reads": (n_passing or {}).get(
             ref.name, len(reads)), "levels": []}
-        if not reads:
-            log.warning("No valid reads found for reference %s", ref.name)
-            metrics["references"][ref.name] = ref_metrics
-            continue
-        for tag in layout.get_sorted_umi_configurations(ref.name):
-            n_in = len(reads)
-            reads = sort_level(reads, tag, known_lists)
-            ref_metrics["levels"].append({
-                "symbol": tag.symbol, "sort_type": tag.sort_type.value,
-                "reads_in": n_in, "reads_out": len(reads)})
-        t_out = time.time()
-        out_phases: dict = {}
-        written = write_outputs(reads, writer, rm, correct_only,
-                                downsample_cap, gap_call_threshold,
-                                record_tap=record_tap,
-                                phase_out=out_phases)
-        outputs_seconds += time.time() - t_out
-        ref_metrics["output_records"] = written
-        ref_metrics["output_phases"] = out_phases
         metrics["references"][ref.name] = ref_metrics
-        log.info("reference %s: wrote %d records (fused chain)", ref.name,
-                 written)
+        run_ref_levels_and_outputs(
+            reads, ref.name, layout, rm, writer, known_lists, correct_only,
+            downsample_cap, gap_call_threshold, ref_metrics,
+            outputs_seconds, record_tap=record_tap,
+            log_suffix=" (fused chain)")
 
     writer.close()
-    metrics["levels_s"] = round(time.time() - t_levels - outputs_seconds, 3)
-    metrics["outputs_s"] = round(outputs_seconds, 3)
-    metrics["elapsed_s"] = round(time.time() - metrics["started"], 3)
-    metrics["read_stats"] = {
-        "total": stats.total_reads, "unmapped": stats.unmapped,
-        "secondary": stats.secondary,
-        "failed_filters": stats.failed_filters,
-        "invalid_tags": stats.invalid_tags, "passing": stats.passing}
-    mpath = metrics_path or (str(output_path) + ".collapse_metrics.json")
-    with open(mpath, "w") as fh:
-        json.dump(metrics, fh, indent=2)
+    finish_collapse_metrics(metrics, stats, t_levels, outputs_seconds[0],
+                            metrics_path, output_path)
     return stats
 
 

@@ -778,26 +778,31 @@ def write_outputs(reads: List[SortingRead], writer, rm: ReferenceManager,
 
     written = 0
     records = []
-    for gi, group in enumerate(groups):
-        rec = _consensus_record(group, ref_seqs,
-                                downsample_cap if not correct_only
-                                else 0, gap_call_threshold,
-                                precomputed.get(gi),
-                                rate=single_rates.get(gi))
-        if rec is not None:
-            records.append(rec)
-            written += 1
-        if len(records) >= 2048:
-            if record_tap is not None:
-                record_tap.extend(records)
-            out_q.put(records)
-            records = []
-    if record_tap is not None:
-        record_tap.extend(records)
-    out_q.put(records)
-    out_q.put(None)
-    t3 = time.time()
-    encoder.join()
+    try:
+        for gi, group in enumerate(groups):
+            rec = _consensus_record(group, ref_seqs,
+                                    downsample_cap if not correct_only
+                                    else 0, gap_call_threshold,
+                                    precomputed.get(gi),
+                                    rate=single_rates.get(gi))
+            if rec is not None:
+                records.append(rec)
+                written += 1
+            if len(records) >= 2048:
+                if record_tap is not None:
+                    record_tap.extend(records)
+                out_q.put(records)
+                records = []
+        if record_tap is not None:
+            record_tap.extend(records)
+        out_q.put(records)
+    finally:
+        # always poison + join, even when a group's consensus raises:
+        # a leaked encoder thread still holds the writer and can
+        # interleave a mid-flight write_batch with the caller's cleanup
+        out_q.put(None)
+        t3 = time.time()
+        encoder.join()
     if errors:
         raise errors[0]
     if phase_out is not None:
@@ -862,6 +867,8 @@ def _batch_alignment_rates(pairs: List[Tuple[bytes, bytes]]) -> List[float]:
     pairs in one padded pass (padding bytes are 0 < 64: never counted)."""
     import numpy as np
 
+    from clique_tpu.extract.extractor import alignment_rates_rows
+
     if not pairs:
         return []
     lens = [min(len(r), len(d)) for r, d in pairs]
@@ -872,12 +879,7 @@ def _batch_alignment_rates(pairs: List[Tuple[bytes, bytes]]) -> List[float]:
         n = lens[i]
         y[i, :n] = np.frombuffer(r[:n], dtype=np.uint8)
         x[i, :n] = np.frombuffer(d[:n], dtype=np.uint8)
-    counted = (y > 64) & (y != FASTA_N) & (x > 64)
-    tot = counted.sum(axis=1)
-    match = ((x == y) & counted).sum(axis=1)
-    with np.errstate(invalid="ignore"):
-        rates = np.where(tot > 0, match / np.maximum(tot, 1), np.nan)
-    return [float(v) for v in rates]
+    return [float(v) for v in alignment_rates_rows(y, x)]
 
 
 def _consensus_record(group: List[SortingRead], ref_seqs: Dict[str, bytes],
@@ -1197,48 +1199,87 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
             continue
         reads = reads_by_ref[ref.name]
         ref_metrics = {"passing_reads": ing.n_passing, "levels": []}
-        if not reads:
-            log.warning("No valid reads found for reference %s", ref.name)
-            metrics["references"][ref.name] = ref_metrics
-            continue
-        configs = layout.get_sorted_umi_configurations(ref.name)
-        start_level = 0
-        if checkpoint and temp_dir:
-            # resume from the deepest completed level
-            for lvl in range(len(configs), 0, -1):
-                saved = _load_checkpoint(
-                    _checkpoint_path(temp_dir, ref.name, lvl))
-                if saved is not None:
-                    reads = saved
-                    start_level = lvl
-                    log.info("resumed reference %s from level %d "
-                             "(%d reads)", ref.name, lvl, len(reads))
-                    break
-        for lvl, tag in enumerate(configs):
-            if lvl < start_level:
-                continue
-            n_in = len(reads)
-            reads = sort_level(reads, tag, known_lists)
-            ref_metrics["levels"].append({
-                "symbol": tag.symbol, "sort_type": tag.sort_type.value,
-                "reads_in": n_in, "reads_out": len(reads)})
-            if checkpoint and temp_dir:
-                _save_checkpoint(
-                    _checkpoint_path(temp_dir, ref.name, lvl + 1), reads)
-        t_out = time.time()
-        written = write_outputs(reads, writer, rm, correct_only,
-                                downsample_cap, gap_call_threshold)
-        outputs_seconds[0] += time.time() - t_out
-        ref_metrics["output_records"] = written
         metrics["references"][ref.name] = ref_metrics
-        log.info("reference %s: wrote %d records", ref.name, written)
+        run_ref_levels_and_outputs(
+            reads, ref.name, layout, rm, writer, known_lists, correct_only,
+            downsample_cap, gap_call_threshold, ref_metrics,
+            outputs_seconds,
+            checkpoint_dir=temp_dir if checkpoint else None)
 
     writer.close()
     if spill_root is not None:
         shutil.rmtree(spill_root, ignore_errors=True)
-    metrics["levels_s"] = round(
-        time.time() - t_levels - outputs_seconds[0], 3)
-    metrics["outputs_s"] = round(outputs_seconds[0], 3)
+    finish_collapse_metrics(metrics, stats, t_levels, outputs_seconds[0],
+                            metrics_path, output_path)
+    return stats
+
+
+def run_ref_levels_and_outputs(reads: List[SortingRead], ref_name: str,
+                               layout: SequenceLayout,
+                               rm: ReferenceManager, writer,
+                               known_lists, correct_only: bool,
+                               downsample_cap: int,
+                               gap_call_threshold: float,
+                               ref_metrics: dict,
+                               outputs_seconds: List[float],
+                               checkpoint_dir: Optional[str] = None,
+                               record_tap: Optional[list] = None,
+                               log_suffix: str = "") -> int:
+    """Per-reference in-RAM correction levels + consensus outputs — the
+    single implementation behind collapse() and the fused chain's
+    collapse_from_reads (their byte parity is pinned by
+    tests/test_chain_fused.py). Appends per-level rows and output
+    records/phases to ref_metrics; adds the outputs wall to
+    outputs_seconds[0]."""
+    if not reads:
+        log.warning("No valid reads found for reference %s", ref_name)
+        return 0
+    configs = layout.get_sorted_umi_configurations(ref_name)
+    start_level = 0
+    if checkpoint_dir:
+        # resume from the deepest completed level
+        for lvl in range(len(configs), 0, -1):
+            saved = _load_checkpoint(
+                _checkpoint_path(checkpoint_dir, ref_name, lvl))
+            if saved is not None:
+                reads = saved
+                start_level = lvl
+                log.info("resumed reference %s from level %d "
+                         "(%d reads)", ref_name, lvl, len(reads))
+                break
+    for lvl, tag in enumerate(configs):
+        if lvl < start_level:
+            continue
+        n_in = len(reads)
+        reads = sort_level(reads, tag, known_lists)
+        ref_metrics["levels"].append({
+            "symbol": tag.symbol, "sort_type": tag.sort_type.value,
+            "reads_in": n_in, "reads_out": len(reads)})
+        if checkpoint_dir:
+            _save_checkpoint(
+                _checkpoint_path(checkpoint_dir, ref_name, lvl + 1), reads)
+    t_out = time.time()
+    out_phases: dict = {}
+    written = write_outputs(reads, writer, rm, correct_only,
+                            downsample_cap, gap_call_threshold,
+                            record_tap=record_tap, phase_out=out_phases)
+    outputs_seconds[0] += time.time() - t_out
+    ref_metrics["output_records"] = written
+    ref_metrics["output_phases"] = out_phases
+    log.info("reference %s: wrote %d records%s", ref_name, written,
+             log_suffix)
+    return written
+
+
+def finish_collapse_metrics(metrics: dict, stats, t_levels: float,
+                            outputs_s: float,
+                            metrics_path: Optional[str],
+                            output_path: str) -> None:
+    """Shared metrics-JSON tail for collapse() / collapse_from_reads."""
+    import json
+
+    metrics["levels_s"] = round(time.time() - t_levels - outputs_s, 3)
+    metrics["outputs_s"] = round(outputs_s, 3)
     metrics["elapsed_s"] = round(time.time() - metrics["started"], 3)
     metrics["read_stats"] = {
         "total": stats.total_reads, "unmapped": stats.unmapped,
@@ -1247,4 +1288,3 @@ def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
     mpath = metrics_path or (str(output_path) + ".collapse_metrics.json")
     with open(mpath, "w") as fh:
         json.dump(metrics, fh, indent=2)
-    return stats

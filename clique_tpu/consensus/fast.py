@@ -221,12 +221,9 @@ def consensus_fast_groups(reference: bytes,
     # batched alignment rate of each consensus against the reference
     # (alignment_rate_fast semantics, one [G, L] pass): saves the
     # per-record numpy round trip in _consensus_record's rm tag
-    rate_counted = ((ref > 64) & (ref != 78))[None, :] & (bases_all > 64)
-    rate_tot = rate_counted.sum(axis=1)
-    rate_match = ((bases_all == ref[None, :]) & rate_counted).sum(axis=1)
-    with np.errstate(invalid="ignore"):
-        rates = np.where(rate_tot > 0,
-                         rate_match / np.maximum(rate_tot, 1), np.nan)
+    from clique_tpu.extract.extractor import alignment_rates_rows
+
+    rates = alignment_rates_rows(ref[None, :], bases_all)
 
     results = []
     for gi, (reads, _qlist, names) in enumerate(groups):

@@ -229,6 +229,24 @@ def alignment_rate_fast(aligned_ref: bytes, aligned_read: bytes) -> float:
     return float(int(((r == d) & counted).sum()) / total)
 
 
+def alignment_rates_rows(a_ref, a_read):
+    """Row-wise alignment_rate_fast over [N, L] uint8 matrices: identity
+    over columns where the reference is a non-N letter and the read is a
+    letter (consensus_builders.rs:288-307), NaN for rows with no counted
+    columns. a_ref may broadcast (e.g. one [1, L] reference row against
+    [G, L] consensus rows). Padding bytes of 0 are never counted. The
+    single shared implementation for every batched rate site — the
+    formula must stay bit-identical across the align fast path, collapse
+    outputs, and consensus, or the golden pins diverge between paths."""
+    import numpy as np
+
+    counted = (a_ref > 64) & (a_ref != 78) & (a_read > 64)
+    tot = counted.sum(axis=1)
+    match = ((a_ref == a_read) & counted).sum(axis=1)
+    with np.errstate(invalid="ignore"):
+        return np.where(tot > 0, match / np.maximum(tot, 1), np.nan)
+
+
 def custom_umi_score(a: int, b: int) -> int:
     """Nucleotide/degenerate scoring for UMI matching (extractor.rs:414-442):
     10 for matching/degenerate-compatible known bases, -8 for known-base

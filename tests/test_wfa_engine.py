@@ -322,3 +322,31 @@ references:
     dels = [(n, op) for n, op in rec.cigar if op == "D"]
     assert dels == [(40, "D")]
     assert rec.tags["e0"] == umi
+
+
+def test_long_pair_routing_respects_bialign_quantized_cap():
+    """Regression: a pair whose RAW length passes a `< 32768` check but
+    whose 128-quantized length hits the bialign split-encoding cap (raw
+    32641..32767 -> quantized 32768) must NOT route to the bialign
+    driver — _mid_split_batch rejects it with ValueError before any
+    kernel dispatch. Pins both halves of the contract: the routing
+    predicate and the split driver's early raise. (The end-to-end
+    32.7kbp align_pairs repro passes but costs minutes of L=32768
+    compiles; the predicate is the complete guard condition.)"""
+    import pytest as _pytest
+
+    from clique_tpu.align.wavefront import (
+        _MID_ENC,
+        _bialign_len_ok,
+        wfa_bialign_affine_pairs,
+    )
+
+    assert _bialign_len_ok(32640)          # quantized 32640 < 32768
+    assert _bialign_len_ok(1)
+    assert not _bialign_len_ok(32641)      # quantizes UP to 32768
+    assert not _bialign_len_ok(32700)      # the reproduced crash length
+    assert not _bialign_len_ok(_MID_ENC)
+    # the split driver refuses (early, pre-dispatch) exactly where the
+    # predicate says it would
+    with _pytest.raises(ValueError, match="bialign split encoding"):
+        wfa_bialign_affine_pairs([b"A" * 32700], [b"A" * 32700])
