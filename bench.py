@@ -251,11 +251,15 @@ def _supervised() -> None:
     but retried, and the BEST result across attempts is the number of
     record (single runs are noisy; see CLAUDE.md TPU tunnel rules).
 
-    The healthy band is DERIVED PER HOST from stored run history (92% of
-    this host's best observed value for the current metric) instead of a
-    hardcoded constant; CLIQUE_BENCH_HEALTHY_MIN overrides. With no
-    history, the run stops early once two attempts agree within 8% (a
-    stable phase) rather than burning the full attempt budget."""
+    The healthy band is DERIVED PER HOST from stored run history: 92% of
+    the MEDIAN of the last 10 same-key attempt values — a trailing
+    statistic a typical-phase attempt can actually clear. (Round 4 used
+    92% of the all-time best; with documented 2x phase swings one lucky
+    capture made every later attempt "unhealthy" and each capture burned
+    the full deadline — VERDICT r4 weak-2.) CLIQUE_BENCH_HEALTHY_MIN
+    overrides. With fewer than 3 recorded attempts, the run stops early
+    once two attempts agree within 8% (a stable phase) rather than
+    burning the full attempt budget."""
     import platform
     import subprocess
 
@@ -267,14 +271,19 @@ def _supervised() -> None:
     host_key = (f'{platform.node() or "unknown"}:'
                 f'{os.environ.get("CLIQUE_BENCH_READS", "40000")}:'
                 f'b{os.environ.get("CLIQUE_BENCH_BATCH", "1024")}')
-    hist_best = float(hist.get(host_key, {}).get("best", 0.0))
+    recent = [float(v) for v in hist.get(host_key, {}).get("recent", [])]
     env_min = os.environ.get("CLIQUE_BENCH_HEALTHY_MIN")
     if env_min is not None:
         healthy_min = float(env_min)
-    elif hist_best > 0:
-        healthy_min = 0.92 * hist_best
+    elif len(recent) >= 3:
+        # trailing statistic, not a ratchet: median of the last 10
+        # recorded attempts for this (host, scale, batch) key
+        tail = sorted(recent[-10:])
+        n = len(tail)
+        med = tail[n // 2] if n % 2 else (tail[n // 2 - 1] + tail[n // 2]) / 2
+        healthy_min = 0.92 * med
     else:
-        healthy_min = None  # no history: stability rule decides
+        healthy_min = None  # no history yet: stability rule decides
     attempts: list = []
     # kernel-code changes invalidate the persistent XLA cache; a cold run
     # recompiles every big shape variant through the remote relay (minutes
@@ -365,9 +374,12 @@ def _supervised() -> None:
     best["healthy_band"] = healthy_min
     print(json.dumps(best))
     hist.setdefault(host_key, {})
-    if best["value"] > float(hist[host_key].get("best", 0.0)):
-        hist[host_key]["best"] = best["value"]
-        hist[host_key]["when"] = time.strftime("%Y-%m-%d %H:%M:%S")
+    entry = hist[host_key]
+    entry["recent"] = ([float(v) for v in entry.get("recent", [])]
+                       + [float(v) for v in attempts])[-20:]
+    if best["value"] > float(entry.get("best", 0.0)):
+        entry["best"] = best["value"]  # provenance only; not the band
+        entry["when"] = time.strftime("%Y-%m-%d %H:%M:%S")
     try:
         _save_history(hist)
     except OSError:
