@@ -493,7 +493,18 @@ class AlignStats:
     failed: int = 0
 
 
-def align_reads(
+def align_reads(*args, **kwargs) -> AlignStats:
+    """GC-controlled wrapper (see _align_reads_impl for the pipeline and
+    the full signature): the align stage allocates millions of acyclic
+    record objects, and cyclic-GC heap scans made it superlinear in
+    dataset size (utils/gcctl.py)."""
+    from clique_tpu.utils.gcctl import hot_section
+
+    with hot_section():
+        return _align_reads_impl(*args, **kwargs)
+
+
+def _align_reads_impl(
     layout: SequenceLayout,
     rm: ReferenceManager,
     output_path: str,

@@ -304,35 +304,39 @@ def collapse_from_reads(output_path: str, layout: SequenceLayout,
     the in-RAM half of collapse() (collapse.rs:104-141) with ingestion
     supplied by the caller (CollapseSink)."""
     from clique_tpu.io.sam import open_alignment_writer
+    from clique_tpu.utils.gcctl import hot_section
 
     from clique_tpu.collapse.pipeline import (
         finish_collapse_metrics,
         run_ref_levels_and_outputs,
     )
 
-    known_lists = load_known_lists(layout)
-    references = [(r.name, len(r.sequence)) for r in rm.references.values()]
-    writer = open_alignment_writer(output_path, references)
-    metrics = {"references": {}, "started": time.time(),
-               "ingest_s": round(ingest_seconds, 3)}
-    t_levels = time.time()
-    outputs_seconds = [0.0]
+    with hot_section():
+        known_lists = load_known_lists(layout)
+        references = [(r.name, len(r.sequence))
+                      for r in rm.references.values()]
+        writer = open_alignment_writer(output_path, references)
+        metrics = {"references": {}, "started": time.time(),
+                   "ingest_s": round(ingest_seconds, 3)}
+        t_levels = time.time()
+        outputs_seconds = [0.0]
 
-    for ref in rm.references.values():
-        reads = reads_by_ref.get(ref.name, [])
-        ref_metrics = {"passing_reads": (n_passing or {}).get(
-            ref.name, len(reads)), "levels": []}
-        metrics["references"][ref.name] = ref_metrics
-        run_ref_levels_and_outputs(
-            reads, ref.name, layout, rm, writer, known_lists, correct_only,
-            downsample_cap, gap_call_threshold, ref_metrics,
-            outputs_seconds, record_tap=record_tap,
-            log_suffix=" (fused chain)")
+        for ref in rm.references.values():
+            reads = reads_by_ref.get(ref.name, [])
+            ref_metrics = {"passing_reads": (n_passing or {}).get(
+                ref.name, len(reads)), "levels": []}
+            metrics["references"][ref.name] = ref_metrics
+            run_ref_levels_and_outputs(
+                reads, ref.name, layout, rm, writer, known_lists,
+                correct_only, downsample_cap, gap_call_threshold,
+                ref_metrics, outputs_seconds, record_tap=record_tap,
+                log_suffix=" (fused chain)")
 
-    writer.close()
-    finish_collapse_metrics(metrics, stats, t_levels, outputs_seconds[0],
-                            metrics_path, output_path)
-    return stats
+        writer.close()
+        finish_collapse_metrics(metrics, stats, t_levels,
+                                outputs_seconds[0], metrics_path,
+                                output_path)
+        return stats
 
 
 def run_chain(layout: SequenceLayout, rm: ReferenceManager,

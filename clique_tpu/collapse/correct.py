@@ -201,18 +201,42 @@ def _prepare_pairs(norm_counts, tags, max_distance: int,
             mat[idx, :g] = np.frombuffer(
                 b"".join([tags[i] for i in idx]), dtype=np.uint8
             ).reshape(len(idx), int(g))
-    if len(tags) <= 4096:
-        pairs = _triu_pairs(len(tags))
-    else:
-        padded = [t + b"-" * (max_len - len(t)) for t in tags]
-        pairs = candidate_pairs_array(padded, max_distance)
     cnt = np.fromiter((norm_counts[t] for t in tags), np.int64,
                       count=len(tags))
+    if len(tags) <= 4096:
+        pairs = _count_filtered_pairs(cnt, collapse_ratio)
+        if pairs is None:
+            pairs = _triu_pairs(len(tags))
+    else:
+        padded = [t + b"-" * (max_len - len(t)) for t in tags]
+        pairs = candidate_pairs_array(padded, max_distance, counts=cnt,
+                                      ratio=collapse_ratio)
     ci, cj = cnt[pairs[:, 0]], cnt[pairs[:, 1]]
     hi = np.maximum(ci, cj)
     lo = np.minimum(ci, cj)
     pairs = pairs[(ci != cj) & (hi >= collapse_ratio * lo)]
     return mat, pairs
+
+
+def _count_filtered_pairs(cnt: np.ndarray,
+                          collapse_ratio: float) -> Optional[np.ndarray]:
+    """H x ALL cross-product pair indices for one group: every pair that
+    can pass ratio absorption has its high side in H = {i: cnt[i] >=
+    ratio * cnt.min()} (see _candidate_pairs_np), so when H is small this
+    [h*T, 2] array is an exact-superset replacement for the [T*(T-1)/2]
+    triu — the all-pairs term was quadratic in per-bin error variants.
+    Returns None when H is too big to beat triu (callers keep triu).
+    May contain (i, i) self-rows and (a, b)/(b, a) duplicates for pairs
+    within H; both are harmless — self-rows fail the ci != cj filter and
+    duplicate absorption links are idempotent in degenerate_finish."""
+    T = len(cnt)
+    hset = np.flatnonzero(cnt >= collapse_ratio * cnt.min())
+    h = len(hset)
+    if h * 2 >= T - 1:
+        return None
+    left = np.repeat(hset.astype(np.int64), T)
+    right = np.tile(np.arange(T, dtype=np.int64), h)
+    return np.stack([left, right], axis=1)
 
 
 def degenerate_finish(norm_counts, tags, pairs, dists, max_distance: int,
@@ -296,7 +320,10 @@ def correct_degenerate_groups(group_counts, max_distance: int, length: int,
         pair_chunks = []
         pair_group = []
         for k, gi in enumerate(flat):
-            p = _triu_pairs(int(sizes[k]))
+            cnt_g = cnt[offs[k]:offs[k + 1]]
+            p = _count_filtered_pairs(cnt_g, collapse_ratio)
+            if p is None:
+                p = _triu_pairs(int(sizes[k]))
             pair_chunks.append(p + offs[k])
             pair_group.append(np.full(len(p), k, dtype=np.int32))
         pairs_all = np.concatenate(pair_chunks)

@@ -351,17 +351,39 @@ def _join_pairs(keys0: np.ndarray, keys1: np.ndarray, sorted0=None):
     return rows0, rows1
 
 
-def _candidate_pairs_np(tags: List[bytes], max_distance: int
-                        ) -> List[Tuple[int, int]]:
+def _candidate_pairs_np(tags: List[bytes], max_distance: int,
+                        counts: "np.ndarray" = None,
+                        ratio: float = None) -> List[Tuple[int, int]]:
     """Vectorized pigeonhole for equal-length tags: byte-block packed keys
     + flat searchsorted joins replace per-tag dict bucketing and
-    per-bucket pair loops."""
+    per-bucket pair loops.
+
+    With (counts, ratio): only pairs that can matter to ratio absorption
+    are generated. A qualifying pair needs max(ci, cj) >= ratio * min(ci,
+    cj) >= ratio * counts.min(), so one side always lies in the small
+    high-count set H = {i: counts[i] >= ratio * cmin}; joining ALL x H
+    (both unshifted/shifted directions) is an exact superset of
+    qualifying pairs while skipping the count-1 x count-1 mass — the term
+    that made candidate generation quadratic in reads (each cell
+    barcode's error halo pairs internally within distance 2d). Callers
+    re-apply the exact (ci != cj) & ratio filter, so results are
+    identical to the unrestricted join."""
     N = len(tags)
     L = len(tags[0])
     arr = np.frombuffer(b"".join(tags), dtype=np.uint8).reshape(N, L)
     n_pieces = max_distance + 1
     bounds = [round(i * L / n_pieces) for i in range(n_pieces + 1)]
     enc_chunks: List[np.ndarray] = []
+
+    hmask = None
+    if counts is not None and ratio is not None and N:
+        counts = np.asarray(counts, dtype=np.int64)
+        hset = np.flatnonzero(counts >= ratio * counts.min()).astype(
+            np.int32)
+        # the restricted path pays two joins per probe; only worth it
+        # when H is genuinely sparse
+        if len(hset) * 4 <= N:
+            hmask = hset
 
     def _emit(r0: np.ndarray, r1: np.ndarray) -> None:
         # unordered (lo, hi) pairs packed straight into the int64 dedupe
@@ -379,13 +401,24 @@ def _candidate_pairs_np(tags: List[bytes], max_distance: int
             _u, k0 = np.unique(a0, axis=0, return_inverse=True)
         order0 = np.argsort(k0, kind="stable").astype(np.int32)
         sorted0 = (order0, k0[order0])      # reused across every probe
-        # same-piece buckets: self-join, keep each unordered pair once
-        j = _join_pairs(k0, k0, sorted0=sorted0)
-        if j is not None:
-            r0, r1 = j
-            keep = r0 < r1
-            if keep.any():
-                _emit(r0[keep], r1[keep])
+        # same-piece buckets: self-join, keep each unordered pair once.
+        # Count-restricted: ALL x H covers every qualifying pair (the
+        # high side is in H by construction).
+        if hmask is not None:
+            j = _join_pairs(k0, k0[hmask], sorted0=sorted0)
+            if j is not None:
+                r0, r1 = j
+                r1 = hmask[r1]
+                keep = r0 != r1
+                if keep.any():
+                    _emit(r0[keep], r1[keep])
+        else:
+            j = _join_pairs(k0, k0, sorted0=sorted0)
+            if j is not None:
+                r0, r1 = j
+                keep = r0 < r1
+                if keep.any():
+                    _emit(r0[keep], r1[keep])
         # shifted pieces join against the unshifted buckets. EQUAL-length
         # strings at Levenshtein <= d pair every insertion with a
         # deletion, so the alignment offset at any point is bounded by
@@ -401,10 +434,48 @@ def _candidate_pairs_np(tags: List[bytes], max_distance: int
                 _u, invb = np.unique(np.vstack([a0, a_s]), axis=0,
                                      return_inverse=True)
                 kk0, kk1 = invb[:N], invb[N:]
-                j = _join_pairs(kk0, kk1)
+                if hmask is not None:
+                    # clean piece on either side: (ALL unshifted x H
+                    # shifted) + (H unshifted x ALL shifted)
+                    j = None
+                    ja = _join_pairs(kk0, kk1[hmask])
+                    if ja is not None:
+                        r0, r1 = ja
+                        r1 = hmask[r1]
+                        keep = r0 != r1
+                        if keep.any():
+                            _emit(r1[keep], r0[keep])
+                    jb = _join_pairs(kk0[hmask], kk1)
+                    if jb is not None:
+                        r0, r1 = jb
+                        r0 = hmask[r0]
+                        keep = r0 != r1
+                        if keep.any():
+                            _emit(r1[keep], r0[keep])
+                else:
+                    j = _join_pairs(kk0, kk1)
             else:
                 # same width as a0, so k0 holds packed (comparable) keys
-                j = _join_pairs(k0, k_s, sorted0=sorted0)
+                if hmask is not None:
+                    j = None
+                    ja = _join_pairs(k0, k_s[hmask], sorted0=sorted0)
+                    if ja is not None:
+                        r0, r1 = ja
+                        r1 = hmask[r1]
+                        keep = r0 != r1
+                        if keep.any():
+                            _emit(r1[keep], r0[keep])
+                    # H's unshifted pieces vs everyone's shifted windows:
+                    # sort the H-restricted keys once per probe
+                    jb = _join_pairs(k0[hmask], k_s)
+                    if jb is not None:
+                        r0, r1 = jb
+                        r0 = hmask[r0]
+                        keep = r0 != r1
+                        if keep.any():
+                            _emit(r1[keep], r0[keep])
+                else:
+                    j = _join_pairs(k0, k_s, sorted0=sorted0)
             if j is not None:
                 r0, r1 = j
                 keep = r0 != r1
@@ -422,12 +493,16 @@ def _pieces(seq: bytes, n_pieces: int) -> List[Tuple[int, bytes]]:
     return [(i, seq[bounds[i]:bounds[i + 1]]) for i in range(n_pieces)]
 
 
-def candidate_pairs_array(tags: List[bytes],
-                          max_distance: int) -> np.ndarray:
+def candidate_pairs_array(tags: List[bytes], max_distance: int,
+                          counts: "np.ndarray" = None,
+                          ratio: float = None) -> np.ndarray:
     """candidate_pairs returning an [P, 2] i64 ndarray directly (no python
-    tuple round-trip) — the form degenerate_prepare consumes."""
+    tuple round-trip) — the form degenerate_prepare consumes. counts/ratio
+    (optional, equal-length path only) restrict the superset to pairs that
+    can pass ratio absorption — see _candidate_pairs_np."""
     if tags and len({len(t) for t in tags}) == 1:
-        return _candidate_pairs_np(tags, max_distance)
+        return _candidate_pairs_np(tags, max_distance, counts=counts,
+                                   ratio=ratio)
     return np.array(candidate_pairs(tags, max_distance),
                     dtype=np.int64).reshape(-1, 2)
 

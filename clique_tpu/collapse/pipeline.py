@@ -1021,17 +1021,27 @@ def _load_checkpoint(path: str) -> Optional[List[SortingRead]]:
     return payload[1]
 
 
-def collapse(output_path: str, layout: SequenceLayout, input_bam: str,
-             temp_dir: Optional[str] = None, correct_only: bool = False,
-             downsample_cap: int = 40,
-             metrics_path: Optional[str] = None,
-             checkpoint: bool = False,
-             out_of_core: bool = False,
-             n_workers: int = 1,
-             min_aligned_bases: int = 45,
-             min_identical: float = 0.8,
-             gap_call_threshold: float = 0.75,
-             shards: Optional[int] = None) -> CollapseStats:
+def collapse(*args, **kwargs) -> CollapseStats:
+    """GC-controlled wrapper (see _collapse_impl for the pipeline and the
+    full signature): ingest/levels hold millions of acyclic objects and
+    cyclic-GC heap scans made them superlinear (utils/gcctl.py)."""
+    from clique_tpu.utils.gcctl import hot_section
+
+    with hot_section():
+        return _collapse_impl(*args, **kwargs)
+
+
+def _collapse_impl(output_path: str, layout: SequenceLayout, input_bam: str,
+                   temp_dir: Optional[str] = None, correct_only: bool = False,
+                   downsample_cap: int = 40,
+                   metrics_path: Optional[str] = None,
+                   checkpoint: bool = False,
+                   out_of_core: bool = False,
+                   n_workers: int = 1,
+                   min_aligned_bases: int = 45,
+                   min_identical: float = 0.8,
+                   gap_call_threshold: float = 0.75,
+                   shards: Optional[int] = None) -> CollapseStats:
     """The `clique collapse` equivalent (collapse.rs:70-141).
 
     n_workers > 1 runs the host-parallel in-RAM path (collapse/workers.py):

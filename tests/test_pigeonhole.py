@@ -208,3 +208,48 @@ def test_myers_host_matches_device_kernel():
     dev = np.asarray(_edit_distance_kernel(apad, bpad, lpad, lpad,
                                            L1=L, L2=L))[:P]
     assert host.tolist() == dev.tolist()
+
+
+@pytest.mark.parametrize("L,d", [(12, 2), (16, 2), (16, 1)])
+def test_count_restricted_superset_and_identical_corrections(L, d):
+    """The count-aware join (counts/ratio) must (a) contain every pair
+    that can pass ratio absorption, and (b) leave the end-to-end
+    degenerate correction maps identical to the all-pairs build."""
+    from clique_tpu.collapse.correct import correct_degenerate_groups
+
+    rng = np.random.default_rng(7 * L + d)
+    for trial in range(4):
+        # realistic skew: a few high-count centers + a count-1 error halo
+        centers = [rng.choice(BASES, L).tobytes() for _ in range(6)]
+        counts = {}
+        for c in centers:
+            counts[c] = int(rng.integers(20, 60))
+            for _ in range(30):
+                x = bytearray(c)
+                for _ in range(int(rng.integers(1, d + 1))):
+                    x[int(rng.integers(L))] = int(rng.choice(BASES))
+                t = bytes(x)
+                if t not in counts:
+                    counts[t] = int(rng.integers(1, 3))
+        tags = sorted(counts)
+        cnt = np.array([counts[t] for t in tags], np.int64)
+        ratio = 5.0
+        full = _candidate_pairs_np(tags, d)
+        restricted = _candidate_pairs_np(tags, d, counts=cnt, ratio=ratio)
+        enc = lambda p: {(min(a, b), max(a, b)) for a, b in p.tolist()
+                         if a != b}
+        full_set, restr_set = enc(full), enc(restricted)
+        # (a) superset of qualifying pairs
+        for i, j in full_set:
+            ci, cj = cnt[i], cnt[j]
+            if ci != cj and max(ci, cj) >= ratio * min(ci, cj):
+                assert (i, j) in restr_set, (tags[i], tags[j], ci, cj)
+        assert restr_set <= full_set
+        # (b) identical correction maps through the group path (which
+        # uses the restricted join for >4096 and H x ALL below that)
+        # vs the brute-force all-pairs single-group path
+        from clique_tpu.collapse.correct import correct_degenerate
+
+        got = correct_degenerate_groups([counts], d, L, ratio)[0]
+        want = correct_degenerate(counts, d, L, ratio)
+        assert got == want
