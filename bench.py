@@ -64,7 +64,10 @@ def main() -> None:
     target_block = linker.join(targets)
     ref_seq = f"{a5}{'0' * 16}{'1' * 12}{target_block}{a3}"
 
-    n_reads = int(os.environ.get("CLIQUE_BENCH_READS", "40000"))
+    # default scale 80k: the r5 sweep (docs/ROUND5.md) measured reads/s
+    # flat-or-rising from 40k on (16.6k @40k, 18.2k @80k, 17.7k @160k)
+    # after the superlinear collapse terms were fixed; 80k is the knee
+    n_reads = int(os.environ.get("CLIQUE_BENCH_READS", "80000"))
     batch = int(os.environ.get("CLIQUE_BENCH_BATCH", "1024"))
     with tempfile.TemporaryDirectory() as tmp:
         layout_path = os.path.join(tmp, "layout.yaml")
@@ -138,9 +141,11 @@ references:
                             metrics_path=align_metrics, sink=sink)
         align_dt = time.time() - t0
         log(f"align done in {align_dt:.1f}s")
+        device_s = None
         try:
             with open(align_metrics) as fh:
                 am = json.load(fh)
+            device_s = am.get("device_seconds")
             log(f"align breakdown: device {am.get('device_seconds')}s, "
                 f"host-post {am.get('host_post_seconds')}s, "
                 f"cells/s {am.get('dp_cells_per_s')}")
@@ -215,6 +220,10 @@ references:
         "align_s": round(align_dt, 2),
         "collapse_s": round(collapse_dt, 2),
         "call_s": round(call_dt, 2),
+        # chip utilization honesty (VERDICT r4 weak-5): fraction of the
+        # align wall the device is actually dispatching/syncing
+        "device_busy_frac": round(device_s / align_dt, 3)
+        if device_s and align_dt else None,
     }))
 
 
@@ -269,7 +278,7 @@ def _supervised() -> None:
     # (an A/B at another batch size must not be judged against the
     # default config's best and burn the retry budget)
     host_key = (f'{platform.node() or "unknown"}:'
-                f'{os.environ.get("CLIQUE_BENCH_READS", "40000")}:'
+                f'{os.environ.get("CLIQUE_BENCH_READS", "80000")}:'
                 f'b{os.environ.get("CLIQUE_BENCH_BATCH", "1024")}')
     recent = [float(v) for v in hist.get(host_key, {}).get("recent", [])]
     env_min = os.environ.get("CLIQUE_BENCH_HEALTHY_MIN")
