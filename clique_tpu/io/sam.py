@@ -109,6 +109,28 @@ class SamWriter:
 _BGZF_EOF = bytes.fromhex(
     "1f8b08040000000000ff0600424302001b0003000000000000000000")
 
+# shared deflate pool: BGZF blocks compress independently and CPython's
+# zlib releases the GIL, so a small thread pool overlaps compression with
+# the writer thread's IO and the other pipeline threads. Output bytes are
+# IDENTICAL to the serial path (same per-block deflate at the same level,
+# same block boundaries, written in order). CLIQUE_TPU_BGZF_THREADS=1
+# restores fully-serial compression.
+_DEFLATE_POOL = None
+
+
+def _deflate_pool():
+    global _DEFLATE_POOL
+    if _DEFLATE_POOL is None:
+        n = max(1, int(os.environ.get("CLIQUE_TPU_BGZF_THREADS", "2")))
+        if n > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            _DEFLATE_POOL = ThreadPoolExecutor(
+                max_workers=n, thread_name_prefix="bgzf-deflate")
+        else:
+            _DEFLATE_POOL = False
+    return _DEFLATE_POOL or None
+
 
 class BgzfWriter:
     """Blocked gzip writer (SAM spec section 4.1)."""
@@ -123,6 +145,21 @@ class BgzfWriter:
 
     def write(self, data: bytes) -> None:
         self._buf += data
+        n_blocks = len(self._buf) // self.MAX_BLOCK
+        if not n_blocks:
+            return
+        if n_blocks >= 2:
+            pool = _deflate_pool()
+            if pool is not None:
+                # large writes (write_encoded hands whole flushes) fan
+                # block deflates over the pool; results written in order
+                mb = self.MAX_BLOCK
+                blocks = [bytes(self._buf[i * mb:(i + 1) * mb])
+                          for i in range(n_blocks)]
+                del self._buf[:n_blocks * mb]
+                for payload in pool.map(self._deflate_block, blocks):
+                    self._fh.write(payload)
+                return
         while len(self._buf) >= self.MAX_BLOCK:
             self._flush_block(self._buf[: self.MAX_BLOCK])
             del self._buf[: self.MAX_BLOCK]
@@ -133,9 +170,11 @@ class BgzfWriter:
     # writer in __init__ so setting it after import still works.
     LEVEL = 6
 
-    def _flush_block(self, data: bytes) -> None:
+    def _deflate_block(self, data: bytes) -> bytes:
+        """One complete BGZF block's bytes (header + deflate + trailer).
+        Pure function of (data, level) — safe on pool threads."""
         co = zlib.compressobj(self._level, zlib.DEFLATED, -15)
-        cdata = co.compress(bytes(data)) + co.flush()
+        cdata = co.compress(data) + co.flush()
         # BSIZE field = total block length - 1 (SAM spec 4.1); total =
         # header(18) + cdata + crc(4) + isize(4). Storing the full length
         # here breaks htslib-style BSIZE-seeking readers (gzip-stream
@@ -144,10 +183,11 @@ class BgzfWriter:
         header = struct.pack(
             "<4BI2BH2B2H", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF, 6,
             ord("B"), ord("C"), 2, bsize_m1)
-        self._fh.write(header)
-        self._fh.write(cdata)
-        self._fh.write(struct.pack("<II", zlib.crc32(bytes(data)) & 0xFFFFFFFF,
-                                   len(data)))
+        return b"".join((header, cdata, struct.pack(
+            "<II", zlib.crc32(data) & 0xFFFFFFFF, len(data))))
+
+    def _flush_block(self, data: bytes) -> None:
+        self._fh.write(self._deflate_block(bytes(data)))
 
     def flush_pending(self) -> None:
         """Flush any buffered partial block so raw pre-compressed BGZF
