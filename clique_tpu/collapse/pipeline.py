@@ -1130,10 +1130,27 @@ def _collapse_impl(output_path: str, layout: SequenceLayout, input_bam: str,
             # reference spills past the cap, never drops -
             # collapse.rs:884-888); the in-RAM path keeps everything
             # resident by construction, so honoring the cap means running
-            # the streaming path, whose per-bin residency is O(1)
-            log.info("maximum_subsequences set; enabling out-of-core "
-                     "collapse to honor the per-bin resident cap")
-            out_of_core = True
+            # the streaming path, whose per-bin residency is O(1).
+            # EXCEPTION: when the BAM's chunk index proves the whole file
+            # holds fewer records than the smallest cap, no bin can ever
+            # exceed it — the in-RAM path (global key-sorted output
+            # order, same bytes as the fused chain) is then exact.
+            from clique_tpu.io.sam import read_cqi
+
+            min_cap = min(cfg.maximum_subsequences
+                          for ref in layout.references.values()
+                          for cfg in ref.umi_configurations.values()
+                          if cfg.maximum_subsequences is not None)
+            cqi = read_cqi(input_bam)
+            total = cqi[-1][1] if cqi else None
+            if total is not None and total <= min_cap:
+                log.info("maximum_subsequences set but the BAM holds %d "
+                         "records <= the smallest cap %d; the cap cannot "
+                         "bind - staying in RAM", total, min_cap)
+            else:
+                log.info("maximum_subsequences set; enabling out-of-core "
+                         "collapse to honor the per-bin resident cap")
+                out_of_core = True
 
     spill_root = None
     n_shards = shards or 32

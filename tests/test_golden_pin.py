@@ -142,6 +142,54 @@ def test_pe_inputs_frozen(tmp_path):
             f"golden_pe input generator drifted for {name}"
 
 
+GOLDEN_ML = os.path.join(ROOT, "tests", "data", "golden_ml")
+
+
+@pytest.fixture(scope="module")
+def ml_outputs(tmp_path_factory):
+    mg = _load_make_golden()
+    workdir = str(tmp_path_factory.mktemp("golden_ml_run"))
+    aligned, collapsed, _none = mg.run_ml_pipeline(workdir)
+    return mg, aligned, collapsed
+
+
+@pytest.mark.parametrize("name", ["aligned.bam", "collapsed.bam"])
+def test_ml_bam_payload_pinned(ml_outputs, name):
+    """Mouse-lineage 3-level legacy-schema byte pin (VERDICT r4 item 7):
+    the maryam_fwd_both.yaml-shaped config (older YAML schema, bare
+    READ1/READ2, ConcatenateBothForward, KnownTag-levenshtein 16bp cell
+    + Degenerate 12bp UMI + Degenerate 12bp static id) through the whole
+    chain must stay byte-stable."""
+    _, aligned, collapsed = ml_outputs
+    fresh = aligned if name == "aligned.bam" else collapsed
+    got = _inflate_bgzf(fresh)
+    want = _inflate_bgzf(os.path.join(GOLDEN_ML, name))
+    assert got == want, f"golden_ml {name} payload drifted"
+
+
+def test_ml_tag_dump_pinned(ml_outputs, tmp_path):
+    mg, _aligned, collapsed = ml_outputs
+    out = tmp_path / "collapsed.tags.tsv"
+    mg.dump_tags(collapsed, str(out))
+    with open(os.path.join(GOLDEN_ML, "collapsed.bam.tags.tsv")) as fh:
+        want = fh.read()
+    assert out.read_text() == want, "golden_ml collapsed tag dump drifted"
+    # structural assertion the dataset was built for: all three closers
+    # landed, leaving exactly 12 rc=8 consensus groups
+    assert want.count("rc=8") == 12 and want.count("\n") == 12
+
+
+def test_ml_inputs_frozen(tmp_path):
+    mg = _load_make_golden()
+    mg.write_ml_inputs(str(tmp_path))
+    for name in ("reads1.fastq.gz", "reads2.fastq.gz", "allowlist.txt",
+                 "layout.yaml.in"):
+        with open(os.path.join(GOLDEN_ML, name), "rb") as fh:
+            want = fh.read()
+        assert (tmp_path / name).read_bytes() == want, \
+            f"golden_ml input generator drifted for {name}"
+
+
 def test_inversion_pinned(tmp_path):
     """Inversion-path byte pin on the big-inversion fixture
     (linked_alignment.rs:619-689). Pinned at the alignment level, not as

@@ -204,6 +204,132 @@ def write_pe_inputs(target_dir: str = GOLDEN_PE):
                 fh.write(raw)
 
 
+GOLDEN_ML = os.path.join(ROOT, "tests", "data", "golden_ml")
+
+# The mouse-lineage 3-level config (VERDICT r4 item 7): shaped exactly
+# like rust_cmd/mouse_lineage_test/maryam_fwd_both.yaml — the OLDER YAML
+# schema (top-level umi_configurations, known_orientation, bare READ1
+# items, ConcatenateBothForward merge) with its 3-level hierarchy:
+# KnownTag(levenshtein trie closer) 16bp cell_id + Degenerate 12bp
+# cell_umi (max_distance 1) + Degenerate 12bp static_id. The reference's
+# current serde types reject this schema; ours loads it
+# (config/layout.py:143-207), and this golden pins the whole chain on it.
+# The 10X-style amplicon: R1 carries cell+UMI, R2 carries the static
+# integration id between fixed flanks.
+ML_LINK = "ACCGGTTCAGACGTACTGAGCTTGCCAGTA"
+ML_TAIL = "GGCTTAAGCCGGAACTCTGCAGGTCCAATG"
+ML_REF_SEQ = "0" * 16 + "1" * 12 + ML_LINK + "2" * 12 + ML_TAIL
+
+ML_LAYOUT_TEMPLATE = f"""---
+merge: "ConcatenateBothForward"
+known_orientation: true
+sequence: "{ML_REF_SEQ}"
+reads:
+  - READ1
+  - READ2
+umi_configurations:
+  cell_id:
+    symbol: '0'
+    sort_type: "KnownTag"
+    file: "@ALLOWLIST@"
+    length: 16
+    order: 0
+    max_distance: 2
+  cell_umi:
+    symbol: '1'
+    sort_type: "DegenerateTag"
+    length: 12
+    order: 1
+    max_distance: 1
+    maximum_subsequences: 250000
+  static_id:
+    symbol: '2'
+    sort_type: "DegenerateTag"
+    length: 12
+    order: 2
+    max_distance: 2
+    maximum_subsequences: 50000
+"""
+
+
+def write_ml_inputs(target_dir: str = GOLDEN_ML):
+    """Mint the mouse-lineage golden inputs: 6 cells (from an 8-barcode
+    allowlist) x 2 UMIs x 8 reads, one static integration id per cell.
+    Per (cell, umi) group: 5 clean reads, one with a 1-sub cell-barcode
+    error (trie/levenshtein closer, distance <= 2), one with a 1-sub UMI
+    error (degenerate absorption at max_distance 1 — count 1 vs 7
+    clears the ratio-5 bar), one with a 1-sub static-id error (ratio
+    absorption at the third level). The collapsed BAM must therefore
+    hold exactly 12 consensus records of rc=8."""
+    os.makedirs(target_dir, exist_ok=True)
+    rng = np.random.default_rng(20260820)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    allow = [rng.choice(bases, 16).tobytes().decode() for _ in range(8)]
+    with open(os.path.join(target_dir, "allowlist.txt"), "w") as fh:
+        fh.write("\n".join(allow) + "\n")
+    with open(os.path.join(target_dir, "layout.yaml.in"), "w") as fh:
+        fh.write(ML_LAYOUT_TEMPLATE)
+
+    n_cells = 6
+    umis = [[rng.choice(bases, 12).tobytes().decode() for _ in range(2)]
+            for _ in range(n_cells)]
+    statics = [rng.choice(bases, 12).tobytes().decode()
+               for _ in range(n_cells)]
+
+    def _mut1(s: str, pos: int) -> str:
+        alt = {"A": "C", "C": "G", "G": "T", "T": "A"}
+        return s[:pos] + alt[s[pos]] + s[pos + 1:]
+
+    r1_records, r2_records = [], []
+    i = 0
+    for c in range(n_cells):
+        for u in range(2):
+            for k in range(8):
+                cell, umi, stat = allow[c], umis[c][u], statics[c]
+                if k == 5:
+                    # in-distance cell-barcode error (trie closer d<=2)
+                    cell = _mut1(cell, int(rng.integers(16)))
+                if k == 6:
+                    # in-distance UMI error (max_distance 1); count 1 vs
+                    # the true UMI's 7 clears the ratio-5 absorption bar
+                    umi = _mut1(umi, int(rng.integers(12)))
+                if k == 7:
+                    # static-id error absorbed at the third level
+                    stat = _mut1(stat, int(rng.integers(12)))
+                r1 = cell + umi
+                r2 = ML_LINK + stat + ML_TAIL
+                r1_records.append((f"m{i}", r1, "I" * len(r1)))
+                r2_records.append((f"m{i}", r2, "F" * len(r2)))
+                i += 1
+    for name, records in (("reads1.fastq.gz", r1_records),
+                          ("reads2.fastq.gz", r2_records)):
+        raw = "".join(f"@{nm}\n{seq}\n+\n{q}\n"
+                      for nm, seq, q in records).encode()
+        with open(os.path.join(target_dir, name), "wb") as out:
+            with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as fh:
+                fh.write(raw)
+
+
+def run_ml_pipeline(workdir):
+    """Mouse-lineage chain: legacy-schema layout -> concatenate-merge
+    align -> 3-level collapse (trie known-list + two degenerate levels).
+    No targets in the layout (like maryam_fwd_both.yaml), so there is no
+    call stage."""
+    from clique_tpu.align.pipeline import align_reads
+    from clique_tpu.collapse.pipeline import collapse
+
+    layout, rm = _load_layout(workdir, golden_dir=GOLDEN_ML)
+    aligned = os.path.join(workdir, "aligned.bam")
+    align_reads(layout, rm, aligned,
+                read1=os.path.join(GOLDEN_ML, "reads1.fastq.gz"),
+                read2=os.path.join(GOLDEN_ML, "reads2.fastq.gz"),
+                batch_size=16)
+    collapsed = os.path.join(workdir, "collapsed.bam")
+    collapse(collapsed, layout, aligned)
+    return aligned, collapsed, None
+
+
 def _load_layout(workdir, name="layout.yaml", golden_dir=None):
     """Template the frozen layout (allowlist path substituted) and parse
     it, returning (layout, ReferenceManager)."""
@@ -351,7 +477,14 @@ def main():
         _copy_outputs(GOLDEN_PE,
                       [(aligned, "aligned.bam"),
                        (collapsed, "collapsed.bam")], alleles)
-    print(f"golden artifacts written to {GOLDEN} and {GOLDEN_PE}")
+    write_ml_inputs()
+    with tempfile.TemporaryDirectory() as tmp:
+        aligned, collapsed, _none = run_ml_pipeline(tmp)
+        _copy_outputs(GOLDEN_ML,
+                      [(aligned, "aligned.bam"),
+                       (collapsed, "collapsed.bam")], None)
+    print(f"golden artifacts written to {GOLDEN}, {GOLDEN_PE} "
+          f"and {GOLDEN_ML}")
 
 
 if __name__ == "__main__":
