@@ -722,11 +722,12 @@ def wfa_affine2p_batch(refs, reads, ref_lens, read_lens, *, n1: int, n2: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("n1", "n2", "smax", "x", "o", "e",
-                                    "wildcards", "kband"))
+                                    "wildcards", "kband", "adaptive"))
 def wfa_affine_tb_batch(refs, reads, ref_lens, read_lens, *, n1: int,
                         n2: int, smax: int, x: int = 4, o: int = 6,
                         e: int = 2, wildcards: bool = False,
-                        kband: Optional[int] = None):
+                        kband: Optional[int] = None,
+                        adaptive: Optional[int] = None):
     """Gap-affine WFA with traceback: alongside the penalty, records a
     packed op-choice byte per (score step, lane, diagonal) — the TPU
     answer to WFA2-lib's pcigar/backtrace blocks (wavefront_backtrace.o,
@@ -836,6 +837,22 @@ def wfa_affine_tb_batch(refs, reads, ref_lens, read_lens, *, n1: int,
         new_d = clamp(jnp.where(vld, new_d, NEG))
         new_m = _extend_w(new_m, vld)
 
+        if adaptive is not None:
+            # wf-adaptive dynamic trim (wavefront_heuristic.o's
+            # wfadaptive): poison diagonals whose M antidiagonal progress
+            # (h + v = 2h - k) lags the wavefront's best by more than the
+            # margin. HEURISTIC — a trimmed diagonal might have carried
+            # the optimal path; the engine keeps it opt-in and retries
+            # censored pairs untrimmed (align_pairs escalation).
+            prog = 2 * new_m - ks[None, :]
+            has_m = new_m > NEG
+            best = jnp.max(jnp.where(has_m, prog, NEG), axis=1,
+                           keepdims=True)
+            kill = has_m & (prog < best - adaptive)
+            new_m = jnp.where(kill, NEG, new_m)
+            new_i = jnp.where(kill, NEG, new_i)
+            new_d = jnp.where(kill, NEG, new_d)
+
         op_byte = (m_src.astype(jnp.uint8)
                    | (i_from_ext.astype(jnp.uint8) << 2)
                    | (d_from_ext.astype(jnp.uint8) << 3))
@@ -856,12 +873,14 @@ def wfa_affine_tb_batch(refs, reads, ref_lens, read_lens, *, n1: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("n1", "n2", "smax", "x", "o1", "e1",
-                                    "o2", "e2", "wildcards", "kband"))
+                                    "o2", "e2", "wildcards", "kband",
+                                    "adaptive"))
 def wfa_affine2p_tb_batch(refs, reads, ref_lens, read_lens, *, n1: int,
                           n2: int, smax: int, x: int = 4, o1: int = 6,
                           e1: int = 2, o2: int = 24, e2: int = 1,
                           wildcards: bool = False,
-                          kband: Optional[int] = None):
+                          kband: Optional[int] = None,
+                          adaptive: Optional[int] = None):
     """Dual-affine ("convex") WFA with traceback: the affine op-byte scheme
     of wfa_affine_tb_batch extended to WFA2-lib's affine2p model
     (wavefront_compute_affine2p.o, SURVEY 2.9) — gap cost is
@@ -975,6 +994,18 @@ def wfa_affine2p_tb_batch(refs, reads, ref_lens, read_lens, *, n1: int,
                                                     5)))))
         nm = clamp(jnp.where(vld, nm, NEG))
         nm = _table_extend(nm, run, vld, n1w)
+
+        if adaptive is not None:
+            # wf-adaptive trim — see wfa_affine_tb_batch; applied to all
+            # five wavefronts from the M wavefront's progress
+            prog = 2 * nm - ks[None, :]
+            has_m = nm > NEG
+            best = jnp.max(jnp.where(has_m, prog, NEG), axis=1,
+                           keepdims=True)
+            kill = has_m & (prog < best - adaptive)
+            nm = jnp.where(kill, NEG, nm)
+            for name in ("I1", "D1", "I2", "D2"):
+                new[name] = jnp.where(kill, NEG, new[name])
 
         op_byte = (m_src.astype(jnp.uint8)
                    | (ext["I1"].astype(jnp.uint8) << 3)
@@ -1652,7 +1683,8 @@ class WfaAligner:
                  batch_size: int = 512, length_quantum: int = 128,
                  wildcards: bool = True, s0: Optional[int] = None,
                  dp_fallback=None, model: str = "affine",
-                 o2: int = 24, e2: int = 1, kband: Optional[int] = None):
+                 o2: int = 24, e2: int = 1, kband: Optional[int] = None,
+                 adaptive: Optional[int] = None):
         if model not in ("affine", "affine2p"):
             raise ValueError(f"unknown WFA penalties model: {model}")
         self.model = model
@@ -1667,6 +1699,18 @@ class WfaAligner:
         # pairs retry WITHOUT the band so accuracy is never lost, only a
         # straggler pays twice. None = exact band only (default).
         self.kband = kband
+        # optional wf-adaptive dynamic trim margin
+        # (wavefront_heuristic.o's wfadaptive): first-round kernels drop
+        # diagonals whose antidiagonal progress lags the wavefront best
+        # by more than this; censored pairs retry untrimmed. A finished
+        # trimmed result is HEURISTIC (like WFA2's wf-adaptive) — the
+        # trim can, in principle, cut the optimal path while a valid
+        # suboptimal one still reaches the target; default off keeps the
+        # engine exact. CLIQUE_WFA_ADAPTIVE sets a margin globally.
+        if adaptive is None:
+            env_a = os.environ.get("CLIQUE_WFA_ADAPTIVE")
+            adaptive = int(env_a) if env_a else None
+        self.adaptive = adaptive
         self.dp_fallback = dp_fallback  # BatchAligner or None
         self.pairs_aligned = 0
         self.cells_filled = 0           # DP-equivalent n*m cells
@@ -1693,15 +1737,17 @@ class WfaAligner:
             kmax = min(kmax, kband)
         return kmax
 
-    def _tb_kernel(self, a, b, la, lb, *, L, smax, kband=None):
+    def _tb_kernel(self, a, b, la, lb, *, L, smax, kband=None,
+                   adaptive=None):
         if self.model == "affine2p":
             return wfa_affine2p_tb_batch(
                 a, b, la, lb, n1=L, n2=L, smax=smax, x=self.x, o1=self.o,
                 e1=self.e, o2=self.o2, e2=self.e2,
-                wildcards=self.wildcards, kband=kband)
+                wildcards=self.wildcards, kband=kband, adaptive=adaptive)
         return wfa_affine_tb_batch(
             a, b, la, lb, n1=L, n2=L, smax=smax, x=self.x, o=self.o,
-            e=self.e, wildcards=self.wildcards, kband=kband)
+            e=self.e, wildcards=self.wildcards, kband=kband,
+            adaptive=adaptive)
 
     def _backtrace(self, ops, scores, k_targets):
         if self.model == "affine2p":
@@ -1803,7 +1849,7 @@ class WfaAligner:
         for k in range(len(refs)):
             L = self._bucket_len(max(len(refs[k]), len(reads[k])))
             buckets.setdefault(L, []).append(k)
-        work = []                      # (L, smax, idxs, kband)
+        work = []                # (L, smax, idxs, kband, adaptive)
         for L in sorted(buckets):
             if L + 1 >= (1 << 15):
                 # ultra-long pairs: the op store at smax ~ L/4 would be
@@ -1813,7 +1859,7 @@ class WfaAligner:
             if self.s0 is not None:
                 idxs = sorted(buckets[L], key=lambda k:
                               abs(len(refs[k]) - len(reads[k])))
-                work.append((L, self.s0, idxs, self.kband))
+                work.append((L, self.s0, idxs, self.kband, self.adaptive))
                 continue
             # Penalty-aware initial ceilings: a pair's length gap d
             # lower-bounds its penalty at min(o+e*d, o2+e2*d) (every net
@@ -1849,7 +1895,7 @@ class WfaAligner:
                     bialign_pool.extend(idxs)
                     continue
                 idxs.sort(key=lambda k: abs(len(refs[k]) - len(reads[k])))
-                work.append((L, s, idxs, self.kband))
+                work.append((L, s, idxs, self.kband, self.adaptive))
         wave_budget = 2 * self._budget()
         while work:
             # flatten this round's chunks, then run them in WAVES: chunks
@@ -1861,10 +1907,11 @@ class WfaAligner:
             # count; a single over-budget floor chunk (see _mem_cap) runs
             # as its own wave, matching the old chunk-serial peak.
             chunks = []
-            for (L, smax, idxs, kband) in work:
+            for (L, smax, idxs, kband, adaptive) in work:
                 cap = min(self.batch_size, self._mem_cap(L, smax, kband))
                 for lo in range(0, len(idxs), cap):
-                    chunks.append((L, smax, idxs[lo:lo + cap], kband))
+                    chunks.append((L, smax, idxs[lo:lo + cap], kband,
+                                   adaptive, cap))
             censored: dict = {}        # (L, smax) -> [indices]
             pos = 0
             while pos < len(chunks):
@@ -1873,8 +1920,18 @@ class WfaAligner:
                 disp = []
                 used = 0
                 while pos < len(chunks):
-                    L, smax, chunk, kband = chunks[pos]
-                    B = self._ceil_b(len(chunk))
+                    L, smax, chunk, kband, adaptive, cap = chunks[pos]
+                    # DETERMINISTIC lane count: every chunk of a given
+                    # (L, smax, kband) pads up to the same full cap, so
+                    # escalation rounds (whose censored counts are data-
+                    # dependent) never mint fresh jit shapes — tracing
+                    # the while-loop kernels costs 0.1-0.5s per variant
+                    # and was the real content of the convex "dispatch"
+                    # phase (r5 probe: warm enqueue is ~5ms for 12
+                    # chunks). Padding wastes at most one chunk's worth
+                    # of device compute per round (~37ms at SV shapes)
+                    # against a guaranteed re-trace save.
+                    B = cap
                     nbytes = self._chunk_bytes(B, L, smax, kband)
                     if disp and used + nbytes > wave_budget:
                         break
@@ -1889,8 +1946,9 @@ class WfaAligner:
                         a[j, :len(r)] = np.frombuffer(r, dtype=np.uint8)
                         b[j, :len(d)] = np.frombuffer(d, dtype=np.uint8)
                         la[j], lb[j] = len(r), len(d)
-                    scores, ops = self._tb_kernel(a, b, la, lb, L=L,
-                                                  smax=smax, kband=kband)
+                    scores, ops = self._tb_kernel(
+                        a, b, la, lb, L=L, smax=smax, kband=kband,
+                        adaptive=adaptive)
                     disp.append([chunk, L, smax, kband, la, lb, scores,
                                  ops])
                 self.phase_seconds["dispatch"] += time.time() - t_a
@@ -1969,7 +2027,7 @@ class WfaAligner:
                     # these on the O(s)-memory bialign engine instead
                     bialign_pool.extend(idxs)
                 else:
-                    work.append((L, smax * 2, idxs, None))
+                    work.append((L, smax * 2, idxs, None, None))
         if bialign_pool:
             outs = wfa_bialign_affine_pairs(
                 [refs[k] for k in bialign_pool],

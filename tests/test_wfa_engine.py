@@ -350,3 +350,64 @@ def test_long_pair_routing_respects_bialign_quantized_cap():
     # predicate says it would
     with _pytest.raises(ValueError, match="bialign split encoding"):
         wfa_bialign_affine_pairs([b"A" * 32700], [b"A" * 32700])
+
+
+def test_wfa_adaptive_trim_matches_exact():
+    """wf-adaptive dynamic trim (wavefront_heuristic.o's wfadaptive,
+    VERDICT r4 item 6): with a generous margin the trimmed engine's
+    results are identical to the exact engine on low-divergence pairs;
+    with a hostile margin, trimmed-out SV pairs CENSOR and the
+    escalation retries them untrimmed, so end-to-end results still equal
+    the exact engine's (only cost changes)."""
+    from clique_tpu.align.wavefront import WfaAligner
+
+    rng = np.random.default_rng(9)
+    L = 200
+    refs, reads = [], []
+    for i in range(24):
+        ref = rng.choice(BASES, L).tobytes()
+        read = bytearray(ref)
+        for p in rng.choice(L, 4, replace=False):
+            read[p] = BASES[rng.integers(4)]
+        if i % 3 == 0:
+            # 40bp structural deletion - the case a tight trim starves
+            start = 60 + int(rng.integers(40))
+            del read[start:start + 40]
+        refs.append(ref)
+        reads.append(bytes(read))
+
+    for model in ("affine", "affine2p"):
+        base = WfaAligner(model=model).align_pairs(refs, reads)
+        assert all(r is not None for r in base)
+        for margin in (64, 2):
+            trimmed = WfaAligner(model=model,
+                                 adaptive=margin).align_pairs(refs, reads)
+            for b, r in zip(base, trimmed):
+                assert b[2] == r[2] and b[3] == r[3], (model, margin)
+
+
+def test_wfa_adaptive_kernel_trim_censors_sv():
+    """Kernel-level check that the trim actually trims: a tight margin
+    censors a long-deletion pair at the first ceiling (the target
+    diagonal is starved), while the untrimmed kernel finishes it."""
+    from clique_tpu.align.wavefront import wfa_affine_tb_batch
+
+    rng = np.random.default_rng(11)
+    L = 160
+    ref = rng.choice(BASES, L).tobytes()
+    read = ref[:60] + ref[100:]           # clean 40bp deletion
+    a = np.zeros((32, L), np.uint8)
+    b = np.zeros((32, L), np.uint8)
+    a[0, :len(ref)] = np.frombuffer(ref, np.uint8)
+    b[0, :len(read)] = np.frombuffer(read, np.uint8)
+    la = np.zeros(32, np.int32)
+    lb = np.zeros(32, np.int32)
+    la[0], lb[0] = len(ref), len(read)
+    smax = 96
+    s_exact, _ops = wfa_affine_tb_batch(a, b, la, lb, n1=L, n2=L,
+                                        smax=smax, x=4, o=6, e=2)
+    s_trim, _ops = wfa_affine_tb_batch(a, b, la, lb, n1=L, n2=L,
+                                       smax=smax, x=4, o=6, e=2,
+                                       adaptive=2)
+    assert int(np.asarray(s_exact)[0]) <= smax       # exact finishes
+    assert int(np.asarray(s_trim)[0]) == smax + 1    # trim censors
