@@ -12,11 +12,14 @@ from __future__ import annotations
 import gzip
 import os
 from dataclasses import dataclass
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, NamedTuple, Optional, Tuple
 
 
-@dataclass(frozen=True)
-class FastqRecord:
+class FastqRecord(NamedTuple):
+    """One FASTQ record. A NamedTuple, not a frozen dataclass: the
+    parser creates one per read and frozen-dataclass __init__ (three
+    object.__setattr__ calls) measurably taxed ingest at bench scale."""
+
     name: str
     seq: bytes
     qual: bytes
@@ -45,13 +48,80 @@ _FASTQ_BLOCK = 1 << 22
 
 
 def fastq_records(path: str) -> Iterator[FastqRecord]:
-    """Block-based FASTQ parse: one read+split per ~4MB instead of four
-    readline calls per record (the per-record readline/rstrip overhead was
-    a measurable slice of align wall time at 20k reads).
+    """FASTQ record stream: the native C scanner when available
+    (bamcodec.c fastq_scan — one memchr pass per ~4MB block, VERDICT r4
+    item 3's native ingest), else the pure-python block parse. Both
+    yield identical records (tests/test_fastq_parse.py pins parity).
 
-    Termination matches the old line-by-line reader: a group whose seq
-    AND qual are both empty (blank-line runs, EOF padding) stops the
-    stream; a trailing partial group with content is still emitted."""
+    Termination rule (both paths): a complete group whose seq AND qual
+    are both empty (blank-line runs, EOF padding) stops the stream; a
+    trailing partial group with content is still emitted."""
+    from clique_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is not None:
+        return _fastq_records_native(path, lib)
+    return _fastq_records_py(path)
+
+
+def _fastq_records_native(path: str, lib) -> Iterator[FastqRecord]:
+    import ctypes
+
+    import numpy as np
+
+    CAP = 1 << 17                       # records per scan call
+    name_off = np.empty(CAP, np.int64)
+    name_len = np.empty(CAP, np.int32)
+    seq_off = np.empty(CAP, np.int64)
+    seq_len = np.empty(CAP, np.int32)
+    qual_off = np.empty(CAP, np.int64)
+    qual_len = np.empty(CAP, np.int32)
+    consumed = ctypes.c_longlong()
+    stopped = ctypes.c_int()
+    with _open_maybe_gz(path) as fh:
+        tail = b""
+        while True:
+            block = fh.read(_FASTQ_BLOCK)
+            if not block:
+                break
+            buf = tail + block
+            while True:
+                cnt = lib.fastq_scan(
+                    buf, len(buf), CAP,
+                    name_off.ctypes.data, name_len.ctypes.data,
+                    seq_off.ctypes.data, seq_len.ctypes.data,
+                    qual_off.ctypes.data, qual_len.ctypes.data,
+                    ctypes.byref(consumed), ctypes.byref(stopped))
+                no = name_off[:cnt].tolist()
+                nl = name_len[:cnt].tolist()
+                so = seq_off[:cnt].tolist()
+                sl = seq_len[:cnt].tolist()
+                qo = qual_off[:cnt].tolist()
+                ql = qual_len[:cnt].tolist()
+                for i in range(cnt):
+                    yield FastqRecord(
+                        name=buf[no[i]:no[i] + nl[i]].decode(),
+                        seq=buf[so[i]:so[i] + sl[i]],
+                        qual=buf[qo[i]:qo[i] + ql[i]])
+                if stopped.value:
+                    return
+                buf = buf[consumed.value:]
+                if cnt < CAP:
+                    break
+            tail = buf
+        # trailing partial group: mirror the python reader
+        if tail:
+            lines = tail.split(b"\n")
+            h = lines[0]
+            seq = lines[1] if len(lines) > 1 else b""
+            qual = lines[3] if len(lines) > 3 else b""
+            if h and (seq or qual):
+                yield FastqRecord(name=h[1:].split(b" ", 1)[0].decode(),
+                                  seq=seq, qual=qual)
+
+
+def _fastq_records_py(path: str) -> Iterator[FastqRecord]:
+    """Pure-python block parse (fallback without a C compiler)."""
     with _open_maybe_gz(path) as fh:
         pending: List[bytes] = []     # complete lines of unfinished groups
         tail = b""                    # partial last line of the last block

@@ -78,6 +78,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_long,
     ]
+    lib.fastq_scan.restype = ctypes.c_long
+    lib.fastq_scan.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_void_p,    # name off/len
+        ctypes.c_void_p, ctypes.c_void_p,    # seq off/len
+        ctypes.c_void_p, ctypes.c_void_p,    # qual off/len
+        ctypes.c_void_p, ctypes.c_void_p,    # consumed, stopped
+    ]
     lib.decode_bam_records.restype = ctypes.c_long
     lib.decode_bam_records.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_long,

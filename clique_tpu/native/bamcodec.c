@@ -430,3 +430,62 @@ long decode_bam_records(
     *consumed = r;
     return n;
 }
+
+/* FASTQ block scanner (native ingest, VERDICT r5 item 3): scan complete
+ * 4-line records out of a raw buffer in one memchr pass. Writes, per
+ * record: name offset/length (after '@', clipped at the first space —
+ * matching io/fastq.py's split), sequence offset/length, quality
+ * offset/length. Stops at max_records, at the first record whose seq
+ * AND qual are both empty (the python reader's termination rule; that
+ * record is not emitted and *stopped is set), or when the remaining
+ * bytes hold no complete record. *consumed = bytes of emitted records,
+ * so the caller re-buffers the tail. Returns the record count. */
+long fastq_scan(const char* buf, long n, long max_records,
+                long long* name_off, int* name_len,
+                long long* seq_off, int* seq_len,
+                long long* qual_off, int* qual_len,
+                long long* consumed, int* stopped) {
+    long r = 0, count = 0;
+    *stopped = 0;
+    while (count < max_records) {
+        long line_start[4], line_end[4];
+        long p = r;
+        int i;
+        for (i = 0; i < 4; i++) {
+            const char* nl;
+            line_start[i] = p;
+            nl = (const char*)memchr(buf + p, '\n', (size_t)(n - p));
+            if (nl == NULL) break;
+            line_end[i] = nl - buf;
+            p = line_end[i] + 1;
+        }
+        if (i < 4) break;               /* incomplete record: re-buffer */
+        {
+            long sl = line_end[1] - line_start[1];
+            long ql = line_end[3] - line_start[3];
+            if (sl == 0 && ql == 0) {   /* blank-run / EOF padding */
+                *stopped = 1;
+                break;
+            }
+            /* name: after '@' up to the first space */
+            {
+                long ns = line_start[0] + 1;
+                long ne = line_end[0];
+                const char* sp = (const char*)memchr(
+                    buf + ns, ' ', (size_t)(ne - ns));
+                if (sp != NULL) ne = sp - buf;
+                if (ns > line_end[0]) ns = line_end[0];
+                name_off[count] = ns;
+                name_len[count] = (int)(ne - ns);
+            }
+            seq_off[count] = line_start[1];
+            seq_len[count] = (int)sl;
+            qual_off[count] = line_start[3];
+            qual_len[count] = (int)ql;
+        }
+        count++;
+        r = p;
+    }
+    *consumed = r;
+    return count;
+}

@@ -104,3 +104,46 @@ def test_single_stream_detection(tmp_path):
     (tmp_path / "r2.fastq").write_bytes(b"@a\nGG\n+\nII\n")
     it2 = ReadIterator(r1, str(tmp_path / "r2.fastq"))
     assert not it2.single_stream
+
+
+def test_native_scanner_matches_python_parser(tmp_path):
+    """The C fastq_scan path must yield byte-identical records to the
+    pure-python block parser on tricky inputs: multi-block files, names
+    with spaces, CR line endings kept verbatim, blank-group termination,
+    and a trailing partial record."""
+    import numpy as np
+
+    from clique_tpu.io.fastq import _fastq_records_py, fastq_records
+    from clique_tpu.native import get_lib
+
+    if get_lib() is None:
+        import pytest
+        pytest.skip("no C compiler")
+
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    def mk(n, partial=False, blank_at=None, crlf=False):
+        out = []
+        for i in range(n):
+            L = int(rng.integers(1, 400))
+            seq = rng.choice(bases, L).tobytes().decode()
+            name = f"r{i} extra comment" if i % 3 == 0 else f"r{i}"
+            eol = "\r\n" if crlf else "\n"
+            if blank_at is not None and i == blank_at:
+                out.append(f"@pad{eol}{eol}+{eol}{eol}")
+                continue
+            out.append(f"@{name}{eol}{seq}{eol}+{eol}{'I' * L}{eol}")
+        text = "".join(out)
+        if partial:
+            text += "@trailing\nACGT\n+"
+        return text.encode()
+
+    cases = [mk(50), mk(2000), mk(10, partial=True),
+             mk(20, blank_at=7), mk(30, crlf=True), b"", b"@only\n"]
+    for ci, data in enumerate(cases):
+        p = tmp_path / f"case{ci}.fastq"
+        p.write_bytes(data)
+        nat = list(fastq_records(str(p)))
+        py = list(_fastq_records_py(str(p)))
+        assert nat == py, f"case {ci}: {len(nat)} vs {len(py)}"
