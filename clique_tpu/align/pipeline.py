@@ -734,6 +734,39 @@ def _align_reads_impl(
             phase["write_busy"] = phase.get("write_busy", 0.0) + \
                 (time.time() - t_w)
 
+    # third pipeline stage: a DRAIN thread pulls device results and runs
+    # the numpy expansion (expand_entry) off the main thread. At 80k
+    # reads the main thread's drain work (fetch waits + expansion,
+    # ~1.7s host-post) was the largest single align-wall term while the
+    # build/writer threads had spare cores — moving it here overlaps
+    # expansion with the next chunk's parse + dispatch. A single FIFO
+    # queue preserves output record order; maxsize bounds undrained
+    # flushes (device result buffers in flight). CLIQUE_TPU_DRAIN_THREAD=0
+    # restores the round-4 deferred-drain-on-main-thread behavior.
+    drain_queue: "Optional[queue.Queue]" = None
+    drain_thread = None
+
+    def _drain_loop():
+        while True:
+            item = drain_queue.get()
+            if item is None:
+                write_queue.put(None)
+                return
+            t_d = time.time()
+            try:
+                if item[0] == "entries":
+                    _tag, entries, pend = item
+                    raws = []
+                    for entry in entries:
+                        raws.extend(aligner.expand_entry(entry))
+                    write_queue.put(("raw", raws, pend))
+                else:          # ("fwd", payload): ordered passthrough
+                    write_queue.put(item[1])
+            except BaseException as exc:  # surfaced on close
+                writer_error.append(exc)
+            phase["drain_busy"] = phase.get("drain_busy", 0.0) + \
+                (time.time() - t_d)
+
     writer_thread = None
     build_thread = None
     if pipeline_threads:
@@ -741,12 +774,19 @@ def _align_reads_impl(
         build_thread.start()
         writer_thread = threading.Thread(target=_writer_loop, daemon=True)
         writer_thread.start()
+        if os.environ.get("CLIQUE_TPU_DRAIN_THREAD", "1") == "1":
+            drain_queue = queue.Queue(maxsize=4)
+            drain_thread = threading.Thread(target=_drain_loop, daemon=True)
+            drain_thread.start()
 
     def emit_records(records):
         # any non-deferred emission must first drain deferred fast-path
-        # flushes so output record order stays input order
+        # flushes so output record order stays input order (with the
+        # drain thread, order is preserved by routing through its queue)
         drain_deferred()
-        if writer_thread is not None:
+        if drain_queue is not None:
+            drain_queue.put(("fwd", records))
+        elif writer_thread is not None:
             write_queue.put(records)
         elif hasattr(writer, "write_batch"):
             writer.write_batch(records)
@@ -758,7 +798,9 @@ def _align_reads_impl(
         """Emit AlignedReads; record construction defers to the writer
         thread when one is running so it overlaps the next batch."""
         drain_deferred()
-        if writer_thread is not None:
+        if drain_queue is not None:
+            drain_queue.put(("fwd", ("aligned", aligned_out)))
+        elif writer_thread is not None:
             write_queue.put(("aligned", aligned_out))
         else:
             recs = [_make_record(alr, layout) for alr in aligned_out]
@@ -820,7 +862,19 @@ def _align_reads_impl(
             # EXPANSION too was A/B'd r3 and lost ~0.2s device wall: the
             # expansion between pulls paces the tunnel's async copies,
             # and the writer thread saturates on this 4-core host.)
-            if writer_thread is not None:
+            if drain_queue is not None:
+                # dispatch here (align_pairs_entries is eager about
+                # dispatch + copy_to_host_async, lazy about pulls), then
+                # hand the pulls to the drain thread: fetch waits AND
+                # numpy expansion leave the main thread entirely. A full
+                # queue is backpressure (4 undrained flushes in flight);
+                # the wait is charged to drain_wall
+                entries = aligner.align_pairs_entries(refs, reads)
+                stats.aligned += len(pending)
+                t_d = time.time()
+                drain_queue.put(("entries", entries, list(pending)))
+                phase["drain_wall"] += time.time() - t_d
+            elif writer_thread is not None:
                 # defer draining THIS flush's results until the next
                 # flush has parsed + dispatched: the async device->host
                 # copies complete while the main thread parses, so the
@@ -1096,7 +1150,11 @@ def _align_reads_impl(
     phase["tail_wall"] = time.time() - t_tail
     t_join = time.time()
     if writer_thread is not None:
-        write_queue.put(None)
+        if drain_thread is not None:
+            drain_queue.put(None)   # drain forwards None to write_queue
+            drain_thread.join()
+        else:
+            write_queue.put(None)
         build_thread.join()
         writer_thread.join()
         if writer_error:
