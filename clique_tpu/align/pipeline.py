@@ -653,6 +653,50 @@ def _align_reads_impl(
     bam_ref_idx = {rid: i for i, rid in enumerate(rm.references.keys())}
     writer_encoded_ok = hasattr(writer, "write_encoded")
 
+    # sink ingestion on its own thread: CollapseSink.consume_* is ~0.8s
+    # of per-read python at 80k reads and was serializing inside the
+    # build thread (the pipeline's straggler). A FIFO queue preserves
+    # BAM write order, so ordinals and group member order are unchanged;
+    # the sink's state is touched only by this thread until the join.
+    # CLIQUE_TPU_SINK_THREAD=0 restores inline consumption.
+    sink_queue: "Optional[queue.Queue]" = None
+    sink_thread = None
+
+    def _sink_loop():
+        while True:
+            item = sink_queue.get()
+            if item is None:
+                return
+            t_s = time.time()
+            try:
+                if item[0] == "flush":
+                    _t, raws_, pend_, recs_, caps_, cig_, slen_ = item
+                    sink.consume_flush(raws_, pend_, recs_, caps=caps_,
+                                       cigars_by_k=cig_,
+                                       seq_len_by_k=slen_)
+                else:          # ("aligned", aligned_out, recs)
+                    sink.consume_aligned(item[1], item[2])
+            except BaseException as exc:  # surfaced on close
+                writer_error.append(exc)
+            phase["sink_busy"] = phase.get("sink_busy", 0.0) + \
+                (time.time() - t_s)
+
+    def _sink_flush(raws, pend, recs, caps=None, cigars_by_k=None,
+                    seq_len_by_k=None):
+        if sink_queue is not None:
+            sink_queue.put(("flush", raws, pend, recs, caps, cigars_by_k,
+                            seq_len_by_k))
+        else:
+            sink.consume_flush(raws, pend, recs, caps=caps,
+                               cigars_by_k=cigars_by_k,
+                               seq_len_by_k=seq_len_by_k)
+
+    def _sink_aligned(aligned_out, recs):
+        if sink_queue is not None:
+            sink_queue.put(("aligned", aligned_out, recs))
+        else:
+            sink.consume_aligned(aligned_out, recs)
+
     def _build_loop():
         while True:
             item = write_queue.get()
@@ -681,10 +725,9 @@ def _align_reads_impl(
                     if fast is not None:
                         data, caps_g, cig_by_k, slen_by_k = fast
                         if sink is not None:
-                            sink.consume_flush(
-                                raws, pend, None, caps=caps_g,
-                                cigars_by_k=cig_by_k,
-                                seq_len_by_k=slen_by_k)
+                            _sink_flush(raws, pend, None, caps=caps_g,
+                                        cigars_by_k=cig_by_k,
+                                        seq_len_by_k=slen_by_k)
                         phase["build_busy"] = \
                             phase.get("build_busy", 0.0) + \
                             (time.time() - t_b)
@@ -697,7 +740,7 @@ def _align_reads_impl(
                                                rm, report_zero_score,
                                                out_caps=caps)
                     if sink is not None:
-                        sink.consume_flush(raws, pend, recs, caps=caps)
+                        _sink_flush(raws, pend, recs, caps=caps)
                     item = recs
                 elif isinstance(item, tuple) and item and \
                         item[0] == "aligned":
@@ -705,7 +748,7 @@ def _align_reads_impl(
                     # anchored engine outputs)
                     recs = [_make_record(alr, layout) for alr in item[1]]
                     if sink is not None:
-                        sink.consume_aligned(item[1], recs)
+                        _sink_aligned(item[1], recs)
                     item = recs
             except BaseException as exc:  # surfaced on close
                 writer_error.append(exc)
@@ -778,6 +821,16 @@ def _align_reads_impl(
             drain_queue = queue.Queue(maxsize=4)
             drain_thread = threading.Thread(target=_drain_loop, daemon=True)
             drain_thread.start()
+        # default OFF: both r5 attempts to A/B this landed in degraded
+        # tunnel phases (controls hung in warmup), and the one data
+        # point showed sink_busy ~3x its inline cost (GIL contention
+        # with 5 pipeline threads on 4 cores); the inline design is the
+        # proven 17-18.8k configuration. Flip on to re-test.
+        if sink is not None and \
+                os.environ.get("CLIQUE_TPU_SINK_THREAD", "0") == "1":
+            sink_queue = queue.Queue(maxsize=8)
+            sink_thread = threading.Thread(target=_sink_loop, daemon=True)
+            sink_thread.start()
 
     def emit_records(records):
         # any non-deferred emission must first drain deferred fast-path
@@ -1157,6 +1210,10 @@ def _align_reads_impl(
             write_queue.put(None)
         build_thread.join()
         writer_thread.join()
+        if sink_thread is not None:
+            # after the build thread exits, every sink item is enqueued
+            sink_queue.put(None)
+            sink_thread.join()
         if writer_error:
             raise writer_error[0]
     writer.close()
