@@ -821,13 +821,12 @@ def _align_reads_impl(
             drain_queue = queue.Queue(maxsize=4)
             drain_thread = threading.Thread(target=_drain_loop, daemon=True)
             drain_thread.start()
-        # default OFF: both r5 attempts to A/B this landed in degraded
-        # tunnel phases (controls hung in warmup), and the one data
-        # point showed sink_busy ~3x its inline cost (GIL contention
-        # with 5 pipeline threads on 4 cores); the inline design is the
-        # proven 17-18.8k configuration. Flip on to re-test.
+        # default ON: the healthy-phase bracketed A/B (on 15410 / off
+        # 13573 / on 15975 at 80k, align 2.96/3.96/2.65s) shows the
+        # extra thread wins +13-18% — an earlier degraded-phase capture
+        # that suggested GIL contention did not replicate.
         if sink is not None and \
-                os.environ.get("CLIQUE_TPU_SINK_THREAD", "0") == "1":
+                os.environ.get("CLIQUE_TPU_SINK_THREAD", "1") == "1":
             sink_queue = queue.Queue(maxsize=8)
             sink_thread = threading.Thread(target=_sink_loop, daemon=True)
             sink_thread.start()
