@@ -178,6 +178,13 @@ class BatchAligner:
         self._compiled_b: Dict[Tuple[int, int], int] = {}
         self.device_seconds = 0.0   # dispatch + sync time
         self.post_seconds = 0.0     # host-side expansion
+        # dispatch runs on the main thread while pulls/expansion run on
+        # the drain thread: the timing counters need a lock or the
+        # unsynchronized += interleaves and drops increments (metrics
+        # drive A/B decisions here, so corrupted timers are not cosmetic)
+        import threading
+
+        self._t_lock = threading.Lock()
         self.pairs_aligned = 0
         self.cells_filled = 0
 
@@ -286,7 +293,8 @@ class BatchAligner:
             except Exception:
                 pass
 
-        self.device_seconds += time.time() - t0
+        with self._t_lock:
+            self.device_seconds += time.time() - t0
 
         def pulls():
             # lazy per-entry pulls: align_pairs_raw expands one entry
@@ -294,7 +302,9 @@ class BatchAligner:
             for entry in inflight:
                 t1 = time.time()
                 fused_np = np.asarray(jax.device_get(entry[-1]))
-                self.device_seconds += time.time() - t1
+                dt = time.time() - t1
+                with self._t_lock:
+                    self.device_seconds += dt
                 yield entry[:-1] + (fused_np,)
         return pulls()
 
@@ -329,7 +339,9 @@ class BatchAligner:
             _tag, group, refs_arr, reads_arr, T, fused = entry
             packed, n_ops, scores = dbatch.unfuse_result(fused)
             expand(group, packed, n_ops, scores, refs_arr, reads_arr)
-        self.post_seconds += time.time() - t1
+        dt = time.time() - t1
+        with self._t_lock:
+            self.post_seconds += dt
         return out
 
     def align_pairs_raw(self, refs: List[bytes], reads: List[bytes]):
@@ -354,7 +366,9 @@ class BatchAligner:
                               a_read[j, :n].tobytes(),
                               cigars[j],
                               float(scores[j]))
-            self.post_seconds += time.time() - t1
+            dt = time.time() - t1
+            with self._t_lock:
+                self.post_seconds += dt
         return results
 
     def _dispatch_group(self, group, refs, reads, n1, n2):
@@ -789,6 +803,15 @@ def _align_reads_impl(
     drain_queue: "Optional[queue.Queue]" = None
     drain_thread = None
 
+    def _expand_and_enqueue(entries, pend):
+        """The one definition of the drain protocol (used by the drain
+        thread AND the deferred-drain fallback): pull+expand every entry
+        of a flush, forward one ('raw', raws, pend) to the build stage."""
+        raws = []
+        for entry in entries:
+            raws.extend(aligner.expand_entry(entry))
+        write_queue.put(("raw", raws, pend))
+
     def _drain_loop():
         while True:
             item = drain_queue.get()
@@ -799,10 +822,7 @@ def _align_reads_impl(
             try:
                 if item[0] == "entries":
                     _tag, entries, pend = item
-                    raws = []
-                    for entry in entries:
-                        raws.extend(aligner.expand_entry(entry))
-                    write_queue.put(("raw", raws, pend))
+                    _expand_and_enqueue(entries, pend)
                 else:          # ("fwd", payload): ordered passthrough
                     write_queue.put(item[1])
             except BaseException as exc:  # surfaced on close
@@ -868,10 +888,7 @@ def _align_reads_impl(
         t_d = time.time()
         while len(deferred_flush) > keep:
             entries, pend = deferred_flush.pop(0)
-            raws = []
-            for entry in entries:
-                raws.extend(aligner.expand_entry(entry))
-            write_queue.put(("raw", raws, pend))
+            _expand_and_enqueue(entries, pend)
         phase["drain_wall"] += time.time() - t_d
 
     reader = ReadIterator(read1, read2, index1, index2)

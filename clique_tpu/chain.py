@@ -53,10 +53,14 @@ GAP_B = ord("-")
 class CollapseSink:
     """Tap on align's writer stream that builds collapse's ingestion state.
 
-    Consumed on the align writer thread (single consumer, queue order =
-    BAM record order), so SortingRead construction overlaps the next
-    chunk's parse + device dispatch; by the time align returns, collapse
+    Consumed on ONE align pipeline thread — by default a dedicated sink
+    thread fed in BAM record order (CLIQUE_TPU_SINK_THREAD=0 moves
+    consumption inline onto the build thread; either way a single
+    consumer, queue order = BAM record order) — so SortingRead
+    construction overlaps the next chunk's parse + device dispatch; by
+    the time align returns (all pipeline threads joined), collapse
     ingestion is already done (ingest_s ~ 0 in the chain breakdown).
+    Sink state is only safe to read after align_reads returns.
     """
 
     def __init__(self, layout: SequenceLayout, rm: ReferenceManager,

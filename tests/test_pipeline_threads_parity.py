@@ -3,11 +3,14 @@
 The align pipeline can run its post-device work in several thread
 configurations (reference behavior spec: alignment_functions.rs:63-257
 drives one rayon worker per read; our pipeline is stage-threaded
-instead): the default drain-thread layout, the round-4 deferred-drain-
-on-main-thread layout (CLIQUE_TPU_DRAIN_THREAD=0), and the opt-in sink
-thread (CLIQUE_TPU_SINK_THREAD=1) used by the fused chain. All must
-produce byte-identical artifacts — thread layout is a scheduling
-choice, never a semantics one."""
+instead): the default drain-thread + sink-thread layout, the round-4
+deferred-drain-on-main-thread layout (CLIQUE_TPU_DRAIN_THREAD=0), and
+inline sink consumption on the build thread (CLIQUE_TPU_SINK_THREAD=0).
+All must produce byte-identical artifacts — thread layout is a
+scheduling choice, never a semantics one. The baseline run PINS both
+knobs to their defaults (ambient env must not leak in: a shell with
+CLIQUE_TPU_DRAIN_THREAD=0 exported would otherwise make every variant
+identical and the test vacuous)."""
 
 import gzip
 
@@ -72,17 +75,23 @@ def _chain(tmp_path, dataset, tag):
 
 
 def test_thread_layouts_byte_identical(tmp_path, dataset, monkeypatch):
+    # pin the baseline to the shipped defaults (drain + sink threads on)
+    # regardless of ambient shell exports
+    monkeypatch.setenv("CLIQUE_TPU_DRAIN_THREAD", "1")
+    monkeypatch.setenv("CLIQUE_TPU_SINK_THREAD", "1")
     base = _chain(tmp_path, dataset, "default")
 
     monkeypatch.setenv("CLIQUE_TPU_DRAIN_THREAD", "0")
     no_drain = _chain(tmp_path, dataset, "nodrain")
     assert no_drain == base
 
+    # inline sink consumption on the build thread
     monkeypatch.setenv("CLIQUE_TPU_DRAIN_THREAD", "1")
-    monkeypatch.setenv("CLIQUE_TPU_SINK_THREAD", "1")
-    sink_thread = _chain(tmp_path, dataset, "sink")
-    assert sink_thread == base
+    monkeypatch.setenv("CLIQUE_TPU_SINK_THREAD", "0")
+    inline_sink = _chain(tmp_path, dataset, "inlinesink")
+    assert inline_sink == base
 
+    # both fallbacks at once (the round-4 layout)
     monkeypatch.setenv("CLIQUE_TPU_DRAIN_THREAD", "0")
-    both_off_on = _chain(tmp_path, dataset, "mixed")
-    assert both_off_on == base
+    both_off = _chain(tmp_path, dataset, "bothoff")
+    assert both_off == base
