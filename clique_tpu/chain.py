@@ -44,6 +44,7 @@ from clique_tpu.extract.extractor import (
     extract_tagged_sequences,
 )
 from clique_tpu.reference.manager import ReferenceManager
+from clique_tpu.utils.seq import FASTA_N
 
 log = logging.getLogger(__name__)
 
@@ -106,8 +107,28 @@ class CollapseSink:
 
         t0 = time.time()
         staged: List[Optional[SortingRead]] = [None] * len(pend)
+        # failed_filter[k]: row k was tag-valid but failed AlignmentCheck
+        # (precomputed below on the [G, T] matrices — same math as
+        # alignment_check_batch, which would otherwise re-marshal every
+        # row's bytes back into fresh padded arrays; ~0.8s/80k reads of
+        # sink-thread time saved). Tag-invalid still takes precedence in
+        # the stats, exactly like the staged-None short-circuit did.
+        failed_filter = [False] * len(pend)
         for raw_i, raw in enumerate(raws):
             group, a_ref, a_read, valid, _ops, n_ops, _scores = raw
+            # AlignmentCheck (collapse.rs:251-279) vectorized on the raw
+            # matrices: per row the alignment is cols < n_ops[j], which is
+            # exactly the byte range alignment_check_batch would see
+            # (read_aligned/reference_aligned are those cols' tobytes()).
+            n_col = np.asarray(n_ops, dtype=np.int64).reshape(-1)
+            inb = np.arange(a_ref.shape[1], dtype=np.int64)[None, :] < \
+                n_col[:, None]
+            m = inb & (a_ref > 59) & (a_read > 59) & (a_ref != FASTA_N)
+            alignable = m.sum(axis=1)
+            matches = ((a_ref == a_read) & m).sum(axis=1)
+            keep_rows = (alignable > 0) & \
+                (alignable >= self.min_aligned_bases) & \
+                (matches / np.maximum(alignable, 1) >= self.min_identical)
             ref_ids = [pend[k].ref_id for k in group]
             names = {rid: self._names[rid] for rid in set(ref_ids)}
             # union of digit symbols across the group's references: a
@@ -146,6 +167,10 @@ class CollapseSink:
                     continue
                 rec = recs[k] if recs is not None else None
                 invalid = False
+                # tag-validity must still be evaluated for filtered rows
+                # (invalid_tags beats failed_filters in the stats), but
+                # their tag bytes / SortingRead never get built
+                filtered = not keep_rows[j]
                 ordered = []
                 fallback = None
                 for u in umis:
@@ -159,9 +184,10 @@ class CollapseSink:
                             invalid = True
                         if u.max_gaps is not None and gapcnt[j] > u.max_gaps:
                             invalid = True
-                        ordered.append(
-                            (u.symbol,
-                             flat[bounds[j]:bounds[j + 1]].tobytes()))
+                        if not (invalid or filtered):
+                            ordered.append(
+                                (u.symbol,
+                                 flat[bounds[j]:bounds[j + 1]].tobytes()))
                     else:
                         # extractor-zone symbol: per-row fallback through
                         # the reference-semantics walk
@@ -180,9 +206,13 @@ class CollapseSink:
                         if u.max_gaps is not None and \
                                 data.count(GAP_B) > u.max_gaps:
                             invalid = True
-                        ordered.append((u.symbol, data))
+                        if not (invalid or filtered):
+                            ordered.append((u.symbol, data))
                 if invalid:
                     staged[k] = None
+                    continue
+                if filtered:
+                    failed_filter[k] = True
                     continue
                 n = int(n_ops[j])
                 ra = a_ref[j, :n].tobytes()
@@ -211,7 +241,7 @@ class CollapseSink:
                     score=0.0,
                     unsorted_keys=deque(ordered),
                 )
-        self._push_filtered(staged)
+        self._push_filtered(staged, failed_filter)
         self.seconds += time.time() - t0
 
     def consume_aligned(self, aligned_out, recs) -> None:
@@ -257,22 +287,32 @@ class CollapseSink:
             unsorted_keys=deque(ordered),
         )
 
-    def _push_filtered(self, staged: List[Optional[SortingRead]]) -> None:
+    def _push_filtered(self, staged: List[Optional[SortingRead]],
+                       failed_filter: Optional[List[bool]] = None) -> None:
         """Stamp ordinals in BAM order, apply the AlignmentCheck filter
         batch-wise over the flush (collapse.rs:251-279 via
         alignment_check_batch — same keep decisions, same surviving
-        order as filtering at the end), and append survivors."""
-        built = [s for s in staged if s is not None]
-        keep = iter(alignment_check_batch(built, self.min_aligned_bases,
-                                          self.min_identical))
-        for s in staged:
+        order as filtering at the end), and append survivors.
+
+        When `failed_filter` is given (the fast-path flush), the filter
+        already ran vectorized on the device matrices: every non-None
+        staged read passed, and failed_filter[k] marks tag-valid rows the
+        check rejected (their SortingRead was never built)."""
+        if failed_filter is None:
+            built = [s for s in staged if s is not None]
+            keep = iter(alignment_check_batch(
+                built, self.min_aligned_bases, self.min_identical))
+        for i, s in enumerate(staged):
             self.stats.total_reads += 1
             ordn = self._ordinal
             self._ordinal += 1
             if s is None:
-                self.stats.invalid_tags += 1
+                if failed_filter is not None and failed_filter[i]:
+                    self.stats.failed_filters += 1
+                else:
+                    self.stats.invalid_tags += 1
                 continue
-            if not next(keep):
+            if failed_filter is None and not next(keep):
                 self.stats.failed_filters += 1
                 continue
             s.ordinal = ordn
