@@ -522,6 +522,17 @@ def unfuse_result(buf: np.ndarray):
     return buf[..., 8:], n_ops, score
 
 
+@jax.jit
+def concat_fused(*bufs):
+    """Concatenate K same-shape dispatches' fuse_result buffers along the
+    batch axis so the host pulls ONE array for K groups: the tunnel's
+    result-fetch cost is per-array latency, not size, and — unlike the
+    lax.scan wave, which serializes the fills — the K fills already ran
+    as separate parallel dispatches. Host side: slice rows back per
+    group (align_pairs_entries pulls())."""
+    return jnp.concatenate(bufs, axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("n1", "n2", "special_mode",
                                              "use_pallas", "tie_order",
                                              "mesh"))

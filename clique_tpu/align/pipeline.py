@@ -175,6 +175,13 @@ class BatchAligner:
         # 0.495s at wave=1 vs 1.245s at wave=8 on the 20k bench); the
         # fused path remains for dispatch-overhead-bound local devices
         self.wave = int(os.environ.get("CLIQUE_TPU_WAVE", "1"))
+        # fetch-fuse width: how many same-shape dispatched groups get
+        # their FUSED RESULT BUFFERS concatenated on device into one
+        # pulled array. Unlike the wave (which fuses the compute into one
+        # serial lax.scan and loses 2.5x), dispatches stay separate and
+        # parallel — only the device->host result transfer fuses, so K
+        # groups pay one per-array fetch latency instead of K.
+        self.fetch_fuse = int(os.environ.get("CLIQUE_TPU_FETCH_FUSE", "1"))
         self._compiled_b: Dict[Tuple[int, int], int] = {}
         self.device_seconds = 0.0   # dispatch + sync time
         self.post_seconds = 0.0     # host-side expansion
@@ -282,14 +289,39 @@ class BatchAligner:
             inflight.append(self._dispatch_group(group, refs, reads, n1, n2))
             j += 1
 
+        # fetch-fuse packs: concatenate consecutive same-shape "single"
+        # entries' fused result buffers on device so K groups cost one
+        # result pull (per-array fetch latency is the drain floor).
+        # Compute already happened in the K separate dispatches above;
+        # the concat is one tiny device op per pack.
+        packs: List = []
+        if self.fetch_fuse > 1:
+            p = 0
+            while p < len(inflight):
+                e = inflight[p]
+                run = [e]
+                if e[0] == "single":
+                    shape = e[-1].shape
+                    while (len(run) < self.fetch_fuse
+                           and p + len(run) < len(inflight)
+                           and inflight[p + len(run)][0] == "single"
+                           and inflight[p + len(run)][-1].shape == shape):
+                        run.append(inflight[p + len(run)])
+                buf = dbatch.concat_fused(*[x[-1] for x in run]) \
+                    if len(run) > 1 else e[-1]
+                packs.append((run, buf))
+                p += len(run)
+        else:
+            packs = [([e], e[-1]) for e in inflight]
+
         # start every device->host copy before blocking on any: the tunnel
         # occasionally stalls a transfer ~30s, and overlapped copies make
         # stalls concurrent instead of serial. Each entry carries ONE
         # fused result buffer (fuse_result) — the tunnel's fetch latency
         # is per-array, so one pull per dispatch instead of three.
-        for entry in inflight:
+        for _run, buf in packs:
             try:
-                entry[-1].copy_to_host_async()
+                buf.copy_to_host_async()
             except Exception:
                 pass
 
@@ -297,15 +329,22 @@ class BatchAligner:
             self.device_seconds += time.time() - t0
 
         def pulls():
-            # lazy per-entry pulls: align_pairs_raw expands one entry
+            # lazy per-pack pulls: align_pairs_raw expands one entry
             # while the next async copy completes (pacing the tunnel)
-            for entry in inflight:
+            for run, buf in packs:
                 t1 = time.time()
-                fused_np = np.asarray(jax.device_get(entry[-1]))
+                fused_np = np.asarray(jax.device_get(buf))
                 dt = time.time() - t1
                 with self._t_lock:
                     self.device_seconds += dt
-                yield entry[:-1] + (fused_np,)
+                if len(run) == 1:
+                    yield run[0][:-1] + (fused_np,)
+                    continue
+                off = 0
+                for entry in run:
+                    b = entry[-1].shape[0]
+                    yield entry[:-1] + (fused_np[off:off + b],)
+                    off += b
         return pulls()
 
     def expand_entry(self, entry):
