@@ -87,6 +87,13 @@ class SortingRead:
     # consensus read name, ar tag order, downsample cap) equals input
     # order whether the run was in-RAM, out-of-core, or distributed
     ordinal: int = 0
+    # precomputed AlignmentCheck verdict: _ingest_class evaluates the
+    # filter vectorized on its [G, L] matrix (same math as
+    # alignment_check_batch) and stamps it here so the batch check never
+    # re-marshals the row's bytes. Only valid within the ingesting
+    # _RefIngest (same min_aligned_bases/min_identical at stamp and use);
+    # None = not precomputed, the batch check computes it.
+    ac_keep: Optional[bool] = None
     # in-RAM level-grouping class id: sort_level threads an integer
     # equivalence class through the levels (level k's bin x corrected
     # value => level k+1's class), replacing per-read key_tuple()
@@ -289,6 +296,15 @@ class _RefIngest:
         mat[:, pos - 1:pos - 1 + n] = \
             np.frombuffer(block, dtype=np.uint8).reshape(G, n)
         invalid = np.zeros(G, dtype=bool)
+        # AlignmentCheck (alignment_check_batch's math) vectorized on the
+        # class matrix: reference row == the native sequence for every row
+        seq_a = np.frombuffer(self.sequence, dtype=np.uint8)
+        ref_ok = (seq_a > 59) & (seq_a != FASTA_N)
+        m = ref_ok[None, :] & (mat > 59)
+        alignable = m.sum(axis=1)
+        matches = ((mat == seq_a[None, :]) & m).sum(axis=1)
+        keep = (alignable > 0) & (alignable >= self.min_aligned_bases) & \
+            (matches / np.maximum(alignable, 1) >= self.min_identical)
         tag_cols: List[Tuple[str, "np.ndarray"]] = []
         for umi in self._ordered_umis:
             pidx = self._sym_pos.get(umi.symbol)
@@ -319,6 +335,7 @@ class _RefIngest:
                 reference_start=rec.pos,
                 score=0.0,
                 unsorted_keys=deque(ordered),
+                ac_keep=bool(keep[j]),
             )
 
     def _drain(self, stats: "CollapseStats") -> None:
@@ -431,26 +448,36 @@ def alignment_check_batch(reads: List[SortingRead],
                           min_aligned_bases: int = 45,
                           min_identical: float = 0.8) -> List[bool]:
     """Vectorized alignment_check over a whole read set: one padded
-    [N, Lmax] comparison instead of per-read numpy round trips."""
+    [N, Lmax] comparison instead of per-read numpy round trips. Rows
+    whose verdict was already stamped by _ingest_class (ac_keep) skip
+    the re-marshal entirely."""
     import numpy as np
 
     if not reads:
         return []
-    lens = [min(len(r.read_aligned), len(r.reference_aligned)) for r in reads]
+    out: List[Optional[bool]] = [r.ac_keep for r in reads]
+    todo = [i for i, k in enumerate(out) if k is None]
+    if not todo:
+        return out
+    lens = [min(len(reads[i].read_aligned),
+                len(reads[i].reference_aligned)) for i in todo]
     L = max(lens)
-    x = np.zeros((len(reads), L), dtype=np.uint8)
-    y = np.zeros((len(reads), L), dtype=np.uint8)
-    for i, r in enumerate(reads):
-        n = lens[i]
-        x[i, :n] = np.frombuffer(r.read_aligned[:n], dtype=np.uint8)
-        y[i, :n] = np.frombuffer(r.reference_aligned[:n], dtype=np.uint8)
+    x = np.zeros((len(todo), L), dtype=np.uint8)
+    y = np.zeros((len(todo), L), dtype=np.uint8)
+    for j, i in enumerate(todo):
+        r = reads[i]
+        n = lens[j]
+        x[j, :n] = np.frombuffer(r.read_aligned[:n], dtype=np.uint8)
+        y[j, :n] = np.frombuffer(r.reference_aligned[:n], dtype=np.uint8)
     mask = (y > 59) & (x > 59) & (y != FASTA_N)
     alignable = mask.sum(axis=1)
     matches = ((x == y) & mask).sum(axis=1)
     safe = np.maximum(alignable, 1)
     ok = (alignable > 0) & (matches / safe >= min_identical) & \
         (alignable >= min_aligned_bases)
-    return ok.tolist()
+    for j, i in enumerate(todo):
+        out[i] = bool(ok[j])
+    return out
 
 
 def load_known_lists(layout: SequenceLayout) -> Dict[str, List[bytes]]:
